@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Cross-engine determinism helpers.
+  *
+  * The driver hash-compares our results against DuckDB running equivalent
+  * SQL on the same parquet. Two sources of nondeterminism must be killed:
+  *
+  *  1. Floating-point SUM is order-sensitive; Spark's partial aggregation
+  *     order differs run-to-run and engine-to-engine. Fix: round each
+  *     addend to a fixed decimal scale (exact, order-independent decimal
+  *     addition), cast the total back to double. A double is never exactly
+  *     half-way at decimal scale 6 (0.0000005 is not a binary fraction),
+  *     so round-to-nearest is unambiguous and identical in both engines.
+  *     Oracle twin: CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE).
+  *
+  *  2. Row order: every query ends in an explicit orderBy over a unique
+  *     key; oracle SQL carries the same ORDER BY with NULLS FIRST (Spark's
+  *     ascending default) spelled out for DuckDB (whose default is LAST).
+  *
+  * min/max/arg_min/count and post-aggregation arithmetic on identical
+  * doubles are bit-deterministic and need no treatment.
+  */
+object Determinism {
+  /** Order-independent, engine-portable sum of a double column. */
+  def exactSum(c: Column): Column =
+    sum(c.cast(DecimalType(30, 6))).cast(DoubleType)
+
+  /** Portable average: exact decimal sum divided by count, in doubles. */
+  def exactAvg(c: Column): Column =
+    exactSum(c) / count(c)
+
+  /** Oracle-SQL twin of exactSum, for building DuckDB strings. */
+  def sqlExactSum(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(30,6))) AS DOUBLE)"
+
+  def sqlExactAvg(expr: String): String =
+    s"(${sqlExactSum(expr)} / COUNT($expr))"
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import Determinism._
+
+/** General relational/warehouse analytics over the star schema — the
+  * engine surface the reference delegates to Postgres (E3), widened to the
+  * full operator families SURVEY.md §2 catalogues (grouped multi-agg,
+  * multi-hop joins, top-k, rollup/cube, distinct agg, set ops).
+  *
+  * Scale notes: dimension tables (nation/region/customer/supplier/part)
+  * are broadcast — at 100 TB the fact-side scan never shuffles for these
+  * joins. Aggregations go through HashAggregateExec with map-side partials;
+  * top-k is TakeOrderedAndProject (per-partition heap + driver merge of K
+  * rows, never a full sort of the data).
+  */
+object RelationalOps {
+
+  /** TPC-H Q1-style pricing summary: grouped multi-aggregate scan.
+    * Projection+filter push to parquet; one hash-agg shuffle over a
+    * 2-value×2-value grouping key. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        exactSum(col("l_quantity")).as("sum_qty"),
+        exactSum(col("l_extendedprice")).as("sum_base_price"),
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        exactAvg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** Revenue by nation: fact table through a 3-hop dimension chain
+    * (lineitem→orders→customer→nation), all dims broadcast. */
+  def revenueByNation(lineitem: DataFrame, orders: DataFrame,
+                      customer: DataFrame, nation: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Top-k customers by order spend (sort/limit family — absent from the
+    * reference, SURVEY.md §2.6). Unique tiebreak on the key keeps the
+    * result deterministic; plans as TakeOrderedAndProject. */
+  def topCustomers(orders: DataFrame, customer: DataFrame, k: Int): DataFrame =
+    orders
+      .groupBy(col("o_custkey"))
+      .agg(exactSum(col("o_totalprice")).as("total_spend"),
+        count(lit(1)).as("n_orders"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("total_spend"), col("n_orders"))
+      .orderBy(col("total_spend").desc, col("c_custkey").asc)
+      .limit(k)
+
+  /** ROLLUP over order status × priority (grouping-sets family —
+    * SURVEY.md §2.4 "not present in reference", added as engine surface). */
+  def ordersRollup(orders: DataFrame): DataFrame =
+    orders
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        exactSum(col("o_totalprice")).as("total_price"))
+
+  /** Distinct aggregates: exact + approximate cardinalities per group.
+    * approx_count_distinct (HLL++) is the 100 TB-scale path; the exact
+    * twin stays for the oracle. */
+  def orderStats(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+
+  /** Set operation (SO-family): customers with open orders but no
+    * finished orders — EXCEPT on distinct key sets. */
+  def custkeysExcept(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderstatus") === "O").select(col("o_custkey")).distinct()
+      .except(orders.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct())
+
+  /** Scalar-function showcase (F-family): date parts, formatting, string
+    * build — the reference's folder-name/date plumbing (`:15-32`) as
+    * column expressions. */
+  def orderDateParts(orders: DataFrame): DataFrame =
+    orders.select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        upper(date_format(col("o_orderdate"), "MMM")).as("o_mon_name"),
+        date_trunc("month", col("o_orderdate")).as("o_month_start"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"))
+}

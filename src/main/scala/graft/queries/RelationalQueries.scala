@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.ops.RelationalOps
+import graft.ops.Determinism.{sqlExactAvg, sqlExactSum}
+
+/** Warehouse-analytics queries over the star schema — the engine families
+  * the reference pushes into Postgres (E3), widened per SURVEY.md §2.4-2.8.
+  */
+object RelationalQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Grouped multi-aggregate scan (TPC-H Q1 shape).
+    Q("q1_pricing_summary",
+      (s, dir) => RelationalOps.pricingSummary(Tables.lineitem(s, dir))
+        .orderBy("l_returnflag", "l_linestatus"),
+      s"""SELECT l_returnflag, l_linestatus,
+         |${sqlExactSum("l_quantity")} AS sum_qty,
+         |${sqlExactSum("l_extendedprice")} AS sum_base_price,
+         |${sqlExactSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |${sqlExactAvg("l_quantity")} AS avg_qty,
+         |count(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " ")),
+
+    // Multi-hop dimension join (lineitem→orders→customer→nation).
+    Q("revenue_by_nation",
+      (s, dir) => RelationalOps.revenueByNation(
+          Tables.lineitem(s, dir), Tables.orders(s, dir),
+          Tables.customer(s, dir), Tables.nation(s, dir))
+        .orderBy("n_name"),
+      s"""SELECT n_name,
+         |${sqlExactSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin.replace("\n", " ")),
+
+    // Top-k by aggregate (sort/limit; plans as TakeOrderedAndProject).
+    Q("top_customers",
+      (s, dir) => RelationalOps.topCustomers(
+          Tables.orders(s, dir), Tables.customer(s, dir), 10),
+      s"""SELECT c_custkey, c_name, total_spend, n_orders FROM (
+         |SELECT o_custkey, ${sqlExactSum("o_totalprice")} AS total_spend,
+         |count(*) AS n_orders FROM orders GROUP BY o_custkey) a
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY total_spend DESC, c_custkey ASC LIMIT 10"""
+        .stripMargin.replace("\n", " ")),
+
+    // Grouping sets: ROLLUP over status × priority.
+    Q("orders_rollup",
+      (s, dir) => RelationalOps.ordersRollup(Tables.orders(s, dir))
+        .orderBy("o_orderstatus", "o_orderpriority"),
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         |${sqlExactSum("o_totalprice")} AS total_price
+         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+        .stripMargin.replace("\n", " ")),
+
+    // Distinct aggregates per group (exact; the HLL path is benched
+    // separately — approx results can't hash-match an oracle).
+    Q("order_stats",
+      (s, dir) => RelationalOps.orderStats(Tables.lineitem(s, dir))
+        .orderBy("l_returnflag"),
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+        |count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin.replace("\n", " ")),
+
+    // Set operation: EXCEPT on distinct key sets.
+    Q("custkeys_except",
+      (s, dir) => RelationalOps.custkeysExcept(Tables.orders(s, dir))
+        .orderBy("o_custkey"),
+      """SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin.replace("\n", " ")),
+
+    // Scalar-function family: date parts / formatting / string build.
+    Q("order_date_parts",
+      (s, dir) => RelationalOps.orderDateParts(Tables.orders(s, dir))
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey,
+        |CAST(year(o_orderdate) AS INT) AS o_year,
+        |CAST(month(o_orderdate) AS INT) AS o_month,
+        |CAST(day(o_orderdate) AS INT) AS o_day,
+        |upper(strftime(o_orderdate, '%b')) AS o_mon_name,
+        |date_trunc('month', o_orderdate) AS o_month_start,
+        |concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio
+        |FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", " "))
+  )
+}
