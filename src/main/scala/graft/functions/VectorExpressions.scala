@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expression for the similarity hot path.
+  *
+  * `zip_with` + `aggregate` higher-order functions are interpreted (no
+  * whole-stage codegen) — at n² candidate pairs the lambda-invocation
+  * overhead dominates. This expression generates a tight primitive loop
+  * instead. The fold order (left-to-right) is identical to the
+  * higher-order formulation and the DuckDB oracle's list_sum, so results
+  * stay bit-for-bit comparable.
+  *
+  * Preference order per SURVEY.md §2.10: built-ins first; a custom
+  * `Expression` only where built-ins can't deliver the plan we need —
+  * this is that case (scalar fn in the O(n²) inner loop).
+  */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> inputs, got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration for graft's native functions — callable from any session
+  * (runtime registry) or via spark.sql.extensions (injected). */
+object GraftFunctions {
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (es => ArrayDotProduct(es.head, es(1))))
+
+  /** Idempotent per-session registration (works under any driver-created
+    * session — same pattern as Tables.events' runtime conf). */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
+}
+
+/** SparkSessionExtensions hook: `--conf
+  * spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
+      (es: Seq[Expression]) => ArrayDotProduct(es.head, es(1))))
+}

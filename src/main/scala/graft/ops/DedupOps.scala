@@ -1,0 +1,126 @@
+package graft.ops
+
+import graft.functions.Hashing
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard near-dup detection.
+  *
+  * Scale design:
+  *  - exact dedup is a single hash-aggregate on the content digest;
+  *  - n-gram Jaccard avoids the O(n²) cross join by exploding shingles
+  *    and self-joining on the shingle (inverted index) — cost is bounded
+  *    by shingle-posting-list sizes, and hot shingles can be dropped as
+  *    stopwords at scale;
+  *  - MinHash+LSH reduces pair generation to equality joins on band keys
+  *    (shuffle on band key, posting lists of near-constant size), then
+  *    verifies candidates with exact Jaccard — the standard 100 TB path;
+  *  - SimHash packs a document into one int64 for cheap Hamming screens.
+  *
+  * All hashes derive from [[Hashing]] so a DuckDB oracle can reproduce
+  * the exact same signatures and pair sets.
+  */
+object DedupOps {
+
+  /** Exact dedup: md5 digest of the raw text, one representative (min
+    * doc_id) per digest. */
+  def exactDedup(docs: DataFrame, text: String = "text"): DataFrame =
+    docs.groupBy(md5(col(text)).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Exploded (doc_id, shingle) inverted-index relation. */
+  def docShingles(docs: DataFrame, k: Int, text: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextOps.shingles(col(text), k)).as("shingle"))
+
+  /** N-gram Jaccard near-dup pairs above a threshold, via the inverted
+    * index: |A∩B| from the shingle join, |A∪B| = |A|+|B|-|A∩B|. */
+  def ngramJaccardPairs(docs: DataFrame, k: Int, threshold: Double,
+                        text: String = "text"): DataFrame = {
+    val sizes = docs.select(col("doc_id"),
+      size(TextOps.shingles(col(text), k)).cast("long").as("n_sh"))
+    val ds = docShingles(docs, k, text)
+    val common = ds.as("a").join(ds.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_common").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("n_common")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: nHashes affine rehashes of the 31-bit shingle
+    * hash, min-reduced per document. Computed over the exploded relation
+    * with one hash-aggregate (map-side partials shrink it before the
+    * shuffle). */
+  def minhashSignatures(docs: DataFrame, k: Int, nHashes: Int,
+                        text: String = "text"): DataFrame = {
+    val coeffs = Hashing.affineCoeffs(nHashes)
+    val base = Hashing.h31(col("shingle"))
+    docShingles(docs, k, text)
+      .groupBy(col("doc_id"))
+      .agg(
+        min(Hashing.affine(base, coeffs.head._1, coeffs.head._2)).as("sig_0"),
+        coeffs.tail.zipWithIndex.map { case ((a, b), i) =>
+          min(Hashing.affine(base, a, b)).as(s"sig_${i + 1}")
+        }: _*)
+  }
+
+  /** LSH candidate pairs from banded MinHash signatures (bandSize rows
+    * per band), verified with exact n-gram Jaccard. Join is on the band
+    * key — never all-pairs. */
+  def minhashLshPairs(docs: DataFrame, k: Int, nHashes: Int, bandSize: Int,
+                      threshold: Double, text: String = "text"): DataFrame = {
+    val sigs = minhashSignatures(docs, k, nHashes, text)
+    val nBands = nHashes / bandSize
+    val bandKeys = (0 until nBands).map { b =>
+      val parts = (0 until bandSize).map(r => col(s"sig_${b * bandSize + r}"))
+      concat_ws("_", (lit(b.toString) +: parts): _*)
+    }
+    val banded = sigs.select(col("doc_id"),
+      explode(array(bandKeys: _*)).as("band_key"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify ONLY the candidates: exact Jaccard via per-pair shingle-set
+    // intersection — work is O(|candidates|), not O(n²)
+    val sh = docs.select(col("doc_id"),
+      TextOps.shingles(col(text), k).as("sh"))
+    cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+          (size(col("sa.sh")) + size(col("sb.sh"))
+            - size(array_intersect(col("sa.sh"), col("sb.sh")))), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash (nBits ≤ 32): per-token 31-bit hashes vote per bit position;
+    * bit j of the signature is the sign of the vote sum. One explode +
+    * one aggregate; the signature packs into a single long. */
+  def simhash(docs: DataFrame, nBits: Int = 32, text: String = "text"): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col(text))).as("token"))
+    val h = Hashing.h31(col("token"))
+    val bitVotes = (0 until nBits).map { j =>
+      sum(when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L)).as(s"v_$j")
+    }
+    val votes = tok.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
+    val sig = (0 until nBits).map { j =>
+      when(col(s"v_$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    votes.select(col("doc_id"), sig.as("simhash"))
+  }
+}

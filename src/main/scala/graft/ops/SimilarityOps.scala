@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Cosine is computed with higher-order functions (zip_with + aggregate)
+  * in double precision with a fixed left-to-right fold, so the DuckDB
+  * oracle (list_transform + list_sum) reproduces it bit-for-bit; results
+  * are rounded to 6 decimals before ranking to absorb any last-ulp skew.
+  *
+  * Scale design:
+  *  - vectors are L2-normalized ONCE per row before any join; per-pair
+  *    work is a single dot-product fold (1 array pass, not 3 — at n²
+  *    pairs this is the difference between hours and minutes);
+  *  - brute-force top-k broadcasts the (small) query set and streams the
+  *    corpus once: per-partition ranking, then a k-row final merge — no
+  *    all-pairs shuffle;
+  *  - the IVF variant clusters the corpus once (fixed seed centroids, one
+  *    assignment pass) and probes only nprobe cells per query — the
+  *    standard recall/throughput trade at 10^9+ vectors.
+  */
+object SimilarityOps {
+
+  /** L2-normalized double vector (one pass for the norm, one for the
+    * scale — per ROW, not per pair). */
+  def l2Normalize(e: Column): Column = {
+    val d = transform(e, x => x.cast("double"))
+    val n = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
+    transform(d, x => x / n)
+  }
+
+  /** Cosine of two pre-normalized vectors: a single dot-product pass via
+    * the codegen'd native expression (functions.ArrayDotProduct — same
+    * left-to-right fold as the higher-order formulation and the oracle),
+    * rounded to 6 decimals for cross-engine rank stability. */
+  def dotCosine(a: Column, b: Column): Column =
+    round(call_function("graft_dot", a, b), 6)
+
+  /** Corpus with the embedding replaced by its normalized form. Also
+    * ensures graft's native functions are registered in this session. */
+  def normalizedCorpus(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    embeddings.select(col("vec_id"), l2Normalize(col("embedding")).as("n_emb"))
+  }
+
+  /** Brute-force cosine top-k: query set × corpus, rank per query.
+    * Queries are broadcast; ranking is a per-query-partition window. */
+  def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val corpus = normalizedCorpus(embeddings)
+    val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("n_emb").as("q_emb"))
+    val scored = corpus.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dotCosine(col("q_emb"), col("n_emb")).as("cosine_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF cell assignment: nearest of `nCells` fixed centroids (the
+    * vectors with the smallest vec_ids — deterministic seed centroids;
+    * production would k-means them). Ties break to the smaller centroid. */
+  def ivfAssign(embeddings: DataFrame, nCells: Int): DataFrame = {
+    val corpus = normalizedCorpus(embeddings)
+    val centroids = corpus.orderBy(col("vec_id").asc).limit(nCells)
+      .select(col("vec_id").as("centroid_id"), col("n_emb").as("c_emb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("centroid_id").asc)
+    corpus.join(broadcast(centroids), expr("true"))
+      .select(col("vec_id"), col("centroid_id"),
+        dotCosine(col("n_emb"), col("c_emb")).as("c_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id").as("cell"))
+  }
+
+  /** IVF top-k: probe the `nprobe` nearest cells per query, rank only
+    * within probed cells. Approximate by construction; the oracle
+    * implements the identical algorithm, so results still hash-match. */
+  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+              nCells: Int, nprobe: Int): DataFrame = {
+    val corpus = normalizedCorpus(embeddings)
+    val centroids = corpus.orderBy(col("vec_id").asc).limit(nCells)
+      .select(col("vec_id").as("centroid_id"), col("n_emb").as("c_emb"))
+    val assigned = ivfAssign(embeddings, nCells).join(corpus, Seq("vec_id"))
+    val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("n_emb").as("q_emb"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("qc_sim").desc, col("centroid_id").asc)
+    val probed = queries.join(broadcast(centroids), expr("true"))
+      .select(col("query_id"), col("q_emb"), col("centroid_id"),
+        dotCosine(col("q_emb"), col("c_emb")).as("qc_sim"))
+      .withColumn("probe_rank", row_number().over(probeW))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("centroid_id").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    probed.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dotCosine(col("q_emb"), col("n_emb")).as("cosine_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding near-duplicate pairs: all pairs above a cosine threshold.
+    * Exact baseline (triangular self-join over pre-normalized vectors);
+    * at scale, block with [[ivfAssign]] cells first. */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val e = normalizedCorpus(embeddings)
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        dotCosine(col("a.n_emb"), col("b.n_emb")).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+}

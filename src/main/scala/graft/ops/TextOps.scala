@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * language-ID heuristic, quality scoring, document fingerprinting.
+  *
+  * Everything is built from codegen'd built-ins and higher-order array
+  * functions — no UDFs — so whole-stage codegen spans the full pipeline
+  * and the same logic is expressible as the DuckDB oracle. At 100 TB these
+  * are embarrassingly parallel narrow maps: no shuffle at all until a
+  * downstream aggregation.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (the BPE-ish regex variant is in
+    * [[tokenCounts]]). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word-ish token pattern shared with the oracle: letter runs, digit
+    * runs, or single punctuation marks — a BPE-pretokenizer shape. */
+  final val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Token statistics per document. */
+  def tokenCounts(docs: DataFrame, text: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col(text))).as("n_ws_tokens"),
+      // Spark SQL string literals consume one level of backslash escaping
+      // (DuckDB's don't) — double them here only.
+      size(expr(s"regexp_extract_all($text, '${TokenPattern.replace("\\", "\\\\")}', 0)")).as("n_re_tokens"),
+      length(col(text)).as("n_chars_measured"))
+
+  /** Tiny per-language function-word lists for the lang-ID heuristic.
+    * Order matters: it is the deterministic tie-break preference. */
+  final val StopwordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+    "es" -> Seq("el", "los", "y", "que", "una", "por"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  private def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(
+      array(words.map(lit): _*), t)))
+
+  /** N-gram/stopword language-ID heuristic: score = function-word hits per
+    * language; predicted language = argmax with fixed preference order.
+    * (On the synthetic corpus accuracy is incidental; the operator shape —
+    * a pure narrow map — is what scales.) */
+  def langId(docs: DataFrame, text: String = "text"): DataFrame = {
+    val toks = tokens(col(text))
+    val scored = docs.select(
+      (col("doc_id") +: col("lang").as("labeled_lang") +:
+        StopwordSets.map { case (l, ws) =>
+          stopwordHits(toks, ws).as(s"score_$l")
+        }): _*)
+    // argmax via CASE chain in declared preference order (>= keeps the
+    // earlier language on ties) — identical in the oracle SQL.
+    val pred = StopwordSets.map(_._1).dropRight(1).foldRight(
+      lit(StopwordSets.last._1)) { (l, rest) =>
+      val cond = StopwordSets.map(_._1).filter(_ != l)
+        .map(o => col(s"score_$l") >= col(s"score_$o")).reduce(_ && _)
+      when(cond, lit(l)).otherwise(rest)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean
+    * token length — composable signals for corpus filtering. */
+  def qualityScore(docs: DataFrame, text: String = "text"): DataFrame = {
+    val toks = tokens(col(text))
+    val nTok = size(toks).cast(DoubleType)
+    val nChar = length(col(text)).cast(DoubleType)
+    val punct = (nChar - length(regexp_replace(col(text), "[.,;:!?]", "")))
+    val stopHits = stopwordHits(toks, StopwordSets.head._2).cast(DoubleType)
+    val meanTokLen = aggregate(toks, lit(0L),
+      (acc, t) => acc + length(t)).cast(DoubleType) / nTok
+    docs.select(
+        col("doc_id"), col("lang"),
+        nChar.as("n_chars_m"),
+        nTok.as("n_tokens"),
+        round(punct / nChar, 6).as("punct_ratio"),
+        round(stopHits / nTok, 6).as("stopword_ratio"),
+        round(meanTokLen, 6).as("mean_token_len"))
+      .withColumn("quality_score",
+        round(least(col("n_tokens") / 100.0, lit(1.0)) * 0.5
+          + col("stopword_ratio") * 0.3
+          + (lit(1.0) - col("punct_ratio")) * 0.2, 6))
+  }
+
+  /** Word k-shingles of a document (distinct, as the dedup unit).
+    * Guarded: Spark's sequence(1, n) DESCENDS for n<1, so short docs get
+    * an explicit empty array. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) >= k,
+        transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** Document fingerprint: min/max/count over the shingle hash set — a
+    * winnowing-style content signature that survives reordering of the
+    * pipeline and is joinable at scale. */
+  def fingerprints(docs: DataFrame, k: Int = 3, text: String = "text"): DataFrame = {
+    val sh = shingles(col(text), k)
+    val hashes = transform(sh, s => Hashing.md5Long(s))
+    docs.select(
+      col("doc_id"),
+      array_min(hashes).as("fp_min"),
+      array_max(hashes).as("fp_max"),
+      size(sh).as("n_shingles"))
+  }
+}

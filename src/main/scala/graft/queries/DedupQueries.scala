@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Hashing
+import graft.ops.DedupOps
+import org.apache.spark.sql.functions._
+import OracleFrags._
+
+/** Deduplication queries over the `documents` fixture: exact, n-gram
+  * Jaccard, MinHash(+LSH), SimHash. The corpus has planted near-dup pairs
+  * (jaccard ≳ 0.9), so thresholded queries return non-trivial results.
+  */
+object DedupQueries {
+
+  private val K = 3            // shingle width
+  private val NH = 16          // minhash functions
+  private val BAND = 2         // rows per LSH band
+  private val TH = 0.5         // jaccard threshold
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup: content digest → representative + multiplicity.
+    Q("dedup_exact",
+      (s, dir) => DedupOps.exactDedup(Tables.documents(s, dir))
+        .orderBy("content_hash"),
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |count(*) AS n_copies FROM documents GROUP BY md5(text)
+        |ORDER BY content_hash""".stripMargin.replace("\n", " ")),
+
+    // N-gram Jaccard near-dup pairs via the shingle inverted index.
+    Q("dedup_ngram_jaccard",
+      (s, dir) => DedupOps.ngramJaccardPairs(Tables.documents(s, dir), K, TH)
+        .orderBy("doc_a", "doc_b"),
+      s"""WITH ds AS (${docShingles(K)}),
+         |sizes AS (SELECT doc_id, CAST(len(${shingles(toks, K)}) AS BIGINT) AS n_sh FROM documents),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) >= $TH
+         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")),
+
+    // MinHash signatures (16 affine rehashes over 31-bit shingle hashes).
+    Q("minhash_signatures",
+      (s, dir) => DedupOps.minhashSignatures(Tables.documents(s, dir), K, NH)
+        .orderBy("doc_id"),
+      s"""SELECT doc_id, ${minhashAggs(NH)}
+         |FROM (${docShingles(K)}) GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+    // MinHash+LSH candidate pairs (8 bands × 2 rows), verified with exact
+    // Jaccard over candidate pairs only.
+    Q("dedup_minhash_lsh",
+      (s, dir) => DedupOps.minhashLshPairs(Tables.documents(s, dir), K, NH, BAND, TH)
+        .orderBy("doc_a", "doc_b"),
+      {
+        val nBands = NH / BAND
+        val bandExprs = (0 until nBands).map { b =>
+          val parts = (0 until BAND).map(r => s"sig_${b * BAND + r}::VARCHAR")
+          s"concat_ws('_', '$b', ${parts.mkString(", ")})"
+        }.mkString("[", ", ", "]")
+        s"""WITH sigs AS (
+           |  SELECT doc_id, ${minhashAggs(NH)}
+           |  FROM (${docShingles(K)}) GROUP BY doc_id),
+           |banded AS (SELECT doc_id, unnest($bandExprs) AS band_key FROM sigs),
+           |cands AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM banded a JOIN banded b
+           |  ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |sh AS (SELECT doc_id, ${shingles(toks, K)} AS sh FROM documents)
+           |SELECT doc_a, doc_b,
+           |round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+           |  (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+           |FROM cands
+           |JOIN sh sa ON doc_a = sa.doc_id
+           |JOIN sh sb ON doc_b = sb.doc_id
+           |WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+           |  (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) >= $TH
+           |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
+      }),
+
+    // SimHash 32-bit signatures (per-token bit votes packed into a long).
+    Q("dedup_simhash",
+      (s, dir) => DedupOps.simhash(Tables.documents(s, dir), 32)
+        .orderBy("doc_id"),
+      {
+        val h = h31("token")
+        val votes = (0 until 32).map(j =>
+          s"CAST(SUM(CASE WHEN (($h >> $j) % 2) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v_$j")
+          .mkString(", ")
+        val pack = (0 until 32).map(j =>
+          s"CASE WHEN v_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+           |v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id)
+           |SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM v
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      })
+  )
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.ops.SimilarityOps
+import org.apache.spark.sql.functions._
+import OracleFrags.{dotCosine, normCorpus}
+
+/** Similarity-search queries over the `embeddings` fixture (64-dim float
+  * vectors). Max pairwise cosine in the corpus is ≈0.51, so the near-dup
+  * threshold is 0.4 to exercise non-empty results.
+  */
+object SimilarityQueries {
+
+  private val QueryIds: Seq[Long] = 0L to 9L
+  private val K = 10
+
+  private val idList = QueryIds.mkString("(", ", ", ")")
+
+  val all: Seq[Q] = Seq(
+
+    // Brute-force cosine top-k: broadcast query set, one corpus pass.
+    Q("ann_topk_brute",
+      (s, dir) => SimilarityOps.bruteForceTopK(Tables.embeddings(s, dir), QueryIds, K)
+        .select(col("query_id"), col("neighbor_id"), col("cosine_sim"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("query_id", "rank"),
+      s"""WITH corpus AS ($normCorpus),
+         |q AS (SELECT vec_id AS query_id, n_emb AS q_emb
+         |  FROM corpus WHERE vec_id IN $idList),
+         |scored AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |  ${dotCosine("q_emb", "e.n_emb")} AS cosine_sim
+         |  FROM corpus e JOIN q ON e.vec_id <> q.query_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rank
+         |FROM ranked WHERE rnk <= $K
+         |ORDER BY query_id, rnk""".stripMargin.replace("\n", " ")),
+
+    // IVF top-k: 16 seed centroids, probe the 4 nearest cells per query.
+    Q("ann_topk_ivf",
+      (s, dir) => SimilarityOps.ivfTopK(Tables.embeddings(s, dir), QueryIds, K, 16, 4)
+        .select(col("query_id"), col("neighbor_id"), col("cosine_sim"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("query_id", "rank"),
+      s"""WITH corpus AS ($normCorpus),
+         |cents AS (
+         |  SELECT vec_id AS centroid_id, n_emb AS c_emb
+         |  FROM corpus ORDER BY vec_id LIMIT 16),
+         |assigned AS (
+         |  SELECT vec_id, n_emb, cell FROM (
+         |    SELECT e.vec_id, e.n_emb, c.centroid_id AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${dotCosine("e.n_emb", "c.c_emb")} DESC, c.centroid_id ASC) AS rn
+         |    FROM corpus e CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, n_emb AS q_emb
+         |  FROM corpus WHERE vec_id IN $idList),
+         |probed AS (
+         |  SELECT query_id, q_emb, cell FROM (
+         |    SELECT q.query_id, q.q_emb, c.centroid_id AS cell,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |      ${dotCosine("q.q_emb", "c.c_emb")} DESC, c.centroid_id ASC) AS pr
+         |    FROM q CROSS JOIN cents c)
+         |  WHERE pr <= 4),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |  ${dotCosine("p.q_emb", "a.n_emb")} AS cosine_sim
+         |  FROM probed p JOIN assigned a ON p.cell = a.cell
+         |  WHERE a.vec_id <> p.query_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rank
+         |FROM ranked WHERE rnk <= $K
+         |ORDER BY query_id, rnk""".stripMargin.replace("\n", " ")),
+
+    // Embedding near-dup screen: all pairs above a cosine threshold.
+    Q("dedup_embedding_cosine",
+      (s, dir) => SimilarityOps.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)
+        .orderBy("vec_a", "vec_b"),
+      s"""WITH corpus AS ($normCorpus)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |${dotCosine("a.n_emb", "b.n_emb")} AS cosine_sim
+         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+         |WHERE ${dotCosine("a.n_emb", "b.n_emb")} >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin.replace("\n", " "))
+  )
+}
