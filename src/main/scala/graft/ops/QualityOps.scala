@@ -19,10 +19,13 @@ object QualityOps {
     * reference universe but absent from the observed data. Set-minus as a
     * left-anti join on distinct keys. */
   def missingKeys(universe: DataFrame, universeKey: String,
-                  observed: DataFrame, observedKey: String): DataFrame =
+                  observed: DataFrame, observedKey: String): DataFrame = {
+    // disambiguate when both sides use the same key name
+    val obsKey = if (observedKey == universeKey) s"__obs_$observedKey" else observedKey
     universe.select(col(universeKey)).distinct()
-      .join(broadcast(observed.select(col(observedKey)).distinct()),
-        col(universeKey) === col(observedKey), "left_anti")
+      .join(broadcast(observed.select(col(observedKey).as(obsKey)).distinct()),
+        col(universeKey) === col(obsKey), "left_anti")
+  }
 
   /** OHLC reconciliation (A1+J1+P10, `:155-172`): recompute daily bars
     * from ticks and diff against an official/independent OHLC table —

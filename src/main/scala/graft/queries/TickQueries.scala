@@ -37,6 +37,10 @@ object TickQueries {
        |count(*) AS n_ticks
        |FROM ($normalizedSql) GROUP BY 1, 2""".stripMargin.replace("\n", " ")
 
+  /** Shared with the streaming twin (PipelineQueries). */
+  val hourlyOracleSql: String =
+    s"SELECT * FROM (${ohlcSql(3600000000L)}) ORDER BY bar_start, symbol"
+
   val all: Seq[Q] = Seq(
 
     // P1-P5: ingest normalization (suffix strip, ts, coercion, renames).
@@ -71,7 +75,7 @@ object TickQueries {
     Q("ohlc_hourly",
       (s, dir) => TickOps.ohlcBars(ticks(s, dir), "1 hour")
         .orderBy("bar_start", "symbol"),
-      s"SELECT * FROM (${ohlcSql(3600000000L)}) ORDER BY bar_start, symbol"),
+      hourlyOracleSql),
 
     // F6/F10 intent: parameterized N-minute bars (the reference's invalid
     // date_trunc('5 minutes') — window() does it correctly).

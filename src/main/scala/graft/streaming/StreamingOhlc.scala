@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.ops.TickOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming twin of the batch OHLC path (SURVEY.md §2.9).
+  *
+  * The reference is a daily batch pipeline; its idiomatic Spark uplift is
+  * a `readStream` over the landing directory with `Trigger.AvailableNow`
+  * (process everything, then stop) — the SAME windowed aggregation
+  * operator as the batch `ohlcBars`, now incremental: watermarked state,
+  * late data dropped after 1 hour, bars emitted on watermark advance.
+  * In production the sink is a partitioned table and the trigger a
+  * schedule; here the memory sink lets the driver read the result back
+  * synchronously.
+  */
+object StreamingOhlc {
+
+  /** The events fixture schema as stored (ts = parquet TIMESTAMP(NANOS),
+    * surfaced as long under nanosAsLong). */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Run the hourly-OHLC streaming query over the fixture dir to
+    * completion (AvailableNow) and return the materialized result. */
+  def hourlyOhlcAvailableNow(spark: SparkSession, dir: String,
+                             queryName: String = "streaming_ohlc"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file-stream source wants a directory or glob, not a bare file —
+    // a glob that matches exactly the events table keeps it happy
+    val raw = spark.readStream
+      .schema(eventsSchema)
+      .parquet(s"$dir/events.parque*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ticks = TickOps.normalizeEvents(raw)
+    val bars = ticks
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour").as("w"), col("symbol"))
+      .agg(
+        min_by(col("price"), col("event_ts")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("event_ts")).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("w.start").as("bar_start"), col("symbol"),
+        col("open"), col("high"), col("low"), col("close"), col("n_ticks"))
+    val q = bars.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}
