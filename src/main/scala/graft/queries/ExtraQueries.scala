@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.ops.{Determinism, TickOps, TypedOhlc}
+import org.apache.spark.sql.functions._
+
+/** Remaining SURVEY.md §2 line items: union-all (A5/SO2), intersect,
+  * CUBE grouping sets, the reference's folder-name scalar round-trip
+  * (F1-F3), the HLL approximate-distinct scale path, and the typed
+  * Aggregator OHLC (U3).
+  */
+object ExtraQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // SO2/A5: UNION ALL of homogeneous per-period QC summaries (the
+    // reference's pd.concat of per-file report frames).
+    Q("union_all_periods",
+      (s, dir) => {
+        val t = TickOps.normalizeEvents(Tables.events(s, dir))
+        def half(tag: String, cond: org.apache.spark.sql.Column) =
+          t.filter(cond).groupBy(col("symbol"))
+            .agg(count(lit(1)).as("n_rows"))
+            .withColumn("period", lit(tag))
+        half("h1", dayofmonth(col("event_ts")) <= 15)
+          .unionByName(half("h2", dayofmonth(col("event_ts")) > 15))
+          .orderBy("period", "symbol")
+      },
+      """SELECT * FROM (
+        |SELECT replace(event_type, '.NSE', '') AS symbol, count(*) AS n_rows,
+        |'h1' AS period FROM events WHERE day(ts) <= 15 GROUP BY 1
+        |UNION ALL
+        |SELECT replace(event_type, '.NSE', '') AS symbol, count(*) AS n_rows,
+        |'h2' AS period FROM events WHERE day(ts) > 15 GROUP BY 1)
+        |ORDER BY period, symbol""".stripMargin.replace("\n", " ")),
+
+    // Set op: INTERSECT on distinct key sets.
+    Q("custkeys_intersect",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_orderstatus") === "O").select(col("o_custkey")).distinct()
+          .intersect(o.filter(col("o_orderstatus") === "F")
+            .select(col("o_custkey")).distinct())
+          .orderBy("o_custkey")
+      },
+      """SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin.replace("\n", " ")),
+
+    // Grouping sets: CUBE over status × priority.
+    Q("orders_cube",
+      (s, dir) => Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          Determinism.exactSum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus", "o_orderpriority"),
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         |${Determinism.sqlExactSum("o_totalprice")} AS total_price
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+        .stripMargin.replace("\n", " ")),
+
+    // F1-F3: the reference's day-folder ↔ bhavcopy filename plumbing
+    // (regex extract, month-name map, filename build) as column exprs.
+    Q("folder_name_roundtrip",
+      (s, dir) => {
+        val folderRe = "STOCK_TICK_(\\d{2})(\\d{2})(\\d{4})"
+        val o = Tables.orders(s, dir).select(col("o_orderkey"),
+          concat(lit("STOCK_TICK_"),
+            date_format(col("o_orderdate"), "ddMMyyyy")).as("folder"))
+        o.select(
+            col("o_orderkey"), col("folder"),
+            regexp_extract(col("folder"), folderRe, 1).cast("int").as("f_day"),
+            regexp_extract(col("folder"), folderRe, 2).cast("int").as("f_month"),
+            regexp_extract(col("folder"), folderRe, 3).cast("int").as("f_year"))
+          .withColumn("bhav_name", concat(
+            lit("cm"), lpad(col("f_day").cast("string"), 2, "0"),
+            upper(date_format(make_date(col("f_year"), col("f_month"),
+              col("f_day")), "MMM")),
+            col("f_year").cast("string"), lit("bhav.csv")))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, folder,
+        |CAST(regexp_extract(folder, 'STOCK_TICK_(\d{2})(\d{2})(\d{4})', 1) AS INT) AS f_day,
+        |CAST(regexp_extract(folder, 'STOCK_TICK_(\d{2})(\d{2})(\d{4})', 2) AS INT) AS f_month,
+        |CAST(regexp_extract(folder, 'STOCK_TICK_(\d{2})(\d{2})(\d{4})', 3) AS INT) AS f_year,
+        |concat('cm',
+        |  lpad(CAST(CAST(regexp_extract(folder, 'STOCK_TICK_(\d{2})(\d{2})(\d{4})', 1) AS INT) AS VARCHAR), 2, '0'),
+        |  upper(strftime(make_date(
+        |    CAST(regexp_extract(folder, 'STOCK_TICK_(\d{2})(\d{2})(\d{4})', 3) AS INT),
+        |    CAST(regexp_extract(folder, 'STOCK_TICK_(\d{2})(\d{2})(\d{4})', 2) AS INT),
+        |    CAST(regexp_extract(folder, 'STOCK_TICK_(\d{2})(\d{2})(\d{4})', 1) AS INT)), '%b')),
+        |  CAST(CAST(regexp_extract(folder, 'STOCK_TICK_(\d{2})(\d{2})(\d{4})', 3) AS INT) AS VARCHAR),
+        |  'bhav.csv') AS bhav_name
+        |FROM (SELECT o_orderkey,
+        |  concat('STOCK_TICK_', strftime(o_orderdate, '%d%m%Y')) AS folder
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin.replace("\n", " ")),
+
+    // HLL++ approximate distinct — the 100 TB cardinality path. Results
+    // are estimator-specific, so no cross-engine oracle: the driver
+    // records a rows-only check; the exact twin is `order_stats`.
+    Q("order_stats_approx",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+      None),
+
+    // U3: the typed-Aggregator twin of ohlc_daily — must match the same
+    // oracle as the untyped min_by/max_by plan.
+    Q("ohlc_daily_typed",
+      (s, dir) => TypedOhlc.dailyOhlcTyped(
+          TickOps.normalizeEvents(Tables.events(s, dir)))
+        .orderBy("trade_date", "symbol"),
+      s"SELECT * FROM (${TickQueries.dailySql}) ORDER BY trade_date, symbol")
+  )
+}

@@ -30,7 +30,7 @@ object TickQueries {
        |count(*) AS n_ticks
        |FROM ($normalizedSql) GROUP BY 1, 2""".stripMargin.replace("\n", " ")
 
-  private val dailySql =
+  private[queries] val dailySql =
     s"""SELECT CAST(event_ts AS DATE) AS trade_date, symbol,
        |arg_min(price, event_ts) AS open, max(price) AS high,
        |min(price) AS low, arg_max(price, event_ts) AS close,
