@@ -37,9 +37,10 @@ object TickOps {
   def stripSuffix(c: Column, suffix: String = ".NSE"): Column =
     regexp_replace(c, java.util.regex.Pattern.quote(suffix), "")
 
-  /** Coerce-to-null numeric parse (P3, `:82-88`): non-ANSI cast gives
-    * null on junk — identical to pandas `to_numeric(errors='coerce')`. */
-  def coerceDouble(c: Column): Column = c.cast(DoubleType)
+  /** Coerce-to-null numeric parse (P3, `:82-88`): try_cast gives null on
+    * junk — identical to pandas `to_numeric(errors='coerce')`. (Spark 4 is
+    * ANSI by default, so a plain cast would THROW on malformed input.) */
+  def coerceDouble(c: Column): Column = c.try_cast(DoubleType)
 
   /** Normalize raw tick-like input (the `events` fixture plays the tick
     * table: event_type→symbol, value→price, ts→timestamp; SURVEY.md §7).
@@ -50,7 +51,7 @@ object TickOps {
       col("ts").as("event_ts"),
       coerceDouble(col("value")).as("price"),
       col("user_id").as("trader_id"),
-      get_json_object(col("props"), "$.k").cast(DoubleType).as("qty"),
+      get_json_object(col("props"), "$.k").try_cast(DoubleType).as("qty"),
       col("event_id"))
 
   /** Invalid-row predicate (P6, `:138-144`): any listed column null or

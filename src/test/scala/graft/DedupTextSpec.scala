@@ -1,0 +1,117 @@
+package graft
+
+import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the LLM-pipeline operators on crafted documents with
+  * known duplicate structure.
+  */
+class DedupTextSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en", "s0", 43L),
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "s1", 43L), // exact dup of 0
+    (2L, "the quick brown fox jumps over the sleepy dog", "en", "s0", 45L), // near dup of 0
+    (3L, "completely different content about spark engines", "en", "s1", 48L),
+    (4L, "der schnelle braune fuchs und der faule hund", "de", "s0", 44L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val d = DedupOps.exactDedup(docs).collect()
+    assert(d.length == 4) // 5 docs, one exact pair
+    val dup = d.filter(_.getAs[Long]("n_copies") == 2L)
+    assert(dup.length == 1 && dup.head.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("ngram jaccard: exact pair scores 1.0; near pair above 0.5; unrelated absent") {
+    val pairs = DedupOps.ngramJaccardPairs(docs, k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) > 0.5 && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.keys.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("minhash signatures: identical docs identical, different docs differ") {
+    val sigs = DedupOps.minhashSignatures(docs, k = 3, nHashes = 16)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs(0L) != sigs(3L))
+  }
+
+  test("minhash LSH finds the exact and near pair with verified jaccard") {
+    val pairs = DedupOps.minhashLshPairs(docs, 3, 16, 2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L))) // jaccard ≈ 0.75, high LSH probability
+  }
+
+  test("simhash: identical docs equal; near dups within small hamming distance") {
+    val s = DedupOps.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(0L) == s(1L))
+    assert(java.lang.Long.bitCount(s(0L) ^ s(2L)) <= 8)
+    assert(java.lang.Long.bitCount(s(0L) ^ s(4L)) > 0)
+  }
+
+  test("langId scores stopwords and argmax picks the dominant language") {
+    val out = TextOps.langId(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(out(0L) == "en")
+    assert(out(4L) == "de")
+  }
+
+  test("quality score is bounded and punct/stopword ratios are sane") {
+    TextOps.qualityScore(docs).collect().foreach { r =>
+      assert(r.getAs[Double]("quality_score") >= 0.0)
+      assert(r.getAs[Double]("quality_score") <= 1.0)
+      assert(r.getAs[Double]("punct_ratio") >= 0.0)
+      assert(r.getAs[Double]("punct_ratio") < 1.0)
+    }
+  }
+
+  test("shingles: distinct k-grams; short docs yield empty not garbage") {
+    val sh = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L).isEmpty)
+    assert(sh(2L) == Seq("a b c", "b c d"))
+  }
+
+  test("cosine: identical vectors 1.0, orthogonal 0.0 (after normalize)") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 2.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = SimilarityOps.cosineNearDupPairs(e, -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cosine_sim")).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) == 0.0)
+  }
+
+  test("brute-force top-k ranks by similarity with id tiebreak") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.5f, 0.5f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = SimilarityOps.bruteForceTopK(e, Seq(0L), 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L, 3L))
+  }
+
+  test("multimodal decode stub is deterministic and shape-correct") {
+    val meta = MultimodalOps.decodeMedia(MultimodalOps.asMediaTable(docs))
+      .collect().map(m => m.media_id -> m).toMap
+    assert(meta.size == 5)
+    assert(meta(0L).n_bytes == 43L)
+    assert(meta(0L).width >= 1 && meta(0L).width <= 640)
+    assert(meta(0L).height >= 1 && meta(0L).height <= 480)
+    // identical payloads decode identically (0 and 1 share text)
+    assert(meta(0L).width == meta(1L).width && meta(0L).height == meta(1L).height)
+    // image vs video frame semantics
+    assert(meta(0L).n_frames == 1L)       // doc 0 even → image
+    assert(meta(1L).n_frames == 43L / 10) // doc 1 odd → video
+  }
+}

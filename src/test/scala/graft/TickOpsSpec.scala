@@ -1,0 +1,126 @@
+package graft
+
+import graft.ops.{QualityOps, TickOps, TypedOhlc}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the tick-domain operators on crafted fixtures covering
+  * the SURVEY.md semantic traps: coercion-to-null (P3), global suffix
+  * strip (P1), null/negative QC predicate (P6), order-independent
+  * open/close (A1), full-frame close intent (W2), one-sided pivot groups
+  * (A3), and typed-vs-untyped OHLC agreement (U3).
+  */
+class TickOpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val crafted = Seq(
+    // symbol, ts, price, trader, qty, id
+    ("ACME.NSE", ts("2024-01-01 09:00:01"), 100.0, 1L, 5.0, 1L),
+    ("ACME.NSE", ts("2024-01-01 09:59:59"), 110.0, 2L, 1.0, 2L),
+    ("ACME.NSE", ts("2024-01-01 09:30:00"), 90.0, 3L, 2.0, 3L),
+    ("ACME.NSE", ts("2024-01-02 10:00:00"), 120.0, 4L, 3.0, 4L),
+    ("BETA", ts("2024-01-01 09:10:00"), 50.0, 5L, -1.0, 5L), // negative qty
+    ("BETA", ts("2024-01-02 09:20:00"), 55.0, 6L, Double.NaN, 6L)
+  ).toDF("symbol", "event_ts", "price", "trader_id", "qty", "event_id")
+    .withColumn("qty", when(isnan(col("qty")), lit(null)).otherwise(col("qty")))
+
+  test("P1: suffix strip removes ALL occurrences (reference semantics)") {
+    val df = Seq("X.NSE", "A.NSEB.NSE", "PLAIN").toDF("s")
+      .select(TickOps.stripSuffix(col("s")).as("out"))
+    assert(df.as[String].collect().toSeq == Seq("X", "AB", "PLAIN"))
+  }
+
+  test("P3: numeric coercion turns junk into null, like to_numeric(coerce)") {
+    val df = Seq("1.5", "junk", "", "-2").toDF("v")
+      .select(TickOps.coerceDouble(col("v")).as("d"))
+    assert(df.collect().map(r => Option(r.get(0))).toSeq ==
+      Seq(Some(1.5), None, None, Some(-2.0)))
+  }
+
+  test("P6: invalid predicate fires on null OR negative, any column") {
+    val invalid = TickOps.invalidRows(crafted, Seq("price", "qty", "trader_id"))
+    assert(invalid.select("event_id").as[Long].collect().toSet == Set(5L, 6L))
+    val valid = TickOps.validRows(crafted, Seq("price", "qty", "trader_id"))
+    // QC filter partitions the input: valid ∪ invalid = all
+    assert(valid.count() + invalid.count() == crafted.count())
+  }
+
+  test("A1: daily OHLC open/close are timestamp-deterministic, not row-order") {
+    val shuffled = crafted.orderBy(rand(42)) // destroy input order
+    val ohlc = TickOps.dailyOhlc(shuffled)
+      .filter(col("symbol") === "ACME.NSE" && col("trade_date") === "2024-01-01")
+      .collect().head
+    assert(ohlc.getAs[Double]("open") == 100.0)  // earliest ts
+    assert(ohlc.getAs[Double]("high") == 110.0)
+    assert(ohlc.getAs[Double]("low") == 90.0)
+    assert(ohlc.getAs[Double]("close") == 110.0) // latest ts, NOT last row
+  }
+
+  test("W2: hourly MV close uses the full frame (reference's intent)") {
+    val mv = TickOps.hourlyOhlcMv(crafted)
+      .filter(col("symbol") === "ACME.NSE" &&
+        col("bar_hour") === ts("2024-01-01 09:00:00"))
+      .collect().head
+    // with the reference's literal RANGE-default frame this would be the
+    // current row's price; the intent (documented bug W2) is the latest
+    assert(mv.getAs[Double]("close") == 110.0)
+    assert(mv.getAs[Double]("open") == 100.0)
+  }
+
+  test("A3: symbol present on only one of two days yields null → filtered") {
+    val pc = TickOps.priceChangePct(crafted, "2024-01-01", "2024-01-02", 0.0)
+    // BETA has qty issues but prices on both days; ACME on both days too.
+    // Drop BETA's day-2 row to make it one-sided:
+    val oneSided = crafted.filter(!(col("symbol") === "BETA" &&
+      to_date(col("event_ts")) === "2024-01-02"))
+    val pc2 = TickOps.priceChangePct(oneSided, "2024-01-01", "2024-01-02", 0.0)
+    assert(pc.select("symbol").as[String].collect().toSet == Set("ACME.NSE", "BETA"))
+    assert(pc2.select("symbol").as[String].collect().toSet == Set("ACME.NSE"))
+  }
+
+  test("OHLC invariants: low <= open, close <= high; bars roll up exactly") {
+    val hourly = TickOps.ohlcBars(crafted, "1 hour")
+    hourly.collect().foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(l <= o && o <= h && l <= c && c <= h)
+    }
+    // 5-minute bars re-aggregated over the hour = the hourly bar
+    val five = TickOps.ohlcBars(crafted, "5 minutes")
+    val rolled = five.groupBy(date_trunc("hour", col("bar_start")).as("h"),
+        col("symbol"))
+      .agg(min_by(col("open"), col("bar_start")).as("open"),
+        max(col("high")).as("high"), min(col("low")).as("low"),
+        max_by(col("close"), col("bar_start")).as("close"),
+        sum(col("n_ticks")).as("n_ticks"))
+    val direct = hourly.select(col("bar_start").as("h"), col("symbol"),
+      col("open"), col("high"), col("low"), col("close"), col("n_ticks"))
+    assert(rolled.except(direct).isEmpty && direct.except(rolled).isEmpty)
+  }
+
+  test("U3: typed Aggregator OHLC equals the untyped min_by/max_by plan") {
+    val untyped = TickOps.dailyOhlc(crafted)
+      .select("trade_date", "symbol", "open", "high", "low", "close", "n_ticks")
+    val typed = TypedOhlc.dailyOhlcTyped(crafted)
+    assert(typed.except(untyped).isEmpty && untyped.except(typed).isEmpty)
+  }
+
+  test("J2: missing keys = universe minus observed, subset of universe") {
+    val universe = Seq("A", "B", "C", "D").toDF("sym")
+    val observed = Seq("B", "D", "E").toDF("obs")
+    val missing = QualityOps.missingKeys(universe, "sym", observed, "obs")
+    assert(missing.as[String].collect().toSet == Set("A", "C"))
+  }
+
+  test("reconcile: identical aggregates diff to zero") {
+    val daily = TickOps.dailyOhlc(crafted)
+    val recon = QualityOps.reconcile(daily, daily, Seq("trade_date", "symbol"))
+    recon.collect().foreach { r =>
+      Seq("open_diff", "high_diff", "low_diff", "close_diff")
+        .foreach(c => assert(r.getAs[Double](c) == 0.0))
+    }
+  }
+}
