@@ -73,7 +73,9 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   * (runtime registry) or via spark.sql.extensions (injected). */
 object GraftFunctions {
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot" -> (es => ArrayDotProduct(es.head, es(1))))
+    "graft_dot" -> (es => ArrayDotProduct(es.head, es(1))),
+    "graft_md5long60" -> (es => Md5Long60(es.head)),
+    "graft_shingles" -> (es => Shingles.fromArgs(es)))
 
   /** Idempotent per-session registration (works under any driver-created
     * session — same pattern as Tables.events' runtime conf). */

@@ -30,20 +30,38 @@ object DedupOps {
       .agg(min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Codegen'd distinct-shingle column (functions.Shingles); identical to
+    * the declarative TextOps.shingles the oracle mirrors. */
+  def fastShingles(docs: DataFrame, k: Int, text: String): org.apache.spark.sql.Column = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    call_function("graft_shingles", col(text), lit(k))
+  }
+
   /** Exploded (doc_id, shingle) inverted-index relation. */
   def docShingles(docs: DataFrame, k: Int, text: String = "text"): DataFrame =
     docs.select(col("doc_id"),
-        explode(TextOps.shingles(col(text), k)).as("shingle"))
+        explode(fastShingles(docs, k, text)).as("shingle"))
+
+  /** Inverted index keyed by the 60-bit shingle hash: fixed-width join/
+    * shuffle keys instead of ~20-byte strings. The oracle uses the same
+    * hash, so even a (astronomically unlikely) collision reproduces
+    * identically in both engines. */
+  def docShingleHashes(docs: DataFrame, k: Int, text: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docShingles(docs, k, text)
+      .select(col("doc_id"),
+        call_function("graft_md5long60", col("shingle")).as("sh_h"))
+  }
 
   /** N-gram Jaccard near-dup pairs above a threshold, via the inverted
-    * index: |A∩B| from the shingle join, |A∪B| = |A|+|B|-|A∩B|. */
+    * index: |A∩B| from the shingle-hash join, |A∪B| = |A|+|B|-|A∩B|. */
   def ngramJaccardPairs(docs: DataFrame, k: Int, threshold: Double,
                         text: String = "text"): DataFrame = {
     val sizes = docs.select(col("doc_id"),
-      size(TextOps.shingles(col(text), k)).cast("long").as("n_sh"))
-    val ds = docShingles(docs, k, text)
+      size(fastShingles(docs, k, text)).cast("long").as("n_sh"))
+    val ds = docShingleHashes(docs, k, text)
     val common = ds.as("a").join(ds.as("b"),
-        col("a.shingle") === col("b.shingle") &&
+        col("a.sh_h") === col("b.sh_h") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -64,13 +82,16 @@ object DedupOps {
   def minhashSignatures(docs: DataFrame, k: Int, nHashes: Int,
                         text: String = "text"): DataFrame = {
     val coeffs = Hashing.affineCoeffs(nHashes)
-    val base = Hashing.h31(col("shingle"))
-    docShingles(docs, k, text)
-      .groupBy(col("doc_id"))
+    // materialize the md5-derived base hash ONCE per (doc, shingle) in a
+    // projection; the n aggregate expressions then only do cheap affine
+    // arithmetic on a long
+    val base = docShingleHashes(docs, k, text)
+      .select(col("doc_id"), (col("sh_h") % Hashing.Mersenne31).as("h"))
+    base.groupBy(col("doc_id"))
       .agg(
-        min(Hashing.affine(base, coeffs.head._1, coeffs.head._2)).as("sig_0"),
+        min(Hashing.affine(col("h"), coeffs.head._1, coeffs.head._2)).as("sig_0"),
         coeffs.tail.zipWithIndex.map { case ((a, b), i) =>
-          min(Hashing.affine(base, a, b)).as(s"sig_${i + 1}")
+          min(Hashing.affine(col("h"), a, b)).as(s"sig_${i + 1}")
         }: _*)
   }
 
@@ -95,7 +116,7 @@ object DedupOps {
     // verify ONLY the candidates: exact Jaccard via per-pair shingle-set
     // intersection — work is O(|candidates|), not O(n²)
     val sh = docs.select(col("doc_id"),
-      TextOps.shingles(col(text), k).as("sh"))
+      fastShingles(docs, k, text).as("sh"))
     cands
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -111,9 +132,10 @@ object DedupOps {
     * bit j of the signature is the sign of the vote sum. One explode +
     * one aggregate; the signature packs into a single long. */
   def simhash(docs: DataFrame, nBits: Int = 32, text: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val tok = docs.select(col("doc_id"),
       explode(TextOps.tokens(col(text))).as("token"))
-    val h = Hashing.h31(col("token"))
+    val h = call_function("graft_md5long60", col("token")) % Hashing.Mersenne31
     val bitVotes = (0 until nBits).map { j =>
       sum(when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L)).as(s"v_$j")
     }

@@ -106,14 +106,18 @@ object TextOps {
 
   /** Document fingerprint: min/max/count over the shingle hash set — a
     * winnowing-style content signature that survives reordering of the
-    * pipeline and is joinable at scale. */
-  def fingerprints(docs: DataFrame, k: Int = 3, text: String = "text"): DataFrame = {
-    val sh = shingles(col(text), k)
-    val hashes = transform(sh, s => Hashing.md5Long(s))
-    docs.select(
-      col("doc_id"),
-      array_min(hashes).as("fp_min"),
-      array_max(hashes).as("fp_max"),
-      size(sh).as("n_shingles"))
-  }
+    * pipeline and is joinable at scale.
+    *
+    * Computed over the exploded hashed relation (one md5 per shingle,
+    * codegen'd hash-aggregate) rather than per-row array lambdas, which
+    * are interpreted and evaluate the hash array once per aggregate.
+    * Note: a doc with < k tokens has no shingles and drops out (fixture
+    * minimum is 10 tokens); the array formulation would return nulls. */
+  def fingerprints(docs: DataFrame, k: Int = 3, text: String = "text"): DataFrame =
+    DedupOps.docShingleHashes(docs, k, text)
+      .groupBy(col("doc_id"))
+      .agg(
+        min(col("sh_h")).as("fp_min"),
+        max(col("sh_h")).as("fp_max"),
+        count(lit(1)).as("n_shingles"))
 }

@@ -31,11 +31,11 @@ object DedupQueries {
     Q("dedup_ngram_jaccard",
       (s, dir) => DedupOps.ngramJaccardPairs(Tables.documents(s, dir), K, TH)
         .orderBy("doc_a", "doc_b"),
-      s"""WITH ds AS (${docShingles(K)}),
+      s"""WITH ds AS (${docShingleHashes(K)}),
          |sizes AS (SELECT doc_id, CAST(len(${shingles(toks, K)}) AS BIGINT) AS n_sh FROM documents),
          |common AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-         |  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM ds a JOIN ds b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
          |round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
@@ -50,7 +50,7 @@ object DedupQueries {
       (s, dir) => DedupOps.minhashSignatures(Tables.documents(s, dir), K, NH)
         .orderBy("doc_id"),
       s"""SELECT doc_id, ${minhashAggs(NH)}
-         |FROM (${docShingles(K)}) GROUP BY doc_id
+         |FROM (${docShingleHashes(K)}) GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
     // MinHash+LSH candidate pairs (8 bands × 2 rows), verified with exact
@@ -66,7 +66,7 @@ object DedupQueries {
         }.mkString("[", ", ", "]")
         s"""WITH sigs AS (
            |  SELECT doc_id, ${minhashAggs(NH)}
-           |  FROM (${docShingles(K)}) GROUP BY doc_id),
+           |  FROM (${docShingleHashes(K)}) GROUP BY doc_id),
            |banded AS (SELECT doc_id, unnest($bandExprs) AS band_key FROM sigs),
            |cands AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

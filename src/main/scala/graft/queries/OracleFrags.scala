@@ -41,17 +41,24 @@ object OracleFrags {
   /** 31-bit md5-based hash — mirrors functions.Hashing.h31. */
   def h31(expr: String): String = Hashing.sqlH31(expr)
 
-  /** MinHash signature columns sig_0..sig_{n-1} as SELECT items over an
-    * exploded (doc_id, shingle) relation. */
+  /** MinHash signature columns sig_0..sig_{n-1} as SELECT items over the
+    * hashed inverted-index relation (column `h` = 31-bit base hash). */
   def minhashAggs(nHashes: Int): String =
     Hashing.affineCoeffs(nHashes).zipWithIndex.map { case ((a, b), i) =>
-      s"min(${Hashing.sqlAffine(h31("shingle"), a, b)}) AS sig_$i"
+      s"min(${Hashing.sqlAffine("h", a, b)}) AS sig_$i"
     }.mkString(", ")
 
   /** The (doc_id, shingle) inverted index over documents. */
   def docShingles(k: Int): String =
     s"""SELECT doc_id, unnest(${shingles(toks, k)}) AS shingle
        |FROM documents""".stripMargin.replace("\n", " ")
+
+  /** Hash-keyed inverted index — mirrors ops.DedupOps.docShingleHashes
+    * (sh_h = 60-bit md5 hash, h = 31-bit fold for minhash). */
+  def docShingleHashes(k: Int): String =
+    s"""SELECT doc_id, ${Hashing.sqlMd5Long("shingle")} AS sh_h,
+       |${h31("shingle")} AS h FROM (${docShingles(k)})"""
+      .stripMargin.replace("\n", " ")
 
   /** Language scores + CASE-chain argmax — mirrors ops.TextOps.langId. */
   def langScores: String =

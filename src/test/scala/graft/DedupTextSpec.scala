@@ -101,6 +101,28 @@ class DedupTextSpec extends AnyFunSuite with SparkTestBase {
     assert(top == Seq(1L, 2L, 3L))
   }
 
+  test("native shingles equal the declarative higher-order formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    val texts = Seq("", "a", "a b", "a b c", "  a   b  c d  ",
+      "x y z x y z x y", "the quick brown fox").toDF("text")
+    val both = texts.select(
+      TextOps.shingles(col("text"), 3).as("slow"),
+      call_function("graft_shingles", col("text"), lit(3)).as("fast"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString)
+    }
+  }
+
+  test("native md5 hash equals the portable conv/substring formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    val samples = Seq("", "a", "the quick brown fox", "布朗狐狸跳过", "123!@#")
+      .toDF("s")
+    val both = samples.select(
+      graft.functions.Hashing.md5Long(col("s")).as("slow"),
+      call_function("graft_md5long60", col("s")).as("fast"))
+    both.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("multimodal decode stub is deterministic and shape-correct") {
     val meta = MultimodalOps.decodeMedia(MultimodalOps.asMediaTable(docs))
       .collect().map(m => m.media_id -> m).toMap
