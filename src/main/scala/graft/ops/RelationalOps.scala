@@ -81,6 +81,33 @@ object RelationalOps {
     orders.filter(col("o_orderstatus") === "O").select(col("o_custkey")).distinct()
       .except(orders.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct())
 
+  /** Skew-safe two-phase aggregation: salt the grouping key, partially
+    * aggregate per (key, salt), then finalize per key. Bit-identical to
+    * the direct aggregation when the partial is decimal-exact (sums /
+    * counts / min / max), which the shared oracle enforces. At 100 TB
+    * this is the standard defense when one key holds a large share of
+    * the rows and a single reducer would become the straggler. */
+  def saltedAgg(df: DataFrame, key: String, valueCol: String,
+                nSalts: Int): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    // any row→salt assignment is correct (the final phase re-merges);
+    // a row id spreads each hot key evenly across nSalts partial groups
+    val salted = df.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(nSalts.toLong)))
+    val partial = salted.groupBy(col(key), col("__salt"))
+      .agg(
+        sum(col(valueCol).cast(DecimalType(30, 6))).as("p_sum"),
+        count(lit(1)).as("p_n"),
+        min(col(valueCol)).as("p_min"),
+        max(col(valueCol)).as("p_max"))
+    partial.groupBy(col(key))
+      .agg(
+        sum(col("p_sum")).cast(DoubleType).as("sum_value"),
+        sum(col("p_n")).as("n_rows"),
+        min(col("p_min")).as("min_value"),
+        max(col("p_max")).as("max_value"))
+  }
+
   /** Scalar-function showcase (F-family): date parts, formatting, string
     * build — the reference's folder-name/date plumbing (`:15-32`) as
     * column expressions. */

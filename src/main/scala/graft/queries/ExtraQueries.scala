@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.ops.{Determinism, TickOps, TypedOhlc}
+import graft.ops.{AsOfOps, Determinism, RelationalOps, TickOps, TypedOhlc}
 import org.apache.spark.sql.functions._
 
 /** Remaining SURVEY.md §2 line items: union-all (A5/SO2), intersect,
@@ -109,6 +109,47 @@ object ExtraQueries {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag"),
       None),
+
+    // As-of join: last tick price at-or-before each hourly grid point —
+    // the canonical financial lookup, via the shuffle-once union-window
+    // composition. DuckDB's native ASOF JOIN is the oracle.
+    Q("asof_join_prices",
+      (s, dir) => {
+        val ticks = TickOps.normalizeEvents(Tables.events(s, dir))
+          .select(col("symbol"), col("event_ts"), col("price"))
+        val probes = TickOps.ohlcBars(
+            TickOps.normalizeEvents(Tables.events(s, dir)), "1 hour")
+          .select(col("symbol"), col("bar_start").as("event_ts"))
+        AsOfOps.asofJoin(ticks, probes, "symbol", "event_ts", "price")
+          .orderBy("symbol", "event_ts")
+      },
+      s"""WITH ticks AS (
+         |  SELECT replace(event_type, '.NSE', '') AS symbol, ts AS event_ts,
+         |  CAST(value AS DOUBLE) AS price FROM events),
+         |probes AS (
+         |  SELECT DISTINCT symbol,
+         |  make_timestamp((epoch_us(event_ts) // 3600000000) * 3600000000) AS event_ts
+         |  FROM ticks)
+         |SELECT p.symbol, p.event_ts, t.price AS asof_value,
+         |t.event_ts AS asof_ts
+         |FROM probes p ASOF JOIN ticks t
+         |ON p.symbol = t.symbol AND p.event_ts >= t.event_ts
+         |ORDER BY p.symbol, p.event_ts""".stripMargin.replace("\n", " ")),
+
+    // Skew-safe salted aggregation — must be bit-identical to the direct
+    // GROUP BY (decimal-exact partials), which this oracle computes.
+    Q("salted_agg_events",
+      (s, dir) => RelationalOps.saltedAgg(
+          TickOps.normalizeEvents(Tables.events(s, dir)),
+          "symbol", "price", nSalts = 16)
+        .orderBy("symbol"),
+      s"""SELECT replace(event_type, '.NSE', '') AS symbol,
+         |${Determinism.sqlExactSum("value")} AS sum_value,
+         |count(*) AS n_rows,
+         |min(CAST(value AS DOUBLE)) AS min_value,
+         |max(CAST(value AS DOUBLE)) AS max_value
+         |FROM events GROUP BY 1 ORDER BY symbol"""
+        .stripMargin.replace("\n", " ")),
 
     // U3: the typed-Aggregator twin of ohlc_daily — must match the same
     // oracle as the untyped min_by/max_by plan.

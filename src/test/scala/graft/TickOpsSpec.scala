@@ -108,6 +108,39 @@ class TickOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(typed.except(untyped).isEmpty && untyped.except(typed).isEmpty)
   }
 
+  test("as-of join picks the latest tick at-or-before each probe, per key") {
+    val ticks = Seq(
+      ("A", ts("2024-01-01 09:00:00"), 10.0),
+      ("A", ts("2024-01-01 09:30:00"), 11.0),
+      ("A", ts("2024-01-01 11:00:00"), 12.0),
+      ("B", ts("2024-01-01 10:15:00"), 99.0)
+    ).toDF("symbol", "event_ts", "price")
+    val probes = Seq(
+      ("A", ts("2024-01-01 08:00:00")), // before any tick → dropped
+      ("A", ts("2024-01-01 09:30:00")), // exactly at a tick → that tick
+      ("A", ts("2024-01-01 10:00:00")), // between ticks → 09:30 tick
+      ("B", ts("2024-01-01 12:00:00"))
+    ).toDF("symbol", "event_ts")
+    val out = ops.AsOfOps.asofJoin(ticks, probes, "symbol", "event_ts", "price")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString) ->
+        r.getAs[Double]("asof_value")).toMap
+    assert(out.size == 3)
+    assert(out(("A", "2024-01-01 09:30:00.0")) == 11.0)
+    assert(out(("A", "2024-01-01 10:00:00.0")) == 11.0)
+    assert(out(("B", "2024-01-01 12:00:00.0")) == 99.0)
+  }
+
+  test("salted aggregation equals the direct groupBy exactly") {
+    val df = crafted.select(col("symbol"), col("price"))
+    val salted = ops.RelationalOps.saltedAgg(df, "symbol", "price", 4)
+    val direct = df.groupBy(col("symbol")).agg(
+      ops.Determinism.exactSum(col("price")).as("sum_value"),
+      count(lit(1)).as("n_rows"),
+      min(col("price")).as("min_value"),
+      max(col("price")).as("max_value"))
+    assert(salted.except(direct).isEmpty && direct.except(salted).isEmpty)
+  }
+
   test("J2: missing keys = universe minus observed, subset of universe") {
     val universe = Seq("A", "B", "C", "D").toDF("sym")
     val observed = Seq("B", "D", "E").toDF("obs")
