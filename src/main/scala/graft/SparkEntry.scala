@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, ExtraQueries, PipelineQueries, RelationalQueries, SimilarityQueries, TextQueries, TickQueries}
+import graft.queries.{AnalyticsQueries, DedupQueries, ExtraQueries, PipelineQueries, RelationalQueries, SimilarityQueries, TextQueries, TickQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
     DedupQueries.all ++
     SimilarityQueries.all ++
     PipelineQueries.all ++
-    ExtraQueries.all
+    ExtraQueries.all ++
+    AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Hourly OHLC bars over the normalized tick stream — the reference's

@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.ops.{SessionOps, TickOps}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Financial/event analytics beyond the reference's literal surface:
+  * sessionization, volume-weighted bars, rolling-frame statistics.
+  */
+object AnalyticsQueries {
+
+  private val normalizedSql =
+    """SELECT replace(event_type, '.NSE', '') AS symbol, ts AS event_ts,
+      |CAST(value AS DOUBLE) AS price, user_id AS trader_id,
+      |CAST(json_extract_string(props, '$.k') AS DOUBLE) AS qty, event_id
+      |FROM events""".stripMargin.replace("\n", " ")
+
+  val all: Seq[Q] = Seq(
+
+    // Gap-based sessionization (30-minute gap) — lag → flag → running
+    // sum → group; the batch twin of the stateful streaming operator.
+    Q("sessionize_events",
+      (s, dir) => SessionOps.sessionize(Tables.events(s, dir), 30)
+        .orderBy("user_id", "session_seq"),
+      """SELECT user_id, session_seq,
+        |min(ts) AS session_start, max(ts) AS session_end,
+        |count(*) AS n_events
+        |FROM (
+        |  SELECT user_id, ts,
+        |  CAST(SUM(CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |    THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |    lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |    FROM events))
+        |GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin.replace("\n", " ")),
+
+    // Volume-weighted average price per hourly bar (decimal-exact
+    // weighted sum; null when the bar trades zero volume).
+    Q("vwap_hourly",
+      (s, dir) => {
+        val t = TickOps.normalizeEvents(Tables.events(s, dir))
+        t.groupBy(window(col("event_ts"), "1 hour").as("w"), col("symbol"))
+          .agg(
+            (sum((col("price") * col("qty")).cast("decimal(30,6)")).cast("double") /
+              nullif(sum(col("qty").cast("decimal(30,6)")).cast("double"), lit(0.0)))
+              .as("vwap"),
+            sum(col("qty").cast("decimal(30,6)")).cast("double").as("volume"),
+            count(lit(1)).as("n_ticks"))
+          .select(col("w.start").as("bar_start"), col("symbol"),
+            col("vwap"), col("volume"), col("n_ticks"))
+          .orderBy("bar_start", "symbol")
+      },
+      s"""SELECT make_timestamp((epoch_us(event_ts) // 3600000000) * 3600000000) AS bar_start,
+         |symbol,
+         |CAST(SUM(CAST(price * qty AS DECIMAL(30,6))) AS DOUBLE)
+         |  / nullif(CAST(SUM(CAST(qty AS DECIMAL(30,6))) AS DOUBLE), 0.0) AS vwap,
+         |CAST(SUM(CAST(qty AS DECIMAL(30,6))) AS DOUBLE) AS volume,
+         |count(*) AS n_ticks
+         |FROM ($normalizedSql) GROUP BY 1, 2
+         |ORDER BY bar_start, symbol""".stripMargin.replace("\n", " ")),
+
+    // Rolling 10-tick statistics per symbol: decimal-exact rolling mean
+    // (association-free, so Spark's running frame and DuckDB's segment
+    // tree agree), rolling extrema, lead/lag neighbors.
+    Q("rolling_price_stats",
+      (s, dir) => {
+        val t = TickOps.normalizeEvents(Tables.events(s, dir))
+        val w = Window.partitionBy(col("symbol"))
+          .orderBy(col("event_ts").asc, col("event_id").asc)
+        val f = w.rowsBetween(-9, 0)
+        t.select(
+            col("symbol"), col("event_ts"), col("event_id"), col("price"),
+            (sum(col("price").cast("decimal(30,6)")).over(f).cast("double") /
+              count(lit(1)).over(f)).as("roll_avg_10"),
+            min(col("price")).over(f).as("roll_min_10"),
+            max(col("price")).over(f).as("roll_max_10"),
+            lag(col("price"), 1).over(w).as("prev_price"),
+            lead(col("price"), 1).over(w).as("next_price"))
+          .orderBy("symbol", "event_ts", "event_id")
+      },
+      s"""SELECT symbol, event_ts, event_id, price,
+         |CAST(SUM(CAST(price AS DECIMAL(30,6))) OVER f AS DOUBLE)
+         |  / (COUNT(*) OVER f) AS roll_avg_10,
+         |MIN(price) OVER f AS roll_min_10,
+         |MAX(price) OVER f AS roll_max_10,
+         |LAG(price, 1) OVER w AS prev_price,
+         |LEAD(price, 1) OVER w AS next_price
+         |FROM ($normalizedSql)
+         |WINDOW w AS (PARTITION BY symbol ORDER BY event_ts, event_id),
+         |f AS (PARTITION BY symbol ORDER BY event_ts, event_id
+         |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         |ORDER BY symbol, event_ts, event_id""".stripMargin.replace("\n", " "))
+  )
+}

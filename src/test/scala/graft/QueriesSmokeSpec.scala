@@ -47,6 +47,25 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkTestBase {
     assert(r.hourlyBars > 0L && r.reconcileRows > 0L)
   }
 
+  test("streaming stateful sessionization: closed sessions equal batch minus open tails") {
+    import org.apache.spark.sql.functions._
+    val closed = graft.ops.SessionOps
+      .sessionizeStreamAvailableNow(spark, sf, 30, "smoke_sessions")
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+    val batch = graft.ops.SessionOps.sessionize(Tables.events(spark, sf), 30)
+    // a user's LAST session is still open in the stream (no event-time
+    // timeout fired) — everything before it must match exactly
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("session_seq").desc)
+    val batchClosed = batch
+      .withColumn("rn", row_number().over(w)).filter(col("rn") > 1)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"), col("n_events"))
+    assert(closed.count() > 0)
+    assert(closed.except(batchClosed).isEmpty && batchClosed.except(closed).isEmpty)
+  }
+
   test("every oracled query has matching column conventions") {
     // oracle keys ⊆ query keys; no oracle without a query
     val qnames = SparkEntry.queries.keySet
