@@ -40,4 +40,27 @@ object AsOfOps {
       .filter(col("__side") === 1 && col("asof_value").isNotNull)
       .select(col(key), col(ts), col("asof_value"), col("asof_ts"))
   }
+
+  /** The same as-of join through graft's custom whole-operator plan
+    * (graft.plans.AsOfJoinNode → AsOfJoinExec): hash-cluster + in-
+    * partition sort on both sides (planner-inserted, like SMJ), then a
+    * linear per-partition merge. Registered as a runtime extra strategy
+    * so it works under any driver-created session. */
+  def asofJoinNative(ticks: DataFrame, probes: DataFrame,
+                     key: String, ts: String, value: String): DataFrame = {
+    val spark = ticks.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val pPlan = probes.queryExecution.analyzed
+    val tPlan = ticks.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val node = graft.plans.AsOfJoinNode(pPlan, tPlan,
+      attr(pPlan, key), attr(pPlan, ts),
+      attr(tPlan, key), attr(tPlan, ts), attr(tPlan, value))
+    org.apache.spark.sql.GraftPlanBridge.ofRows(spark, node)
+  }
 }

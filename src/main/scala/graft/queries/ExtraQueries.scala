@@ -136,6 +136,32 @@ object ExtraQueries {
          |ON p.symbol = t.symbol AND p.event_ts >= t.event_ts
          |ORDER BY p.symbol, p.event_ts""".stripMargin.replace("\n", " ")),
 
+    // The same as-of join through the custom whole-operator plan
+    // (LogicalPlan + Strategy + physical merge exec) — one hash-cluster
+    // exchange per side + linear merge, verified by the same oracle.
+    Q("asof_join_native",
+      (s, dir) => {
+        val ticks = TickOps.normalizeEvents(Tables.events(s, dir))
+          .select(col("symbol"), col("event_ts"), col("price"))
+        val probes = TickOps.ohlcBars(
+            TickOps.normalizeEvents(Tables.events(s, dir)), "1 hour")
+          .select(col("symbol"), col("bar_start").as("event_ts"))
+        AsOfOps.asofJoinNative(ticks, probes, "symbol", "event_ts", "price")
+          .orderBy("symbol", "event_ts")
+      },
+      s"""WITH ticks AS (
+         |  SELECT replace(event_type, '.NSE', '') AS symbol, ts AS event_ts,
+         |  CAST(value AS DOUBLE) AS price FROM events),
+         |probes AS (
+         |  SELECT DISTINCT symbol,
+         |  make_timestamp((epoch_us(event_ts) // 3600000000) * 3600000000) AS event_ts
+         |  FROM ticks)
+         |SELECT p.symbol, p.event_ts, t.price AS asof_value,
+         |t.event_ts AS asof_ts
+         |FROM probes p ASOF JOIN ticks t
+         |ON p.symbol = t.symbol AND p.event_ts >= t.event_ts
+         |ORDER BY p.symbol, p.event_ts""".stripMargin.replace("\n", " ")),
+
     // Skew-safe salted aggregation — must be bit-identical to the direct
     // GROUP BY (decimal-exact partials), which this oracle computes.
     Q("salted_agg_events",

@@ -130,6 +130,28 @@ class TickOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(("B", "2024-01-01 12:00:00.0")) == 99.0)
   }
 
+  test("native as-of exec equals the composed union-window form") {
+    val ticks = Seq(
+      ("A", ts("2024-01-01 09:00:00"), 10.0),
+      ("A", ts("2024-01-01 09:30:00"), 11.0),
+      ("A", ts("2024-01-01 11:00:00"), 12.0),
+      ("B", ts("2024-01-01 10:15:00"), 99.0),
+      ("C", ts("2024-01-01 01:00:00"), 5.0)
+    ).toDF("symbol", "event_ts", "price")
+    val probes = Seq(
+      ("A", ts("2024-01-01 08:00:00")),
+      ("A", ts("2024-01-01 09:30:00")),
+      ("A", ts("2024-01-01 10:00:00")),
+      ("A", ts("2024-01-01 23:00:00")),
+      ("B", ts("2024-01-01 12:00:00")),
+      ("Z", ts("2024-01-01 12:00:00")) // key with no ticks at all
+    ).toDF("symbol", "event_ts")
+    val composed = ops.AsOfOps.asofJoin(ticks, probes, "symbol", "event_ts", "price")
+    val native = ops.AsOfOps.asofJoinNative(ticks, probes, "symbol", "event_ts", "price")
+    assert(native.count() == 4) // A@08:00 (no prior tick) and Z (no ticks) drop
+    assert(native.except(composed).isEmpty && composed.except(native).isEmpty)
+  }
+
   test("salted aggregation equals the direct groupBy exactly") {
     val df = crafted.select(col("symbol"), col("price"))
     val salted = ops.RelationalOps.saltedAgg(df, "symbol", "price", 4)
