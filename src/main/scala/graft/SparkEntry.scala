@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, DedupQueries, ExtraQueries, PipelineQueries, RelationalQueries, SimilarityQueries, TextQueries, TickQueries}
+import graft.queries.{AnalyticsQueries, DedupQueries, ExtraQueries, PipelineQueries, RelationalQueries, SimilarityQueries, SourceQueries, TextQueries, TickQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,8 @@ object SparkEntry {
     SimilarityQueries.all ++
     PipelineQueries.all ++
     ExtraQueries.all ++
-    AnalyticsQueries.all
+    AnalyticsQueries.all ++
+    SourceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Hourly OHLC bars over the normalized tick stream — the reference's
