@@ -75,7 +75,8 @@ object GraftFunctions {
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => ArrayDotProduct(es.head, es(1))),
     "graft_md5long60" -> (es => Md5Long60(es.head)),
-    "graft_shingles" -> (es => Shingles.fromArgs(es)))
+    "graft_shingles" -> (es => Shingles.fromArgs(es)),
+    "graft_minhash" -> (es => MinHashAgg.fromArgs(es)))
 
   /** Idempotent per-session registration (works under any driver-created
     * session — same pattern as Tables.events' runtime conf). */

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.ops.{SessionOps, TickOps}
+import graft.ops.{RangeJoinOps, SessionOps, TickOps}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -64,6 +64,64 @@ object AnalyticsQueries {
          |count(*) AS n_ticks
          |FROM ($normalizedSql) GROUP BY 1, 2
          |ORDER BY bar_start, symbol""".stripMargin.replace("\n", " ")),
+
+    // Bucketed range join: every event joined to its containing session
+    // interval via bucket-explode + equi-join + exact containment filter
+    // (no nested-loop theta join). Self-validating: sessions partition a
+    // user's events, so every event matches exactly one interval.
+    Q("range_join_sessions",
+      (s, dir) => {
+        val sessions = SessionOps.sessionize(Tables.events(s, dir), 30)
+        val points = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"))
+        RangeJoinOps.pointInInterval(points, sessions,
+            "user_id", "ts", "session_start", "session_end")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("session_seq"), col("n_events"))
+          .orderBy("user_id", "event_id")
+      },
+      """WITH sessions AS (
+        |SELECT user_id, session_seq,
+        |min(ts) AS session_start, max(ts) AS session_end,
+        |count(*) AS n_events
+        |FROM (
+        |  SELECT user_id, ts,
+        |  CAST(SUM(CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |    THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |    lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |    FROM events))
+        |GROUP BY user_id, session_seq)
+        |SELECT e.user_id, e.event_id, e.ts, s.session_seq, s.n_events
+        |FROM events e JOIN sessions s
+        |ON e.user_id = s.user_id
+        |AND e.ts >= s.session_start AND e.ts <= s.session_end
+        |ORDER BY e.user_id, e.event_id""".stripMargin.replace("\n", " ")),
+
+    // Exact per-symbol quantiles (the approx twin is the HLL-style scale
+    // path; exact interpolation is cross-engine comparable at 6 dp).
+    Q("price_quantiles",
+      (s, dir) => {
+        val t = TickOps.normalizeEvents(Tables.events(s, dir))
+        t.groupBy(col("symbol"))
+          .agg(
+            round(expr("percentile(price, 0.25)"), 6).as("p25"),
+            round(expr("percentile(price, 0.5)"), 6).as("p50"),
+            round(expr("percentile(price, 0.95)"), 6).as("p95"),
+            count(lit(1)).as("n"))
+          .orderBy("symbol")
+      },
+      s"""SELECT symbol,
+         |round(quantile_cont(price, 0.25), 6) AS p25,
+         |round(quantile_cont(price, 0.5), 6) AS p50,
+         |round(quantile_cont(price, 0.95), 6) AS p95,
+         |count(*) AS n
+         |FROM ($normalizedSql) GROUP BY symbol
+         |ORDER BY symbol""".stripMargin.replace("\n", " ")),
 
     // Rolling 10-tick statistics per symbol: decimal-exact rolling mean
     // (association-free, so Spark's running frame and DuckDB's segment

@@ -84,6 +84,25 @@ object DedupQueries {
            |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
       }),
 
+    // The same MinHash signatures through the single-buffer
+    // TypedImperativeAggregate (graft_minhash) — one long[16] buffer per
+    // group instead of 16 min aggregates; identical oracle.
+    Q("minhash_signatures_agg",
+      (s, dir) => {
+        val base = DedupOps.docShingleHashes(Tables.documents(s, dir), K)
+          .select(col("doc_id"),
+            (col("sh_h") % graft.functions.Hashing.Mersenne31).as("h"))
+        val sig = base.groupBy(col("doc_id"))
+          .agg(call_function("graft_minhash", col("h"), lit(NH)).as("sig"))
+        sig.select(
+            (col("doc_id") +: (0 until NH).map(i =>
+              col("sig").getItem(i).as(s"sig_$i"))): _*)
+          .orderBy("doc_id")
+      },
+      s"""SELECT doc_id, ${minhashAggs(NH)}
+         |FROM (${docShingleHashes(K)}) GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
     // SimHash 32-bit signatures (per-token bit votes packed into a long).
     Q("dedup_simhash",
       (s, dir) => DedupOps.simhash(Tables.documents(s, dir), 32)
