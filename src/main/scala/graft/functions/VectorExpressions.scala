@@ -88,11 +88,26 @@ object GraftFunctions {
 }
 
 /** SparkSessionExtensions hook: `--conf
-  * spark.sql.extensions=graft.functions.GraftExtensions`. */
+  * spark.sql.extensions=graft.functions.GraftExtensions` gives a session
+  * every graft function plus the custom as-of join strategy. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
       (es: Seq[Expression]) => ArrayDotProduct(es.head, es(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_md5long60"),
+      new ExpressionInfo(classOf[Md5Long60].getName, "graft_md5long60"),
+      (es: Seq[Expression]) => Md5Long60(es.head)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+      (es: Seq[Expression]) => Shingles.fromArgs(es)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
+      (es: Seq[Expression]) => MinHashAgg.fromArgs(es)))
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }

@@ -36,4 +36,32 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS ticks_bucketed")
     spark.sql("DROP TABLE IF EXISTS daily_bucketed")
   }
+
+  test("warehouse DDL is idempotent and appends accumulate (S8/S9)") {
+    // CREATE TABLE IF NOT EXISTS twice — second is a no-op, like the
+    // reference's retried DDL (data_platform_final.py:188-212)
+    spark.sql("DROP TABLE IF EXISTS graft_wh")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft_wh (symbol STRING, price DOUBLE) USING parquet")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft_wh (symbol STRING, price DOUBLE) USING parquet")
+    val t = ops.TickOps.normalizeEvents(
+        Tables.events(spark, "/root/testdata/sf0.001"))
+      .select("symbol", "price")
+    // transactional batch append (S8): two appends accumulate exactly
+    t.write.mode("append").saveAsTable("graft_wh")
+    t.write.mode("append").saveAsTable("graft_wh")
+    assert(spark.table("graft_wh").count() == 2 * t.count())
+    spark.sql("DROP TABLE IF EXISTS graft_wh")
+  }
+
+  test("graft functions are SQL-callable after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_md5long60('hello') AS h, " +
+        "graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "graft_shingles('a b c d', 3) AS sh")
+      .collect().head
+    assert(r.getLong(0) > 0)
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getSeq[String](2) == Seq("a b c", "b c d"))
+  }
 }
