@@ -49,7 +49,10 @@ object Pipeline {
     val csvBack = spark.read.option("header", "true")
       .schema(tickCsvSchema).csv(s"$workDir/export/ticks_csv")
 
-    // E2: quality checks off one cached scan (three report branches)
+    // E2: quality checks — three report branches off ONE cached scan
+    // (the reference re-reads the raw files per check; here the warehouse
+    // scan is shared and cached across the QC branches)
+    warehouse.cache()
     val qcCols = Seq("price", "qty", "trader_id")
     val invalid = TickOps.invalidRows(warehouse, qcCols)
     // reference universe = observed symbols + a planted absent one, so the
@@ -75,7 +78,7 @@ object Pipeline {
     hourly.write.mode(SaveMode.Overwrite)
       .parquet(s"$workDir/warehouse/hourly_ohlc")
 
-    Result(
+    val result = Result(
       warehouseRows = warehouse.count(),
       csvRoundtripRows = csvBack.count(),
       invalidRows = invalid.count(),
@@ -83,6 +86,8 @@ object Pipeline {
       reconcileRows = recon.count(),
       hourlyBars = spark.read.parquet(s"$workDir/warehouse/hourly_ohlc").count(),
       partitions = warehouse.select("trade_date").distinct().count())
+    warehouse.unpersist()
+    result
   }
 
   /** The pipeline result as a one-row DataFrame (driver-contract shape). */

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.{QualityOps, TickOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality assertions: lock in the physical properties the 100 TB
+  * design depends on, so a refactor that silently adds a shuffle or
+  * loses a broadcast/pushdown fails CI, not production.
+  */
+class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save() // finalize AQE plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("OHLC bars = exactly one hash exchange (map-side partial agg)") {
+    val bars = TickOps.ohlcBars(
+      TickOps.normalizeEvents(Tables.events(spark, sf)), "1 hour")
+    val plan = executedPlan(bars)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n$plan")
+    assert(plan.contains("partial_min_by") || plan.contains("HashAggregate"),
+      "expected partial aggregation before the exchange")
+  }
+
+  test("reconciliation joins broadcast the small official side") {
+    val t = TickOps.normalizeEvents(Tables.events(spark, sf))
+    val daily = TickOps.dailyOhlc(t)
+    val recon = QualityOps.reconcile(daily, daily, Seq("trade_date", "symbol"))
+    val plan = executedPlan(recon)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("filters and projections reach the parquet scan") {
+    val df = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,100)]"),
+      s"expected pushed filter:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"expected pruned read schema:\n$plan")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, never a full global sort") {
+    val top = ops.RelationalOps.topCustomers(
+      Tables.orders(spark, sf), Tables.customer(spark, sf), 10)
+    val plan = executedPlan(top)
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+  }
+
+  test("whole-stage codegen covers the normalize pipeline") {
+    val t = TickOps.normalizeEvents(Tables.events(spark, sf))
+    val plan = executedPlan(t)
+    // codegen'd stages print as "*(n) Operator" in the plan string
+    assert(plan.contains("*(1)"), s"expected codegen span:\n$plan")
+  }
+}
