@@ -76,9 +76,12 @@ object SimilarityQueries {
          |FROM ranked WHERE rnk <= $K
          |ORDER BY query_id, rnk""".stripMargin.replace("\n", " ")),
 
-    // Embedding near-dup screen: all pairs above a cosine threshold.
+    // Embedding near-dup screen: all pairs above a cosine threshold —
+    // via the broadcast block kernel (row materialization of n² vector
+    // pairs dominates the declarative self-join; see SimilarityKernel).
     Q("dedup_embedding_cosine",
-      (s, dir) => SimilarityOps.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)
+      (s, dir) => graft.ops.SimilarityKernel
+        .cosineNearDupPairsKernel(Tables.embeddings(s, dir), 0.4)
         .orderBy("vec_a", "vec_b"),
       s"""WITH corpus AS ($normCorpus)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

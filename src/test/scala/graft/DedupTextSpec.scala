@@ -91,6 +91,15 @@ class DedupTextSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs((1L, 3L)) == 0.0)
   }
 
+  test("block kernel equals the declarative pairwise cosine exactly") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val declarative = SimilarityOps.cosineNearDupPairs(e, 0.3)
+    val kernel = graft.ops.SimilarityKernel.cosineNearDupPairsKernel(e, 0.3)
+    assert(kernel.count() > 0)
+    assert(kernel.except(declarative).isEmpty &&
+      declarative.except(kernel).isEmpty)
+  }
+
   test("brute-force top-k ranks by similarity with id tiebreak") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
