@@ -66,6 +66,21 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkTestBase {
     assert(closed.except(batchClosed).isEmpty && batchClosed.except(closed).isEmpty)
   }
 
+  test("streaming foreachBatch QC sinks mirror the batch reports") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_stream_qc").toString
+    val (_, summaryDir) = graft.streaming.StreamingQc
+      .runAvailableNow(spark, sf, work)
+    val summary = spark.read.parquet(summaryDir)
+      .groupBy(col("symbol"))
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("n_invalid")).as("n_invalid"))
+    val batch = graft.ops.QualityOps.invalidSummary(
+      graft.ops.TickOps.normalizeEvents(Tables.events(spark, sf)),
+      Seq("price", "qty", "trader_id"), "symbol")
+    assert(summary.except(batch).isEmpty && batch.except(summary).isEmpty)
+  }
+
   test("every oracled query has matching column conventions") {
     // oracle keys ⊆ query keys; no oracle without a query
     val qnames = SparkEntry.queries.keySet
