@@ -128,6 +128,47 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-dup pair set: iterative min-label
+    * propagation (the Pregel/large-star pattern — each round, every node
+    * adopts the minimum label in its neighborhood; converges in
+    * O(component diameter) rounds, which for dedup graphs is tiny).
+    * The driver loop is control flow only — each iteration is a
+    * distributed join+aggregate; at 100 TB this is exactly how
+    * connected-components runs on any cluster framework.
+    *
+    * @param pairs (doc_a, doc_b) undirected near-dup evidence
+    * @return (doc_id, cluster_id = min doc_id of the component) for every
+    *         doc appearing in a pair */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster_id")).as("neighbor_min"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      converged = next.as("n")
+        .join(labels.as("o"), Seq("id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
   /** SimHash (nBits ≤ 32): per-token 31-bit hashes vote per bit position;
     * bit j of the signature is the sign of the vote sum. One explode +
     * one aggregate; the signature packs into a single long. */

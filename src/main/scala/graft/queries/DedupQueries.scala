@@ -103,6 +103,16 @@ object DedupQueries {
          |FROM (${docShingleHashes(K)}) GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
+    // Duplicate clusters: connected components over the n-gram near-dup
+    // pairs (min-label propagation; recursive-CTE closure as the oracle).
+    Q("dedup_clusters",
+      (s, dir) => DedupOps.dupClusters(
+          DedupOps.ngramJaccardPairs(Tables.documents(s, dir), K, TH))
+        .orderBy("doc_id"),
+      s"""${dupClustersWith(K, TH)}
+         |SELECT doc_id, cluster_id FROM clusters
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
     // SimHash 32-bit signatures (per-token bit votes packed into a long).
     Q("dedup_simhash",
       (s, dir) => DedupOps.simhash(Tables.documents(s, dir), 32)

@@ -60,6 +60,56 @@ object OracleFrags {
        |${h31("shingle")} AS h FROM (${docShingles(k)})"""
       .stripMargin.replace("\n", " ")
 
+  /** Full quality-score relation — mirrors ops.TextOps.qualityScore. */
+  val qualityScoreSql: String = {
+    val stop = stopwordHits("toks", TextOps.StopwordSets.head._2)
+    val punct = "round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / CAST(length(text) AS DOUBLE), 6)"
+    val stopRatio = s"round($stop / CAST(len(toks) AS DOUBLE), 6)"
+    s"""SELECT doc_id, lang,
+       |CAST(length(text) AS DOUBLE) AS n_chars_m,
+       |CAST(len(toks) AS DOUBLE) AS n_tokens,
+       |$punct AS punct_ratio,
+       |$stopRatio AS stopword_ratio,
+       |round(list_sum(list_transform(toks, t -> CAST(len(t) AS BIGINT))) / CAST(len(toks) AS DOUBLE), 6) AS mean_token_len,
+       |round(least(len(toks)::DOUBLE / 100.0, 1.0) * 0.5
+       | + $stopRatio * 0.3
+       | + (1.0 - $punct) * 0.2, 6) AS quality_score
+       |FROM (SELECT doc_id, lang, text, $toks AS toks FROM documents)"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  /** N-gram-Jaccard near-dup pair relation (doc_a, doc_b) — mirrors
+    * ops.DedupOps.ngramJaccardPairs at threshold `th`. */
+  def jaccardPairsSql(k: Int, th: Double): String =
+    s"""SELECT doc_a, doc_b FROM (
+       |WITH ds AS (${docShingleHashes(k)}),
+       |sizes AS (SELECT doc_id, CAST(len(${shingles(toks, k)}) AS BIGINT) AS n_sh FROM documents),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM ds a JOIN ds b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b
+       |FROM common
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) >= $th)"""
+      .stripMargin.replace("\n", " ")
+
+  /** Recursive-closure connected components over the near-dup pairs —
+    * mirrors ops.DedupOps.dupClusters. Must be used as the whole WITH
+    * preamble of a statement (WITH RECURSIVE ... clusters AS (...)). */
+  def dupClustersWith(k: Int, th: Double): String =
+    s"""WITH RECURSIVE pairs AS (${jaccardPairsSql(k, th)}),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |clusters AS (
+       |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+       |  FROM reach GROUP BY a)""".stripMargin.replace("\n", " ")
+
   /** Language scores + CASE-chain argmax — mirrors ops.TextOps.langId. */
   def langScores: String =
     TextOps.StopwordSets.map { case (l, ws) =>

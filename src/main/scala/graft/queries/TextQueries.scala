@@ -47,17 +47,31 @@ object TextQueries {
     Q("text_quality",
       (s, dir) => TextOps.qualityScore(Tables.documents(s, dir))
         .orderBy("doc_id"),
-      s"""SELECT doc_id, lang,
-         |CAST(length(text) AS DOUBLE) AS n_chars_m,
-         |CAST(len(toks) AS DOUBLE) AS n_tokens,
-         |round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
-         |round(${stopwordHits("toks", TextOps.StopwordSets.head._2)} / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
-         |round(list_sum(list_transform(toks, t -> CAST(len(t) AS BIGINT))) / CAST(len(toks) AS DOUBLE), 6) AS mean_token_len,
-         |round(least(len(toks)::DOUBLE / 100.0, 1.0) * 0.5
-         | + round(${stopwordHits("toks", TextOps.StopwordSets.head._2)} / CAST(len(toks) AS DOUBLE), 6) * 0.3
-         | + (1.0 - round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / CAST(length(text) AS DOUBLE), 6)) * 0.2, 6) AS quality_score
-         |FROM (SELECT doc_id, lang, text, $toks AS toks FROM documents)
-         |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      s"SELECT * FROM ($qualityScoreSql) ORDER BY doc_id"),
+
+    // End-to-end corpus selection: the training-data filter a real
+    // pipeline runs — drop near-dup non-representatives (connected-
+    // component cluster heads survive), then quality/length gates.
+    Q("corpus_select",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val quality = TextOps.qualityScore(docs)
+        val clusters = graft.ops.DedupOps.dupClusters(
+          graft.ops.DedupOps.ngramJaccardPairs(docs, 3, 0.5))
+        quality.join(clusters, Seq("doc_id"), "left")
+          .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+          .filter(col("quality_score") >= 0.5 && col("n_tokens") >= 20)
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            col("quality_score"))
+          .orderBy("doc_id")
+      },
+      s"""${OracleFrags.dupClustersWith(3, 0.5)}
+         |SELECT q.doc_id, q.lang, q.n_tokens, q.quality_score
+         |FROM ($qualityScoreSql) q
+         |LEFT JOIN clusters c ON q.doc_id = c.doc_id
+         |WHERE (c.cluster_id IS NULL OR c.cluster_id = q.doc_id)
+         |AND q.quality_score >= 0.5 AND q.n_tokens >= 20
+         |ORDER BY q.doc_id""".stripMargin.replace("\n", " ")),
 
     // Document fingerprinting: min/max/count over the shingle-hash set.
     Q("doc_fingerprint",

@@ -55,6 +55,14 @@ class DedupTextSpec extends AnyFunSuite with SparkTestBase {
     assert(java.lang.Long.bitCount(s(0L) ^ s(4L)) > 0)
   }
 
+  test("dup clusters: chains collapse to one component with min representative") {
+    // chain 1-2-3 plus isolated pair 7-9: transitivity must hold
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val clusters = DedupOps.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("langId scores stopwords and argmax picks the dominant language") {
     val out = TextOps.langId(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
