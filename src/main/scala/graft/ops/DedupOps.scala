@@ -152,11 +152,13 @@ object DedupOps {
         .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster_id")).as("neighbor_min"))
+      // localCheckpoint truncates lineage — without it the plan doubles
+      // every round and optimizer time dominates on long chains
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
             .as("cluster_id"))
-        .cache()
+        .localCheckpoint()
       converged = next.as("n")
         .join(labels.as("o"), Seq("id"))
         .filter(col("n.cluster_id") =!= col("o.cluster_id"))

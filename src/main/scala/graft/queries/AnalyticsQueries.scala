@@ -123,6 +123,83 @@ object AnalyticsQueries {
          |FROM ($normalizedSql) GROUP BY symbol
          |ORDER BY symbol""".stripMargin.replace("\n", " ")),
 
+    // from_json: schema'd JSON parsing into a struct column (the props
+    // payload as typed data, not string probing).
+    Q("json_struct_parse",
+      (s, dir) => {
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))
+        Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"),
+            from_json(col("props"), schema).as("p"))
+          .select(col("event_id"), col("event_type"), col("p.k").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, count(*) AS n,
+        |CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin.replace("\n", " ")),
+
+    // Pivot API: per-day event counts fanned into one column per type
+    // (the A3 conditional-agg pivot through the first-class relational op).
+    Q("pivot_daily_counts",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("d"),
+      """SELECT CAST(ts AS DATE) AS d,
+        |CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY d""".stripMargin.replace("\n", " ")),
+
+    // Gap-filled hourly bars: dense per-symbol hourly grid (sequence
+    // explode), bars left-joined on, close forward-filled — the standard
+    // time-series resample/ffill, one window pass.
+    Q("ohlc_gapfill",
+      (s, dir) => {
+        val bars = TickOps.ohlcBars(
+          TickOps.normalizeEvents(Tables.events(s, dir)), "1 hour")
+        val bounds = bars.groupBy(col("symbol"))
+          .agg(min(col("bar_start")).as("t0"), max(col("bar_start")).as("t1"))
+        val grid = bounds.select(col("symbol"),
+          explode(sequence(col("t0"), col("t1"),
+            expr("INTERVAL 1 HOUR"))).as("bar_start"))
+        val w = Window.partitionBy(col("symbol")).orderBy(col("bar_start"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        grid.join(bars, Seq("symbol", "bar_start"), "left")
+          .select(col("symbol"), col("bar_start"),
+            last(col("close"), ignoreNulls = true).over(w).as("close_ffill"),
+            col("n_ticks").isNotNull.as("traded"))
+          .orderBy("symbol", "bar_start")
+      },
+      s"""WITH bars AS (
+         |  SELECT make_timestamp((epoch_us(event_ts) // 3600000000) * 3600000000) AS bar_start,
+         |  symbol, arg_max(price, event_ts) AS close, count(*) AS n_ticks
+         |  FROM ($normalizedSql) GROUP BY 1, 2),
+         |bounds AS (SELECT symbol, min(bar_start) AS t0, max(bar_start) AS t1
+         |  FROM bars GROUP BY symbol),
+         |grid AS (SELECT symbol, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bar_start
+         |  FROM bounds)
+         |SELECT g.symbol, g.bar_start,
+         |last_value(b.close IGNORE NULLS) OVER (PARTITION BY g.symbol
+         |  ORDER BY g.bar_start ROWS UNBOUNDED PRECEDING) AS close_ffill,
+         |b.n_ticks IS NOT NULL AS traded
+         |FROM grid g LEFT JOIN bars b
+         |ON g.symbol = b.symbol AND g.bar_start = b.bar_start
+         |ORDER BY g.symbol, g.bar_start""".stripMargin.replace("\n", " ")),
+
     // Rolling 10-tick statistics per symbol: decimal-exact rolling mean
     // (association-free, so Spark's running frame and DuckDB's segment
     // tree agree), rolling extrema, lead/lag neighbors.
