@@ -152,13 +152,17 @@ object DedupOps {
         .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster_id")).as("neighbor_min"))
-      // localCheckpoint truncates lineage — without it the plan doubles
-      // every round and optimizer time dominates on long chains
+      // cache() gives deterministic per-round freeing (unpersist below)
+      // and keeps lineage recomputable on executor loss. Dedup graphs
+      // converge in a handful of rounds; for adversarially long chains,
+      // periodic RELIABLE checkpointing is the cluster-safe lineage
+      // truncation (localCheckpoint would make lost executors fatal and
+      // its blocks aren't freeable via Dataset.unpersist).
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint()
+        .cache()
       converged = next.as("n")
         .join(labels.as("o"), Seq("id"))
         .filter(col("n.cluster_id") =!= col("o.cluster_id"))

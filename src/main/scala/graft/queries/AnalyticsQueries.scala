@@ -131,9 +131,8 @@ object AnalyticsQueries {
           org.apache.spark.sql.types.StructField("k",
             org.apache.spark.sql.types.LongType)))
         Tables.events(s, dir)
-          .select(col("event_id"), col("event_type"),
-            from_json(col("props"), schema).as("p"))
-          .select(col("event_id"), col("event_type"), col("p.k").as("k"))
+          .select(col("event_type"), from_json(col("props"), schema).as("p"))
+          .select(col("event_type"), col("p.k").as("k"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(col("k")).as("sum_k"),
@@ -169,8 +168,11 @@ object AnalyticsQueries {
     // time-series resample/ffill, one window pass.
     Q("ohlc_gapfill",
       (s, dir) => {
+        // bars feeds both the bounds aggregation and the left join; Spark
+        // doesn't dedupe common subplans, so cache the (tiny, aggregated)
+        // relation instead of scanning+aggregating the ticks twice
         val bars = TickOps.ohlcBars(
-          TickOps.normalizeEvents(Tables.events(s, dir)), "1 hour")
+          TickOps.normalizeEvents(Tables.events(s, dir)), "1 hour").cache()
         val bounds = bars.groupBy(col("symbol"))
           .agg(min(col("bar_start")).as("t0"), max(col("bar_start")).as("t1"))
         val grid = bounds.select(col("symbol"),
