@@ -177,6 +177,25 @@ object ExtraQueries {
          |FROM events GROUP BY 1 ORDER BY symbol"""
         .stripMargin.replace("\n", " ")),
 
+    // SQL front-end surface: the hourly-OHLC capability driven entirely
+    // through spark.sql over a registered view — same plan, same oracle
+    // as the DataFrame form (the engine is API-complete across
+    // DataFrame / typed Dataset / SQL / streaming).
+    Q("sql_ohlc_hourly",
+      (s, dir) => {
+        TickOps.normalizeEvents(Tables.events(s, dir))
+          .createOrReplaceTempView("graft_ticks")
+        s.sql(
+          """SELECT window.start AS bar_start, symbol,
+            |min_by(price, event_ts) AS open, max(price) AS high,
+            |min(price) AS low, max_by(price, event_ts) AS close,
+            |count(1) AS n_ticks
+            |FROM graft_ticks
+            |GROUP BY window(event_ts, '1 hour'), symbol
+            |ORDER BY bar_start, symbol""".stripMargin)
+      },
+      TickQueries.hourlyOracleSql),
+
     // U3: the typed-Aggregator twin of ohlc_daily — must match the same
     // oracle as the untyped min_by/max_by plan.
     Q("ohlc_daily_typed",

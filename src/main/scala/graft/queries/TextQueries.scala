@@ -73,6 +73,62 @@ object TextQueries {
          |AND q.quality_score >= 0.5 AND q.n_tokens >= 20
          |ORDER BY q.doc_id""".stripMargin.replace("\n", " ")),
 
+    // Vocabulary statistics: exact top-k tokens by corpus frequency
+    // (ties broken by token) — the heavy-hitters screen.
+    Q("freq_tokens",
+      (s, dir) => Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20),
+      s"""SELECT token, count(*) AS n
+         |FROM (SELECT unnest($toks) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20"""
+        .stripMargin.replace("\n", " ")),
+
+    // TF-IDF: classic two-stage text scoring — term frequency per (doc,
+    // token) joined against document frequency; idf = ln(N/df). Top-3
+    // terms per document by (tfidf, token) for a bounded result.
+    Q("tfidf_top_terms",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val n = docs.count()
+        val tokens = docs.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        val tf = tokens.groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tokens.select(col("doc_id"), col("token")).distinct()
+          .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("token").asc)
+        tf.join(broadcast(df), Seq("token"))
+          .withColumn("tfidf",
+            round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("token"), col("tf").cast("long").as("tf"),
+            col("df").cast("long").as("df"), col("tfidf"),
+            col("rnk").cast("int").as("rnk"))
+          .orderBy("doc_id", "rnk")
+      },
+      s"""WITH tokens AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tokens GROUP BY 1, 2),
+         |df AS (SELECT token, count(*) AS df FROM
+         |  (SELECT DISTINCT doc_id, token FROM tokens) GROUP BY token),
+         |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         |  round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+         |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+         |ranked AS (SELECT *, row_number() OVER
+         |  (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rnk
+         |  FROM scored)
+         |SELECT doc_id, token, tf, df, tfidf, CAST(rnk AS INT) AS rnk
+         |FROM ranked WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin.replace("\n", " ")),
+
     // Document fingerprinting: min/max/count over the shingle-hash set.
     Q("doc_fingerprint",
       (s, dir) => TextOps.fingerprints(Tables.documents(s, dir), 3)
