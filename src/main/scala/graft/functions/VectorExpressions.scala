@@ -109,5 +109,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
       (es: Seq[Expression]) => MinHashAgg.fromArgs(es)))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
 }

@@ -52,6 +52,10 @@ object AsOfOps {
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.PushFilterThroughAsOfJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PushFilterThroughAsOfJoin
     val pPlan = probes.queryExecution.analyzed
     val tPlan = ticks.queryExecution.analyzed
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,

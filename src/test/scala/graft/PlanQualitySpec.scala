@@ -53,6 +53,30 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
   }
 
+  test("key filter pushes through the custom as-of node to both scans") {
+    val t = TickOps.normalizeEvents(Tables.events(spark, sf))
+      .select(col("symbol"), col("event_ts"), col("price"))
+    val probes = TickOps.ohlcBars(
+        TickOps.normalizeEvents(Tables.events(spark, sf)), "1 hour")
+      .select(col("symbol"), col("bar_start").as("event_ts"))
+    val joined = ops.AsOfOps.asofJoinNative(t, probes, "symbol", "event_ts", "price")
+    val filtered = joined.filter(col("symbol") === "click")
+    val optimized = filtered.queryExecution.optimizedPlan.toString
+    // the Filter must sit BELOW AsOfJoinNode after optimization
+    val nodeIdx = optimized.indexOf("AsOfJoinNode")
+    val filtIdx = optimized.indexOf("Filter (symbol")
+    assert(nodeIdx >= 0)
+    assert(!optimized.substring(0, math.max(nodeIdx, 0)).contains("= click"),
+      s"filter not pushed below the as-of node:\n$optimized")
+    assert(optimized.indexOf("= click", nodeIdx) > 0,
+      s"pushed filter missing under the node:\n$optimized")
+    // and results match the unpushed semantics
+    val expected = ops.AsOfOps.asofJoin(t, probes, "symbol", "event_ts", "price")
+      .filter(col("symbol") === "click")
+    assert(filtered.except(expected).isEmpty && expected.except(filtered).isEmpty)
+    assert(filtered.count() > 0)
+  }
+
   test("whole-stage codegen covers the normalize pipeline") {
     val t = TickOps.normalizeEvents(Tables.events(spark, sf))
     val plan = executedPlan(t)
