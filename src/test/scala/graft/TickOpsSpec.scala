@@ -163,6 +163,34 @@ class TickOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(salted.except(direct).isEmpty && direct.except(salted).isEmpty)
   }
 
+  test("gap-filled bars carry the previous close across silent hours") {
+    val q = SparkEntry.queries("ohlc_gapfill")
+    // crafted: symbol with ticks at 09:xx and 12:xx only → 10:00, 11:00
+    // are gap rows that must carry the 09:00 bar's close
+    val df = q(spark, "/root/testdata/sf0.001")
+    val row = df.filter(col("symbol") === "click").orderBy("bar_start").collect()
+    assert(row.nonEmpty)
+    // every row has a non-null forward-filled close and the traded flag
+    row.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("close_ffill")))
+    }
+    // gap rows exist at sf0.001 (sparse hours) and are marked untraded
+    assert(row.exists(r => !r.getAs[Boolean]("traded")))
+  }
+
+  test("tfidf ranks rarer terms above ubiquitous ones") {
+    val out = SparkEntry.queries("tfidf_top_terms")(spark, "/root/testdata/sf0.001")
+    val byDoc = out.collect().groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    byDoc.values.foreach { rows =>
+      assert(rows.length <= 3)
+      // within a doc, rank order must follow tfidf descending
+      val sorted = rows.sortBy(_.getAs[Int]("rnk"))
+      val scores = sorted.map(_.getAs[Double]("tfidf"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("J2: missing keys = universe minus observed, subset of universe") {
     val universe = Seq("A", "B", "C", "D").toDF("sym")
     val observed = Seq("B", "D", "E").toDF("obs")
