@@ -10,6 +10,8 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsQueries {
 
+  private val dailySqlLocal = TickQueries.dailySql
+
   private val normalizedSql =
     """SELECT replace(event_type, '.NSE', '') AS symbol, ts AS event_ts,
       |CAST(value AS DOUBLE) AS price, user_id AS trader_id,
@@ -122,6 +124,86 @@ object AnalyticsQueries {
          |count(*) AS n
          |FROM ($normalizedSql) GROUP BY symbol
          |ORDER BY symbol""".stripMargin.replace("\n", " ")),
+
+    // Daily return volatility per symbol: lag-based close-to-close
+    // returns, then sample stddev computed from decimal-exact moments
+    // (sum, sum-of-squares) so partial-agg order can't skew the float
+    // result — the variance-family discipline at any partition count.
+    Q("daily_volatility",
+      (s, dir) => {
+        val daily = TickOps.dailyOhlc(
+          TickOps.normalizeEvents(Tables.events(s, dir)))
+        val w = Window.partitionBy(col("symbol")).orderBy(col("trade_date"))
+        val rets = daily
+          .withColumn("prev_close", lag(col("close"), 1).over(w))
+          .filter(col("prev_close").isNotNull)
+          .withColumn("ret",
+            round((col("close") - col("prev_close")) / col("prev_close"), 9))
+        val sx = sum(col("ret").cast("decimal(30,12)")).cast("double")
+        val sxx = sum((col("ret") * col("ret")).cast("decimal(30,18)")).cast("double")
+        val n = count(lit(1))
+        rets.groupBy(col("symbol"))
+          .agg(
+            n.as("n_days"),
+            round(sx / n, 9).as("mean_ret"),
+            round(sqrt((sxx - sx * sx / n) / (n - lit(1))), 9).as("vol"))
+          .orderBy("symbol")
+      },
+      s"""WITH daily AS ($dailySqlLocal),
+         |rets AS (
+         |  SELECT symbol, round((close - prev_close) / prev_close, 9) AS ret
+         |  FROM (SELECT symbol, close,
+         |    lag(close, 1) OVER (PARTITION BY symbol ORDER BY trade_date) AS prev_close
+         |    FROM daily)
+         |  WHERE prev_close IS NOT NULL)
+         |SELECT symbol, count(*) AS n_days,
+         |round(CAST(SUM(CAST(ret AS DECIMAL(30,12))) AS DOUBLE) / count(*), 9) AS mean_ret,
+         |round(sqrt((CAST(SUM(CAST(ret * ret AS DECIMAL(30,18))) AS DOUBLE)
+         |  - CAST(SUM(CAST(ret AS DECIMAL(30,12))) AS DOUBLE)
+         |    * CAST(SUM(CAST(ret AS DECIMAL(30,12))) AS DOUBLE) / count(*))
+         |  / (count(*) - 1)), 9) AS vol
+         |FROM rets GROUP BY symbol
+         |ORDER BY symbol""".stripMargin.replace("\n", " ")),
+
+    // Pairwise Pearson correlation of symbols' daily closes (matched by
+    // date) — decimal-exact moment sums feed the closed-form estimator.
+    Q("symbol_correlation",
+      (s, dir) => {
+        val daily = TickOps.dailyOhlc(
+            TickOps.normalizeEvents(Tables.events(s, dir)))
+          .select(col("trade_date"), col("symbol"), col("close"))
+        val pairs = daily.as("a").join(daily.as("b"),
+            col("a.trade_date") === col("b.trade_date") &&
+              col("a.symbol") < col("b.symbol"))
+          .select(col("a.symbol").as("sym_a"), col("b.symbol").as("sym_b"),
+            col("a.close").as("x"), col("b.close").as("y"))
+        def d(c: org.apache.spark.sql.Column, s: Int) =
+          sum(c.cast(s"decimal(30,$s)")).cast("double")
+        val (sx, sy) = (d(col("x"), 6), d(col("y"), 6))
+        val (sxx, syy, sxy) = (d(col("x") * col("x"), 10),
+          d(col("y") * col("y"), 10), d(col("x") * col("y"), 10))
+        val n = count(lit(1))
+        pairs.groupBy(col("sym_a"), col("sym_b"))
+          .agg(n.as("n_days"),
+            round((n * sxy - sx * sy) /
+              sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("corr"))
+          .orderBy("sym_a", "sym_b")
+      },
+      s"""WITH daily AS ($dailySqlLocal),
+         |pairs AS (
+         |  SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+         |  a.close AS x, b.close AS y
+         |  FROM daily a JOIN daily b
+         |  ON a.trade_date = b.trade_date AND a.symbol < b.symbol)
+         |SELECT sym_a, sym_b, count(*) AS n_days,
+         |round((count(*) * CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE)
+         |  - CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) * CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE))
+         |/ sqrt((count(*) * CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE)
+         |    - CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) * CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE))
+         |  * (count(*) * CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE)
+         |    - CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) * CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE))), 6) AS corr
+         |FROM pairs GROUP BY sym_a, sym_b
+         |ORDER BY sym_a, sym_b""".stripMargin.replace("\n", " ")),
 
     // from_json: schema'd JSON parsing into a struct column (the props
     // payload as typed data, not string probing).
