@@ -143,8 +143,9 @@ object DedupOps {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
-    var labels = edges.select(col("src").as("id")).distinct()
+    var cached = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id")).cache()
+    var labels = cached
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -158,19 +159,30 @@ object DedupOps {
       // periodic RELIABLE checkpointing is the cluster-safe lineage
       // truncation (localCheckpoint would make lost executors fatal and
       // its blocks aren't freeable via Dataset.unpersist).
+      //
+      // The convergence test rides the label update itself: a `chg` flag
+      // is computed in the same projection and summed in ONE action that
+      // also materializes the cache — one job per round, not two.
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          when(col("neighbor_min") < col("cluster_id"), 1L).otherwise(0L)
+            .as("chg"))
         .cache()
-      converged = next.as("n")
-        .join(labels.as("o"), Seq("id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .isEmpty
-      labels.unpersist()
-      labels = next
+      val nChanged =
+        next.agg(coalesce(sum(col("chg")), lit(0L))).first().getLong(0)
+      converged = nChanged == 0L
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("id"), col("cluster_id"))
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dupClusters: min-label propagation did NOT converge after " +
+          s"$maxIters rounds — labels may span an unfinished component " +
+          s"(graph diameter > $maxIters); raise maxIters")
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("cluster_id"))
   }

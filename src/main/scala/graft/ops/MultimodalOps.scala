@@ -68,12 +68,21 @@ object MultimodalOps {
 
   /** Frame sampling stub: the payload split into fixed-stride chunks,
     * each "frame" summarized by its digest — exercises binary slicing and
-    * array-typed output from binary input (full chunks only). */
+    * per-frame row output from binary input (full chunks only). Emits one
+    * scalar row per frame `(media_id, n_bytes, frame_idx, digest)` rather
+    * than an array column, so downstream sinks/compares see flat columns;
+    * media shorter than one stride yields no rows (explode of empty). */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame =
-    media.select(
-      col("media_id"),
-      length(col("payload")).cast("long").as("n_bytes"),
-      expr(s"transform(sequence(1, int(length(payload) / $stride)), " +
-        s"i -> md5(substring(payload, (i - 1) * $stride + 1, $stride)))")
-        .as("frame_digests"))
+    media
+      .select(
+        col("media_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        posexplode(expr(
+          s"transform(sequence(1, int(length(payload) / $stride)), " +
+            s"i -> md5(substring(payload, (i - 1) * $stride + 1, $stride)))"))
+          .as(Seq("pos", "digest")))
+      .select(
+        col("media_id"), col("n_bytes"),
+        (col("pos") + 1).cast("int").as("frame_idx"),
+        col("digest"))
 }

@@ -47,7 +47,17 @@ object SessionOps {
                            n_events: Long)
 
   /** Streaming sessionization: emits CLOSED sessions; the open tail per
-    * user lives in GroupState across micro-batches. */
+    * user lives in GroupState across micro-batches.
+    *
+    * ORDERING ASSUMPTION: events for a user must arrive in event-time
+    * order ACROSS micro-batches (within a batch they are sorted here).
+    * There is no watermark buffer (NoTimeout), so an earlier-timestamped
+    * event landing in a later batch is compared against the open
+    * session's last_us and can split/fabricate sessions relative to the
+    * batch twin. This holds for the replay fixture (one AvailableNow
+    * batch) and for any source that partitions by key and preserves
+    * per-key order; for genuinely out-of-order sources, buffer within a
+    * watermark and emit on EventTimeTimeout instead. */
   def sessionizeStream(events: Dataset[Ev], gapMinutes: Int): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -69,14 +69,16 @@ object SimilarityOps {
     val corpus = normalizedCorpus(embeddings)
     val centroids = corpus.orderBy(col("vec_id").asc).limit(nCells)
       .select(col("vec_id").as("centroid_id"), col("n_emb").as("c_emb"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_sim").desc, col("centroid_id").asc)
+    // argmax via max_by, not a row_number window: one hash-aggregate with
+    // map-side partials over the n×nCells scored rows instead of a full
+    // sort-per-key exchange. Ties (equal rounded c_sim) break to the
+    // smaller centroid_id via the negated second struct field.
     corpus.join(broadcast(centroids), expr("true"))
       .select(col("vec_id"), col("centroid_id"),
         dotCosine(col("n_emb"), col("c_emb")).as("c_sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"),
+        struct(col("c_sim"), (-col("centroid_id")).as("neg_id"))).as("cell"))
   }
 
   /** IVF top-k: probe the `nprobe` nearest cells per query, rank only

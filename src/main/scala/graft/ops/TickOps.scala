@@ -94,6 +94,24 @@ object TickOps {
       .select(col("w.start").as("bar_start"), col(symbol),
         col("open"), col("high"), col("low"), col("close"), col("n_ticks"))
 
+  /** Runtime-parameterized bars — the reference's `aggregate_ticks_data`
+    * dag_run.conf contract (`:326-347,416-419`): frequency + [from, to)
+    * time range + symbol set (the reference accepts `symbols` but never
+    * applies it; here it prunes). Filters run BEFORE the aggregation, so
+    * on a date-partitioned warehouse they become partition pruning +
+    * parquet row-group skipping (the timestamp predicate pushes to the
+    * scan), and only the pruned slice is shuffled into bars. */
+  def ohlcBarsFiltered(ticks: DataFrame, duration: String,
+                       symbols: Seq[String], fromTs: String, toTs: String,
+                       symbol: String = "symbol", ts: String = "event_ts",
+                       price: String = "price"): DataFrame =
+    ohlcBars(
+      ticks.filter(
+        col(symbol).isin(symbols: _*) &&
+          col(ts) >= to_timestamp(lit(fromTs)) &&
+          col(ts) < to_timestamp(lit(toTs))),
+      duration, symbol, ts, price)
+
   /** Hourly OHLC via window functions — the reference MV's literal shape
     * (W1-W3 + SELECT DISTINCT, `:293-313`), with last_value given the full
     * frame the reference *intended* (W2 bug documented in SURVEY.md §2.5).

@@ -27,9 +27,10 @@ object DedupQueries {
         |count(*) AS n_copies FROM documents GROUP BY md5(text)
         |ORDER BY content_hash""".stripMargin.replace("\n", " ")),
 
-    // N-gram Jaccard near-dup pairs via the shingle inverted index.
+    // N-gram Jaccard near-dup pairs via the shingle inverted index
+    // (staged: clusters + corpus selection reuse the same cached set).
     Q("dedup_ngram_jaccard",
-      (s, dir) => DedupOps.ngramJaccardPairs(Tables.documents(s, dir), K, TH)
+      (s, dir) => Staged.ngramPairs(s, dir, K, TH)
         .orderBy("doc_a", "doc_b"),
       s"""WITH ds AS (${docShingleHashes(K)}),
          |sizes AS (SELECT doc_id, CAST(len(${shingles(toks, K)}) AS BIGINT) AS n_sh FROM documents),
@@ -106,8 +107,7 @@ object DedupQueries {
     // Duplicate clusters: connected components over the n-gram near-dup
     // pairs (min-label propagation; recursive-CTE closure as the oracle).
     Q("dedup_clusters",
-      (s, dir) => DedupOps.dupClusters(
-          DedupOps.ngramJaccardPairs(Tables.documents(s, dir), K, TH))
+      (s, dir) => DedupOps.dupClusters(Staged.ngramPairs(s, dir, K, TH))
         .orderBy("doc_id"),
       s"""${dupClustersWith(K, TH)}
          |SELECT doc_id, cluster_id FROM clusters

@@ -13,6 +13,22 @@ import OracleFrags.toks
   */
 object PipelineQueries {
 
+  /** Per-run scratch dir for streaming sinks/checkpoints: deleted up
+    * front so every invocation reprocesses from a clean slate (append
+    * sinks + checkpoints are run artifacts, not shared fixtures). */
+  private def freshWorkDir(prefix: String, dir: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), prefix,
+      java.lang.Integer.toHexString(dir.hashCode))
+    if (java.nio.file.Files.exists(p)) {
+      val it = java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator()
+      while (it.hasNext) java.nio.file.Files.delete(it.next())
+    }
+    p.toString
+  }
+
   val all: Seq[Q] = Seq(
 
     // Multimodal decode: binary payload → typed metadata via a
@@ -32,16 +48,19 @@ object PipelineQueries {
          |FROM (SELECT doc_id, text, ${OracleFrags.h31("text")} AS h FROM documents)
          |ORDER BY media_id""".stripMargin.replace("\n", " ")),
 
-    // Frame sampling: binary chunking with digest-typed array output.
+    // Frame sampling: binary chunking, one scalar row per frame so the
+    // result is flat-comparable (no array columns at the sink boundary).
     Q("multimodal_frames",
       (s, dir) => MultimodalOps.sampleFrames(
           MultimodalOps.asMediaTable(Tables.documents(s, dir)), 16)
-        .orderBy("media_id"),
-      """SELECT doc_id AS media_id,
-        |CAST(length(text) AS BIGINT) AS n_bytes,
-        |list_transform(range(1, CAST(length(text) // 16 AS INT) + 1),
-        |  i -> md5(substr(text, (i - 1) * 16 + 1, 16))) AS frame_digests
-        |FROM documents ORDER BY media_id""".stripMargin.replace("\n", " ")),
+        .orderBy("media_id", "frame_idx"),
+      """SELECT media_id, n_bytes, CAST(i AS INT) AS frame_idx,
+        |md5(substr(text, (CAST(i AS INT) - 1) * 16 + 1, 16)) AS digest
+        |FROM (SELECT doc_id AS media_id, text,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  unnest(range(1, length(text) // 16 + 1)) AS i
+        |  FROM documents)
+        |ORDER BY media_id, frame_idx""".stripMargin.replace("\n", " ")),
 
     // Structured-Streaming twin of ohlc_hourly (AvailableNow over the
     // same fixtures — identical result, incremental execution).
@@ -49,6 +68,56 @@ object PipelineQueries {
       (s, dir) => StreamingOhlc.hourlyOhlcAvailableNow(s, dir)
         .orderBy("bar_start", "symbol"),
       TickQueries.hourlyOracleSql),
+
+    // Streaming QC (§2.9): each micro-batch fans out per-symbol invalid
+    // counters to an append summary table via foreachBatch; summing the
+    // per-batch partials reproduces the batch QC report regardless of how
+    // the stream was batched.
+    Q("streaming_qc_summary",
+      (s, dir) => {
+        val work = freshWorkDir("graft_stream_qc", dir)
+        val (_, summary) = graft.streaming.StreamingQc.runAvailableNow(s, dir, work)
+        s.read.parquet(summary)
+          .groupBy(col("symbol"))
+          .agg(sum(col("n_rows")).as("n_rows"),
+            sum(col("n_invalid")).as("n_invalid"))
+          .orderBy("symbol")
+      },
+      s"""SELECT symbol, count(*) AS n_rows,
+         |CAST(SUM(CASE WHEN price IS NULL OR price < 0 OR qty IS NULL OR qty < 0
+         |OR trader_id IS NULL OR trader_id < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid
+         |FROM (${TickQueries.normalizedSql}) GROUP BY symbol
+         |ORDER BY symbol""".stripMargin.replace("\n", " ")),
+
+    // Stateful streaming sessionization (flatMapGroupsWithState): closed
+    // sessions emitted from per-user GroupState; oracle = batch sessions
+    // minus each user's final (still-open) session.
+    Q("sessionize_stream_closed",
+      (s, dir) => graft.ops.SessionOps
+        .sessionizeStreamAvailableNow(s, dir, 30,
+          queryName = "stream_sessions_driver")
+        .orderBy("user_id", "start_us"),
+      """WITH sess AS (
+        |  SELECT user_id, session_seq, min(ts) AS session_start,
+        |         max(ts) AS session_end, count(*) AS n_events
+        |  FROM (
+        |    SELECT user_id, ts,
+        |    CAST(SUM(CASE WHEN prev_ts IS NULL
+        |        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |    FROM (
+        |      SELECT user_id, ts, event_id,
+        |      lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |      FROM events))
+        |  GROUP BY user_id, session_seq)
+        |SELECT user_id, epoch_us(session_start) AS start_us,
+        |       epoch_us(session_end) AS end_us, n_events
+        |FROM (SELECT *, max(session_seq) OVER (PARTITION BY user_id) AS max_seq
+        |      FROM sess)
+        |WHERE session_seq < max_seq
+        |ORDER BY user_id, start_us""".stripMargin.replace("\n", " ")),
 
     // Whole-pipeline E2E: ingest → partitioned warehouse → CSV round-trip
     // → QC reports → analytics MV; one row of per-stage counts.

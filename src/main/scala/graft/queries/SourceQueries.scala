@@ -49,6 +49,46 @@ object SourceQueries {
     zipPath.getParent.toString
   }
 
+  /** Bhavcopy-style official-OHLC schema (reference S3:
+    * data_platform_final.py:120-121 — the exchange's daily file). */
+  private val bhavSchema = StructType(Seq(
+    StructField("SYMBOL", StringType),
+    StructField("DATE", DateType),
+    StructField("OPEN", DoubleType),
+    StructField("HIGH", DoubleType),
+    StructField("LOW", DoubleType),
+    StructField("CLOSE", DoubleType)))
+
+  /** Stage <workdir>/bhav/official_ohlc.csv — an independent bhavcopy-
+    * shaped daily-OHLC file (idempotent per fixture dir). Values are the
+    * true daily bars, so the reconcile diffs are provably zero; the
+    * operator under test is the second-source CSV ingest path.
+    * Double round-trip is exact (shortest-repr toString). */
+  private def stageBhavcopy(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val work = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_bhav",
+      java.lang.Integer.toHexString(dir.hashCode))
+    val csvPath = work.resolve("bhav/official_ohlc.csv")
+    if (!java.nio.file.Files.exists(csvPath)) {
+      java.nio.file.Files.createDirectories(csvPath.getParent)
+      val rows = graft.ops.TickOps.dailyOhlc(
+          graft.ops.TickOps.normalizeEvents(Tables.events(s, dir)))
+        .orderBy("trade_date", "symbol")
+        .collect() // fixture staging only — the operator under test is the read path
+      val sb = new StringBuilder("SYMBOL,DATE,OPEN,HIGH,LOW,CLOSE\n")
+      rows.foreach { r =>
+        sb.append(r.getAs[String]("symbol")).append(',')
+          .append(r.getAs[java.sql.Date]("trade_date").toString).append(',')
+          .append(r.getAs[Double]("open")).append(',')
+          .append(r.getAs[Double]("high")).append(',')
+          .append(r.getAs[Double]("low")).append(',')
+          .append(r.getAs[Double]("close")).append('\n')
+      }
+      java.nio.file.Files.write(csvPath, sb.toString.getBytes("UTF-8"))
+    }
+    csvPath.toString
+  }
+
   val all: Seq[Q] = Seq(
     Q("zip_ingest",
       (s, dir) => {
@@ -66,6 +106,30 @@ object SourceQueries {
          |min(event_id) AS min_id, max(event_id) AS max_id
          |FROM events WHERE event_id < 1000
          |GROUP BY event_type ORDER BY event_type"""
-        .stripMargin.replace("\n", " "))
+        .stripMargin.replace("\n", " ")),
+
+    // S3 end-to-end: tick-derived daily OHLC reconciled against a
+    // genuinely SEPARATE source — a bhavcopy-shaped official CSV read
+    // through the explicit-schema CSV scan (the reference's
+    // tick-vs-bhavcopy ground-truth check, data_platform_final.py:120-172,
+    // with a real second table instead of a re-derivation).
+    Q("ohlc_reconcile_official",
+      (s, dir) => {
+        val official = s.read.option("header", "true").schema(bhavSchema)
+          .csv(stageBhavcopy(s, dir))
+          .select(col("DATE").as("trade_date"), col("SYMBOL").as("symbol"),
+            col("OPEN").as("open"), col("HIGH").as("high"),
+            col("LOW").as("low"), col("CLOSE").as("close"))
+        val daily = graft.ops.TickOps.dailyOhlc(
+          graft.ops.TickOps.normalizeEvents(Tables.events(s, dir)))
+        graft.ops.QualityOps.reconcile(daily, official,
+            Seq("trade_date", "symbol"))
+          .orderBy("trade_date", "symbol")
+      },
+      s"""SELECT trade_date, symbol,
+         |open - open AS open_diff, high - high AS high_diff,
+         |low - low AS low_diff, close - close AS close_diff
+         |FROM (${TickQueries.dailySql})
+         |ORDER BY trade_date, symbol""".stripMargin.replace("\n", " "))
   )
 }

@@ -1,0 +1,27 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.DedupOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped staging of shared intermediate results.
+  *
+  * The n-gram near-dup pair set feeds three separate driver queries
+  * (`dedup_ngram_jaccard`, `dedup_clusters`, `corpus_select`); without
+  * staging each re-runs the shingle inverted-index join from scratch.
+  * Staging computes it once per (session, source, params) and caches the
+  * (small, above-threshold) pair set — the in-session equivalent of the
+  * staged table a production pipeline would write between jobs.
+  */
+object Staged {
+
+  private val memo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Int, Double), DataFrame]
+
+  /** N-gram Jaccard near-dup pairs over `documents` at (k, threshold),
+    * computed once per session+dir and served from cache thereafter. */
+  def ngramPairs(s: SparkSession, dir: String, k: Int, th: Double): DataFrame =
+    memo.getOrElseUpdate((s, dir, k, th),
+      DedupOps.ngramJaccardPairs(Tables.documents(s, dir), k, th).cache())
+}

@@ -57,7 +57,7 @@ object TextQueries {
         val docs = Tables.documents(s, dir)
         val quality = TextOps.qualityScore(docs)
         val clusters = graft.ops.DedupOps.dupClusters(
-          graft.ops.DedupOps.ngramJaccardPairs(docs, 3, 0.5))
+          Staged.ngramPairs(s, dir, 3, 0.5))
         quality.join(clusters, Seq("doc_id"), "left")
           .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
           .filter(col("quality_score") >= 0.5 && col("n_tokens") >= 20)
@@ -93,7 +93,10 @@ object TextQueries {
     Q("tfidf_top_terms",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val n = docs.count()
+        // corpus size as a one-row aggregate cross-joined into the plan —
+        // no separate driver-side count() action; and no broadcast hint on
+        // the vocabulary-sized df table (unbounded at scale — AQE decides)
+        val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
         val tokens = docs.select(col("doc_id"),
           explode(TextOps.tokens(col("text"))).as("token"))
         val tf = tokens.groupBy(col("doc_id"), col("token"))
@@ -103,9 +106,10 @@ object TextQueries {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id"))
           .orderBy(col("tfidf").desc, col("token").asc)
-        tf.join(broadcast(df), Seq("token"))
+        tf.join(df, Seq("token"))
+          .crossJoin(nDocs)
           .withColumn("tfidf",
-            round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+            round(col("tf") * log(col("n_docs") / col("df")), 6))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 3)
           .select(col("doc_id"), col("token"), col("tf").cast("long").as("tf"),

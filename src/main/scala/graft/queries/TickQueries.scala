@@ -17,18 +17,18 @@ object TickQueries {
   private val qcCols = Seq("price", "qty", "trader_id")
 
   /** DuckDB twin of TickOps.normalizeEvents. */
-  private val normalizedSql =
+  private[queries] val normalizedSql =
     """SELECT replace(event_type, '.NSE', '') AS symbol, ts AS event_ts,
       |CAST(value AS DOUBLE) AS price, user_id AS trader_id,
       |CAST(json_extract_string(props, '$.k') AS DOUBLE) AS qty, event_id
       |FROM events""".stripMargin.replace("\n", " ")
 
-  private def ohlcSql(bucketUs: Long): String =
+  private def ohlcSql(bucketUs: Long, where: String = ""): String =
     s"""SELECT make_timestamp((epoch_us(event_ts) // $bucketUs) * $bucketUs) AS bar_start,
        |symbol, arg_min(price, event_ts) AS open, max(price) AS high,
        |min(price) AS low, arg_max(price, event_ts) AS close,
        |count(*) AS n_ticks
-       |FROM ($normalizedSql) GROUP BY 1, 2""".stripMargin.replace("\n", " ")
+       |FROM ($normalizedSql) $where GROUP BY 1, 2""".stripMargin.replace("\n", " ")
 
   private[queries] val dailySql =
     s"""SELECT CAST(event_ts AS DATE) AS trade_date, symbol,
@@ -83,6 +83,22 @@ object TickQueries {
       (s, dir) => TickOps.ohlcBars(ticks(s, dir), "5 minutes")
         .orderBy("bar_start", "symbol"),
       s"SELECT * FROM (${ohlcSql(300000000L)}) ORDER BY bar_start, symbol"),
+
+    // The reference's full dag_run.conf contract in one parameterized
+    // entry: frequency + [from, to) time range + symbol-set pruning
+    // composed with the bar aggregation (its `symbols` param is accepted
+    // but unused upstream — applied here). The time predicate pushes to
+    // the parquet scan (PlanQualitySpec asserts it).
+    Q("ohlc_bars_filtered",
+      (s, dir) => TickOps.ohlcBarsFiltered(ticks(s, dir), "15 minutes",
+          Seq("click", "view"), "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+        .orderBy("bar_start", "symbol"),
+      s"""SELECT * FROM (${ohlcSql(900000000L,
+           """WHERE symbol IN ('click', 'view')
+             |AND event_ts >= TIMESTAMP '2024-01-10 00:00:00'
+             |AND event_ts < TIMESTAMP '2024-01-20 00:00:00'"""
+             .stripMargin.replace("\n", " "))})
+         |ORDER BY bar_start, symbol""".stripMargin.replace("\n", " ")),
 
     // W1-W3: the hourly-OHLC materialized view in its literal window-fn
     // shape (full-frame last per SURVEY.md W2 intent) + DISTINCT collapse.

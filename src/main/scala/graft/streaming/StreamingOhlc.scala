@@ -29,10 +29,9 @@ object StreamingOhlc {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Run the hourly-OHLC streaming query over the fixture dir to
-    * completion (AvailableNow) and return the materialized result. */
-  def hourlyOhlcAvailableNow(spark: SparkSession, dir: String,
-                             queryName: String = "streaming_ohlc"): DataFrame = {
+  /** The incremental hourly-bars plan (shared by every sink): watermarked
+    * tumbling-window aggregation over the normalized tick stream. */
+  def hourlyBarsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file-stream source wants a directory or glob, not a bare file —
     // a glob that matches exactly the events table keeps it happy
@@ -41,7 +40,7 @@ object StreamingOhlc {
       .parquet(s"$dir/events.parque*")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val ticks = TickOps.normalizeEvents(raw)
-    val bars = ticks
+    ticks
       .withWatermark("event_ts", "1 hour")
       .groupBy(window(col("event_ts"), "1 hour").as("w"), col("symbol"))
       .agg(
@@ -52,7 +51,31 @@ object StreamingOhlc {
         count(lit(1)).as("n_ticks"))
       .select(col("w.start").as("bar_start"), col("symbol"),
         col("open"), col("high"), col("low"), col("close"), col("n_ticks"))
-    val q = bars.writeStream
+  }
+
+  /** PRODUCTION sink: append-mode parquet files + durable checkpoint —
+    * bars land once the watermark closes them (the trailing open bars stay
+    * in state, exactly once-finalized semantics). Returns the bars path. */
+  def hourlyOhlcToFiles(spark: SparkSession, dir: String, outDir: String,
+                        queryName: String = "streaming_ohlc_files"): String = {
+    val q = hourlyBarsStream(spark, dir).writeStream
+      .format("parquet")
+      .option("path", s"$outDir/bars")
+      .option("checkpointLocation", s"$outDir/checkpoint")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s"$outDir/bars"
+  }
+
+  /** Harness adapter: complete-mode memory sink so the driver can read
+    * the FULL result (including still-open trailing bars) back
+    * synchronously for the oracle compare. */
+  def hourlyOhlcAvailableNow(spark: SparkSession, dir: String,
+                             queryName: String = "streaming_ohlc"): DataFrame = {
+    val q = hourlyBarsStream(spark, dir).writeStream
       .format("memory")
       .queryName(queryName)
       .outputMode("complete")

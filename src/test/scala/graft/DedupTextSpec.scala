@@ -106,6 +106,21 @@ class DedupTextSpec extends AnyFunSuite with SparkTestBase {
     assert(kernel.count() > 0)
     assert(kernel.except(declarative).isEmpty &&
       declarative.except(kernel).isEmpty)
+    // a non-trivial block count must not change the result (tiling is
+    // exact, not approximate)
+    val tiled3 = graft.ops.SimilarityKernel.cosineNearDupPairsKernel(e, 0.3, nBlocks = 3)
+    assert(tiled3.except(declarative).isEmpty &&
+      declarative.except(tiled3).isEmpty)
+  }
+
+  test("block kernel plan is a distributed cogroup — no driver materialization") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val kernel = graft.ops.SimilarityKernel.cosineNearDupPairsKernel(e, 0.3)
+    val physical = kernel.queryExecution.executedPlan.toString
+    // tiles meet in a CoGroup exec; the corpus is never broadcast or
+    // collected (the pre-fix kernel collect()ed the full corpus driver-side)
+    assert(physical.contains("CoGroup"), physical)
+    assert(!physical.contains("Broadcast"), physical)
   }
 
   test("brute-force top-k ranks by similarity with id tiebreak") {
