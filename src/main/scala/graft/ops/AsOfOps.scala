@@ -19,14 +19,29 @@ import org.apache.spark.sql.functions._
   */
 object AsOfOps {
 
+  /** Null handling (both implementations, spec-asserted identical): rows
+    * with a null key or ts — and ticks with a null value — are dropped up
+    * front. Inner as-of semantics can never produce them (SQL equality
+    * never matches null keys; a null probe ts compares with nothing), and
+    * filtering makes the two implementations agree instead of the window
+    * form accidentally grouping all null keys into one partition. */
+  private def dropNullTicks(ticks: DataFrame, key: String, ts: String,
+                            value: String): DataFrame =
+    ticks.filter(col(key).isNotNull && col(ts).isNotNull &&
+      col(value).isNotNull)
+
+  private def dropNullProbes(probes: DataFrame, key: String,
+                             ts: String): DataFrame =
+    probes.filter(col(key).isNotNull && col(ts).isNotNull)
+
   /** @param ticks  (key, ts, value) observations
     * @param probes (key, ts) lookup points
     * @return (key, probe ts, asof_value, asof_ts) — inner semantics */
   def asofJoin(ticks: DataFrame, probes: DataFrame,
                key: String, ts: String, value: String): DataFrame = {
-    val t = ticks.select(col(key), col(ts),
+    val t = dropNullTicks(ticks, key, ts, value).select(col(key), col(ts),
       col(value).as("__v"), col(ts).as("__vts"), lit(0).as("__side"))
-    val p = probes.select(col(key), col(ts),
+    val p = dropNullProbes(probes, key, ts).select(col(key), col(ts),
       lit(null).cast(t.schema("__v").dataType).as("__v"),
       lit(null).cast("timestamp").as("__vts"), lit(1).as("__side"))
     // ties at equal ts: the tick (side 0) sorts before the probe, so a
@@ -56,8 +71,21 @@ object AsOfOps {
         .contains(graft.plans.PushFilterThroughAsOfJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.PushFilterThroughAsOfJoin
-    val pPlan = probes.queryExecution.analyzed
-    val tPlan = ticks.queryExecution.analyzed
+    // null key/ts/value rows can never join (inner as-of) and would
+    // crash the merge's UTF8String/getLong primitives — drop them here,
+    // identically to the declarative twin
+    val pPlan = dropNullProbes(probes, key, ts).queryExecution.analyzed
+    val tPlanRaw =
+      dropNullTicks(ticks, key, ts, value).queryExecution.analyzed
+    // self-join safety: custom nodes don't get Spark's automatic
+    // attribute dedup, and the exec resolves ordinals by exprId — if both
+    // sides share lineage, re-alias the tick side with fresh exprIds
+    val tPlan =
+      if (tPlanRaw.outputSet.intersect(pPlan.outputSet).isEmpty) tPlanRaw
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        tPlanRaw.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
+        tPlanRaw)
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
              name: String) =
       plan.output.find(_.name == name).getOrElse(

@@ -77,6 +77,24 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(filtered.count() > 0)
   }
 
+  test("parameterized bar filters push to the warehouse scan") {
+    // the warehouse shape (Pipeline E1): normalized ticks as parquet with
+    // a real timestamp column — the fixture's nanos-long shim is gone, so
+    // the dag_run-style time-range + symbol predicates must reach the scan
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_plan_wh"
+    TickOps.normalizeEvents(Tables.events(spark, sf))
+      .write.mode("overwrite").parquet(wh)
+    val bars = TickOps.ohlcBarsFiltered(spark.read.parquet(wh), "15 minutes",
+      Seq("click", "view"), "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+    val plan = executedPlan(bars)
+    assert(plan.contains("GreaterThanOrEqual(event_ts"),
+      s"expected pushed lower time bound:\n$plan")
+    assert(plan.contains("LessThan(event_ts"),
+      s"expected pushed upper time bound:\n$plan")
+    assert(plan.contains("In(symbol"),
+      s"expected pushed symbol set:\n$plan")
+  }
+
   test("whole-stage codegen covers the normalize pipeline") {
     val t = TickOps.normalizeEvents(Tables.events(spark, sf))
     val plan = executedPlan(t)

@@ -152,6 +152,45 @@ class TickOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(native.except(composed).isEmpty && composed.except(native).isEmpty)
   }
 
+  test("as-of join drops null keys/timestamps identically on both paths") {
+    val ticks = Seq(
+      (Some("A"), Some(ts("2024-01-01 09:00:00")), Some(10.0)),
+      (None, Some(ts("2024-01-01 09:10:00")), Some(66.0)), // null key
+      (Some("A"), None, Some(77.0)),                        // null ts
+      (Some("A"), Some(ts("2024-01-01 09:30:00")), None),   // null value
+      (Some("B"), Some(ts("2024-01-01 10:15:00")), Some(99.0))
+    ).toDF("symbol", "event_ts", "price")
+    val probes = Seq(
+      (Some("A"), Some(ts("2024-01-01 10:00:00"))),
+      (None, Some(ts("2024-01-01 10:00:00"))), // null key probe
+      (Some("B"), None),                        // null ts probe
+      (Some("B"), Some(ts("2024-01-01 12:00:00")))
+    ).toDF("symbol", "event_ts")
+    val composed = ops.AsOfOps.asofJoin(ticks, probes, "symbol", "event_ts", "price")
+    val native = ops.AsOfOps.asofJoinNative(ticks, probes, "symbol", "event_ts", "price")
+    // null-key/ts rows never match under inner as-of: only the two clean
+    // probes survive, and the null-value 09:30 tick is not an answer
+    val out = native.collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("asof_value")).toMap
+    assert(out == Map("A" -> 10.0, "B" -> 99.0))
+    assert(native.except(composed).isEmpty && composed.except(native).isEmpty)
+  }
+
+  test("native as-of handles self-join lineage (shared exprIds re-aliased)") {
+    val base = Seq(
+      ("A", ts("2024-01-01 09:00:00"), 10.0),
+      ("A", ts("2024-01-01 09:30:00"), 11.0),
+      ("B", ts("2024-01-01 10:15:00"), 99.0)
+    ).toDF("symbol", "event_ts", "price")
+    // probes derived from the SAME DataFrame: sides share exprIds unless
+    // the native path re-aliases the tick side
+    val probes = base.select("symbol", "event_ts")
+    val native = ops.AsOfOps.asofJoinNative(base, probes, "symbol", "event_ts", "price")
+    val composed = ops.AsOfOps.asofJoin(base, probes, "symbol", "event_ts", "price")
+    assert(native.count() == 3) // every probe sits exactly on its own tick
+    assert(native.except(composed).isEmpty && composed.except(native).isEmpty)
+  }
+
   test("salted aggregation equals the direct groupBy exactly") {
     val df = crafted.select(col("symbol"), col("price"))
     val salted = ops.RelationalOps.saltedAgg(df, "symbol", "price", 4)
