@@ -204,4 +204,39 @@ object DedupOps {
     }.reduce(_ + _)
     votes.select(col("doc_id"), sig.as("simhash"))
   }
+
+  /** SimHash near-dup pairs at Hamming distance ≤ `maxHamming`, via band
+    * bucketing: the signature splits into `nBands` equal bands, and by
+    * pigeonhole any pair differing in fewer than nBands bits agrees on at
+    * least one FULL band — so with maxHamming < nBands, joining on
+    * (band index, band value) finds every qualifying pair. The candidate
+    * join is equality-keyed (shuffle on the band value, never all-pairs);
+    * candidates are verified with one xor+popcount. Exactness-by-
+    * pigeonhole is what makes this screen oracle-comparable, unlike
+    * recall-probabilistic LSH. */
+  def simhashHammingPairs(docs: DataFrame, nBits: Int = 32, nBands: Int = 4,
+                          maxHamming: Int = 3, text: String = "text"): DataFrame = {
+    require(nBits % nBands == 0, "nBits must split into equal bands")
+    require(maxHamming < nBands,
+      "exact banding needs maxHamming < nBands (pigeonhole)")
+    val bandBits = nBits / nBands
+    val mask = (1L << bandBits) - 1
+    val banded = simhash(docs, nBits, text)
+      .select(col("doc_id"), col("simhash"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * bandBits).bitwiseAND(mask)
+              .as("bv"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        call_function("bit_count",
+          col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

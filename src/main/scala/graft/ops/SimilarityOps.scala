@@ -110,6 +110,60 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Random-hyperplane LSH top-k: sign-bit signatures against `nPlanes`
+    * deterministic hyperplanes (the lowest-vec_id corpus vectors —
+    * production would sample Gaussians), banded into `nBands` bucket
+    * keys; only corpus vectors sharing at least one band with the query
+    * are scored. The candidate join is equality-keyed on (band, value) —
+    * the second ANN scale path next to IVF: no centroid assignment pass,
+    * and recall tunes with nBands/nPlanes instead of nprobe. */
+  def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+              nPlanes: Int, nBands: Int): DataFrame = {
+    require(nPlanes % nBands == 0, "nPlanes must split into equal bands")
+    val bandBits = nPlanes / nBands
+    val mask = (1L << bandBits) - 1
+    val corpus = normalizedCorpus(embeddings)
+    // plane index by vec_id rank: a window over nPlanes rows (broadcast
+    // scale), so plane weights don't assume contiguous vec_ids
+    val planes = corpus.orderBy(col("vec_id").asc).limit(nPlanes)
+      .select(col("vec_id"), col("n_emb").as("p_emb"))
+      .withColumn("p_idx", (row_number().over(
+        Window.orderBy(col("vec_id").asc)) - 1).cast("int"))
+    val sigs = corpus.join(broadcast(planes.select("p_emb", "p_idx")), expr("true"))
+      .select(col("vec_id"),
+        when(dotCosine(col("n_emb"), col("p_emb")) >= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), p_idx)"))
+          .otherwise(0L).as("w"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("w")).as("sig"))
+    val banded = sigs.select(col("vec_id"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("b"),
+          shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("bv"))): _*))
+        .as("bk"))
+      .select(col("vec_id"), col("bk.b").as("b"), col("bk.bv").as("bv"))
+    val qb = banded.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("b"), col("bv"))
+    val cands = broadcast(qb).as("q").join(banded.as("c"),
+        col("q.b") === col("c.b") && col("q.bv") === col("c.bv") &&
+          col("q.query_id") =!= col("c.vec_id"))
+      .select(col("q.query_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"))
+      .distinct()
+    val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("n_emb").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    cands
+      .join(broadcast(queries), Seq("query_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("n_emb")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dotCosine(col("q_emb"), col("n_emb")).as("cosine_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold.
     * Exact baseline (triangular self-join over pre-normalized vectors);
     * at scale, block with [[ivfAssign]] cells first. */

@@ -78,14 +78,29 @@ object Pipeline {
     hourly.write.mode(SaveMode.Overwrite)
       .parquet(s"$workDir/warehouse/hourly_ohlc")
 
+    // QC report: ONE union-of-aggregates job instead of seven count()
+    // actions — each branch collapses to a single row before the union,
+    // so the driver fires one collect over seven tiny partial aggregates
+    // (the warehouse scan is still shared via the cache above)
+    def labeled(df: DataFrame, label: String): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(label).as("k"), col("n"))
+    val counts = labeled(warehouse, "warehouse")
+      .unionByName(labeled(csvBack, "csv"))
+      .unionByName(labeled(invalid, "invalid"))
+      .unionByName(labeled(missing, "missing"))
+      .unionByName(labeled(recon, "recon"))
+      .unionByName(labeled(spark.read.parquet(s"$workDir/warehouse/hourly_ohlc"), "hourly"))
+      .unionByName(warehouse.agg(countDistinct(col("trade_date")).as("n"))
+        .select(lit("partitions").as("k"), col("n")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val result = Result(
-      warehouseRows = warehouse.count(),
-      csvRoundtripRows = csvBack.count(),
-      invalidRows = invalid.count(),
-      missingSymbols = missing.count(),
-      reconcileRows = recon.count(),
-      hourlyBars = spark.read.parquet(s"$workDir/warehouse/hourly_ohlc").count(),
-      partitions = warehouse.select("trade_date").distinct().count())
+      warehouseRows = counts("warehouse"),
+      csvRoundtripRows = counts("csv"),
+      invalidRows = counts("invalid"),
+      missingSymbols = counts("missing"),
+      reconcileRows = counts("recon"),
+      hourlyBars = counts("hourly"),
+      partitions = counts("partitions"))
     warehouse.unpersist()
     result
   }

@@ -117,17 +117,21 @@ object DedupQueries {
     Q("dedup_simhash",
       (s, dir) => DedupOps.simhash(Tables.documents(s, dir), 32)
         .orderBy("doc_id"),
-      {
-        val h = h31("token")
-        val votes = (0 until 32).map(j =>
-          s"CAST(SUM(CASE WHEN (($h >> $j) % 2) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v_$j")
-          .mkString(", ")
-        val pack = (0 until 32).map(j =>
-          s"CASE WHEN v_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
-           |v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id)
-           |SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM v
-           |ORDER BY doc_id""".stripMargin.replace("\n", " ")
-      })
+      s"${simhashSql(32)} ORDER BY doc_id"),
+
+    // SimHash Hamming-distance pairs via band bucketing: 4 bands of 8
+    // bits over the 32-bit signature; maxHamming=3 < nBands makes the
+    // banded candidate set provably equal to the O(n²) screen (pigeonhole)
+    // while the join stays equality-keyed on the band value.
+    Q("dedup_simhash_pairs",
+      (s, dir) => DedupOps.simhashHammingPairs(
+          Tables.documents(s, dir), 32, 4, 3)
+        .orderBy("doc_a", "doc_b"),
+      s"""WITH sh AS (${simhashSql(32)})
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "))
   )
 }

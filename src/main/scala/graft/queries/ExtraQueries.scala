@@ -47,6 +47,39 @@ object ExtraQueries {
         |INTERSECT SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY o_custkey""".stripMargin.replace("\n", " ")),
 
+    // Join type: LEFT SEMI (EXISTS) — the positive twin of missing_keys'
+    // anti join; plans as a broadcast/shuffled semi, never materializing
+    // order columns.
+    Q("custkeys_semi",
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"))
+        .orderBy("c_custkey"),
+      """SELECT c_custkey FROM customer c WHERE EXISTS
+        |(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin.replace("\n", " ")),
+
+    // Distribution windows: percent_rank + cume_dist of each daily close
+    // within its symbol's history (rounds to 6dp for cross-engine
+    // stability; completes the ranking family next to rank_events).
+    Q("close_rank_distribution",
+      (s, dir) => {
+        val daily = TickOps.dailyOhlc(
+          TickOps.normalizeEvents(Tables.events(s, dir)))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("symbol")).orderBy(col("close"))
+        daily.select(col("symbol"), col("trade_date"), col("close"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy("symbol", "trade_date")
+      },
+      s"""SELECT symbol, trade_date, close,
+         |round(percent_rank() OVER (PARTITION BY symbol ORDER BY close), 6) AS pct_rank,
+         |round(cume_dist() OVER (PARTITION BY symbol ORDER BY close), 6) AS cume
+         |FROM (${TickQueries.dailySql})
+         |ORDER BY symbol, trade_date""".stripMargin.replace("\n", " ")),
+
     // Grouping sets: CUBE over status × priority.
     Q("orders_cube",
       (s, dir) => Tables.orders(s, dir)

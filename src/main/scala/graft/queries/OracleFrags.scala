@@ -110,6 +110,22 @@ object OracleFrags {
        |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
        |  FROM reach GROUP BY a)""".stripMargin.replace("\n", " ")
 
+  /** Packed simhash signature relation (doc_id, simhash) — mirrors
+    * ops.DedupOps.simhash: per-token 31-bit hashes vote per bit, bit j of
+    * the packed long is the sign of vote sum j. */
+  def simhashSql(nBits: Int): String = {
+    val h = h31("token")
+    val votes = (0 until nBits).map(j =>
+      s"CAST(SUM(CASE WHEN (($h >> $j) % 2) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v_$j")
+      .mkString(", ")
+    val pack = (0 until nBits).map(j =>
+      s"CASE WHEN v_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+       |v AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id)
+       |SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM v"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** Language scores + CASE-chain argmax — mirrors ops.TextOps.langId. */
   def langScores: String =
     TextOps.StopwordSets.map { case (l, ws) =>

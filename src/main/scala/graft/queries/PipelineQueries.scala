@@ -119,6 +119,32 @@ object PipelineQueries {
         |WHERE session_seq < max_seq
         |ORDER BY user_id, start_us""".stripMargin.replace("\n", " ")),
 
+    // Streaming exact dedup (§2.9): dropDuplicatesWithinWatermark over
+    // the tick stream — watermark-bounded state; single-batch fixture ⇒
+    // result equals the batch DISTINCT exactly.
+    Q("streaming_dedup",
+      (s, dir) => graft.streaming.StreamingDedup
+        .distinctTicksAvailableNow(s, dir)
+        .orderBy("symbol", "ts_sec"),
+      s"""SELECT DISTINCT symbol, date_trunc('second', event_ts) AS ts_sec
+         |FROM (${TickQueries.normalizedSql})
+         |ORDER BY symbol, ts_sec""".stripMargin.replace("\n", " ")),
+
+    // Stream-stream inner join (§2.9): watermarks on both sides + a
+    // bounded event-time condition (what lets Spark expire join state).
+    Q("streaming_join_followers",
+      (s, dir) => graft.streaming.StreamingJoin
+        .bigTradeFollowersAvailableNow(s, dir)
+        .orderBy("a_id", "b_id"),
+      s"""WITH t AS (${TickQueries.normalizedSql})
+         |SELECT a.symbol, a.event_id AS a_id, b.event_id AS b_id,
+         |epoch_us(b.event_ts) - epoch_us(a.event_ts) AS gap_us
+         |FROM t a JOIN t b ON a.symbol = b.symbol
+         |AND b.event_ts > a.event_ts
+         |AND b.event_ts <= a.event_ts + INTERVAL 3600 SECONDS
+         |WHERE a.price >= 300.0
+         |ORDER BY a_id, b_id""".stripMargin.replace("\n", " ")),
+
     // Whole-pipeline E2E: ingest → partitioned warehouse → CSV round-trip
     // → QC reports → analytics MV; one row of per-stage counts.
     Q("pipeline_e2e",

@@ -76,6 +76,45 @@ object SimilarityQueries {
          |FROM ranked WHERE rnk <= $K
          |ORDER BY query_id, rnk""".stripMargin.replace("\n", " ")),
 
+    // Hyperplane-LSH top-k: 16 sign-bit planes banded 4×4; candidates
+    // share ≥1 band with the query (equality-keyed join, ~4× pruning vs
+    // brute at sf0.01), exact rerank within candidates.
+    Q("ann_topk_lsh",
+      (s, dir) => SimilarityOps.lshTopK(Tables.embeddings(s, dir), QueryIds, K, 16, 4)
+        .select(col("query_id"), col("neighbor_id"), col("cosine_sim"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("query_id", "rank"),
+      s"""WITH corpus AS ($normCorpus),
+         |planes AS (
+         |  SELECT vec_id, n_emb AS p_emb,
+         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS p_idx
+         |  FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT 16)),
+         |sigs AS (
+         |  SELECT e.vec_id,
+         |    CAST(SUM(CASE WHEN ${dotCosine("e.n_emb", "p.p_emb")} >= 0
+         |      THEN (CAST(1 AS BIGINT) << p.p_idx) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM corpus e CROSS JOIN planes p GROUP BY e.vec_id),
+         |bands AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS b),
+         |banded AS (
+         |  SELECT vec_id, b, (sig >> (b * 4)) & 15 AS bv
+         |  FROM sigs CROSS JOIN bands),
+         |qb AS (SELECT * FROM banded WHERE vec_id IN $idList),
+         |cands AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM qb q JOIN banded c ON q.b = c.b AND q.bv = c.bv
+         |  WHERE c.vec_id <> q.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${dotCosine("cq.n_emb", "cn.n_emb")} AS cosine_sim
+         |  FROM cands
+         |  JOIN corpus cq ON query_id = cq.vec_id
+         |  JOIN corpus cn ON neighbor_id = cn.vec_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rank
+         |FROM ranked WHERE rnk <= $K
+         |ORDER BY query_id, rnk""".stripMargin.replace("\n", " ")),
+
     // Embedding near-dup screen: all pairs above a cosine threshold —
     // via the broadcast block kernel (row materialization of n² vector
     // pairs dominates the declarative self-join; see SimilarityKernel).

@@ -89,6 +89,45 @@ object SourceQueries {
     csvPath.toString
   }
 
+  /** JSON-lines landing schema: scalars + a nested struct, to exercise
+    * schema-declared nested field access through the JSON scan. */
+  private val jsonSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("meta", StructType(Seq(
+      StructField("bucket", LongType))))))
+
+  /** Stage <workdir>/json/events.jsonl from the first 1000 events
+    * (idempotent per fixture dir). Doubles round-trip exactly
+    * (shortest-repr toString ↔ JSON parse); bucket = event_id % 7 is
+    * oracle-reproducible. */
+  private def stageJson(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val work = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_json",
+      java.lang.Integer.toHexString(dir.hashCode))
+    val jsonPath = work.resolve("json/events.jsonl")
+    if (!java.nio.file.Files.exists(jsonPath)) {
+      java.nio.file.Files.createDirectories(jsonPath.getParent)
+      val rows = Tables.events(s, dir)
+        .filter(col("event_id") < 1000)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+        .collect() // fixture staging only — the operator under test is the read path
+      val sb = new StringBuilder
+      rows.foreach { r =>
+        val v = if (r.isNullAt(2)) "null" else r.getDouble(2).toString
+        sb.append("{\"event_id\":").append(r.getLong(0))
+          .append(",\"event_type\":\"").append(r.getString(1))
+          .append("\",\"value\":").append(v)
+          .append(",\"meta\":{\"bucket\":").append(r.getLong(0) % 7)
+          .append("}}\n")
+      }
+      java.nio.file.Files.write(jsonPath, sb.toString.getBytes("UTF-8"))
+    }
+    jsonPath.getParent.toString
+  }
+
   val all: Seq[Q] = Seq(
     Q("zip_ingest",
       (s, dir) => {
@@ -103,6 +142,30 @@ object SourceQueries {
       },
       s"""SELECT event_type, count(*) AS n_rows,
          |${Determinism.sqlExactSum("value")} AS sum_value,
+         |min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM events WHERE event_id < 1000
+         |GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replace("\n", " ")),
+
+    // JSON-lines source (engine widening beyond the reference's CSV/zip):
+    // explicit schema — no inference pass, the production discipline for
+    // a landing zone — including a nested struct field read through the
+    // scan and aggregated.
+    Q("json_ingest",
+      (s, dir) => {
+        val landing = stageJson(s, dir)
+        s.read.schema(jsonSchema).json(landing)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            Determinism.exactSum(col("value")).as("sum_value"),
+            sum(col("meta.bucket")).as("sum_bucket"),
+            min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"))
+          .orderBy("event_type")
+      },
+      s"""SELECT event_type, count(*) AS n_rows,
+         |${Determinism.sqlExactSum("value")} AS sum_value,
+         |CAST(SUM(event_id % 7) AS BIGINT) AS sum_bucket,
          |min(event_id) AS min_id, max(event_id) AS max_id
          |FROM events WHERE event_id < 1000
          |GROUP BY event_type ORDER BY event_type"""

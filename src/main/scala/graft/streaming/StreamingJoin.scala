@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.ops.TickOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Stream-stream inner join (§2.9 uplift of the join family): big trades
+  * joined to the same symbol's follow-on trades within a bounded
+  * event-time window.
+  *
+  * Both sides carry a watermark and the join condition bounds b's event
+  * time relative to a's, which is exactly what lets Spark expire join
+  * state: a buffered left row can be dropped once the right watermark
+  * passes `a_ts + window`, so state is O(rows-per-window), not O(stream).
+  * An unbounded condition would make the state grow forever — the join
+  * is only scale-sane BECAUSE of the time bound.
+  */
+object StreamingJoin {
+
+  /** Follow-on trades: for each tick with price ≥ `threshold` (stream A),
+    * every tick of the same symbol in (a_ts, a_ts + windowSec] (stream B).
+    * AvailableNow + append memory sink as the harness adapter. */
+  def bigTradeFollowersAvailableNow(spark: SparkSession, dir: String,
+                                    threshold: Double = 300.0,
+                                    windowSec: Int = 3600,
+                                    queryName: String = "streaming_join"): DataFrame = {
+    val a = TickOps.normalizeEvents(StreamingOhlc.rawEventStream(spark, dir))
+      .filter(col("price") >= threshold)
+      .select(col("symbol"), col("event_ts").as("a_ts"),
+        col("event_id").as("a_id"))
+      .withWatermark("a_ts", "2 hours")
+    val b = TickOps.normalizeEvents(StreamingOhlc.rawEventStream(spark, dir))
+      .select(col("symbol").as("symbol_b"), col("event_ts").as("b_ts"),
+        col("event_id").as("b_id"))
+      .withWatermark("b_ts", "2 hours")
+    val q = a.join(b,
+        col("symbol") === col("symbol_b") &&
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("symbol"), col("a_id"), col("b_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -29,17 +29,23 @@ object StreamingOhlc {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** The incremental hourly-bars plan (shared by every sink): watermarked
-    * tumbling-window aggregation over the normalized tick stream. */
-  def hourlyBarsStream(spark: SparkSession, dir: String): DataFrame = {
+  /** The raw events table as a file stream (shared by every streaming
+    * operator in this package): explicit schema, ns→µs shim — the
+    * streaming twin of Tables.events. */
+  private[streaming] def rawEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file-stream source wants a directory or glob, not a bare file —
     // a glob that matches exactly the events table keeps it happy
-    val raw = spark.readStream
+    spark.readStream
       .schema(eventsSchema)
       .parquet(s"$dir/events.parque*")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val ticks = TickOps.normalizeEvents(raw)
+  }
+
+  /** The incremental hourly-bars plan (shared by every sink): watermarked
+    * tumbling-window aggregation over the normalized tick stream. */
+  def hourlyBarsStream(spark: SparkSession, dir: String): DataFrame = {
+    val ticks = TickOps.normalizeEvents(rawEventStream(spark, dir))
     ticks
       .withWatermark("event_ts", "1 hour")
       .groupBy(window(col("event_ts"), "1 hour").as("w"), col("symbol"))

@@ -123,6 +123,42 @@ class DedupTextSpec extends AnyFunSuite with SparkTestBase {
     assert(!physical.contains("Broadcast"), physical)
   }
 
+  test("simhash hamming band screen equals the O(n²) screen (pigeonhole)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sigs = DedupOps.simhash(docs, 32).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    val banded = DedupOps.simhashHammingPairs(docs, 32, 4, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty, "fixture has no close simhash pairs — weak test")
+    assert(banded == brute)
+  }
+
+  test("LSH top-k scores candidates exactly (subset of brute with same sims)") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qIds = Seq(0L, 1L, 2L)
+    val brute = SimilarityOps.bruteForceTopK(e, qIds, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cosine_sim"))
+      .toMap
+    val lsh = SimilarityOps.lshTopK(e, qIds, 10, 16, 4).collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit is a real neighbor with the exact same rerank score,
+    // and per-query ranks are dense from 1
+    lsh.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq ==
+        (1 to rows.length).toSeq)
+    }
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val sim = r.getAs[Double]("cosine_sim")
+      // brute was cut at top-50; only compare hits that appear there
+      brute.get(key).foreach(b => assert(b == sim))
+    }
+  }
+
   test("brute-force top-k ranks by similarity with id tiebreak") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),

@@ -48,4 +48,33 @@ class StreamingSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(closed.except(emitted).isEmpty,
       "a watermark-closed bar is missing from the file sink")
   }
+
+  test("streaming dedup equals the batch DISTINCT on the single-batch fixture") {
+    val streamed = graft.streaming.StreamingDedup
+      .distinctTicksAvailableNow(spark, sf, queryName = "dedup_spec")
+    val batch = TickOps.normalizeEvents(Tables.events(spark, sf))
+      .select(col("symbol"), date_trunc("second", col("event_ts")).as("ts_sec"))
+      .distinct()
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("stream-stream join equals the batch time-bounded join") {
+    val streamed = graft.streaming.StreamingJoin
+      .bigTradeFollowersAvailableNow(spark, sf, threshold = 100.0,
+        windowSec = 3600, queryName = "join_spec")
+    val t = TickOps.normalizeEvents(Tables.events(spark, sf))
+    val a = t.filter(col("price") >= 100.0)
+      .select(col("symbol"), col("event_ts").as("a_ts"), col("event_id").as("a_id"))
+    val b = t.select(col("symbol").as("symbol_b"),
+      col("event_ts").as("b_ts"), col("event_id").as("b_id"))
+    val batch = a.join(b,
+        col("symbol") === col("symbol_b") &&
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 3600 SECONDS"))
+      .select(col("symbol"), col("a_id"), col("b_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+    assert(streamed.count() > 0, "no join matches — widen the window")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
 }
