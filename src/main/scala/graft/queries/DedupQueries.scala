@@ -107,7 +107,7 @@ object DedupQueries {
     // Duplicate clusters: connected components over the n-gram near-dup
     // pairs (min-label propagation; recursive-CTE closure as the oracle).
     Q("dedup_clusters",
-      (s, dir) => DedupOps.dupClusters(Staged.ngramPairs(s, dir, K, TH))
+      (s, dir) => Staged.dupClusters(s, dir, K, TH)
         .orderBy("doc_id"),
       s"""${dupClustersWith(K, TH)}
          |SELECT doc_id, cluster_id FROM clusters

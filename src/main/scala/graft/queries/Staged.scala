@@ -24,4 +24,16 @@ object Staged {
   def ngramPairs(s: SparkSession, dir: String, k: Int, th: Double): DataFrame =
     memo.getOrElseUpdate((s, dir, k, th),
       DedupOps.ngramJaccardPairs(Tables.documents(s, dir), k, th).cache())
+
+  private val clusterMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Int, Double), DataFrame]
+
+  /** Connected-component labels over [[ngramPairs]] — the iterative
+    * propagation loop runs once per session+dir; `dedup_clusters` and
+    * `corpus_select` both read the staged labels (the label table is
+    * tiny: one row per doc that appears in a near-dup pair). */
+  def dupClusters(s: SparkSession, dir: String, k: Int, th: Double): DataFrame =
+    clusterMemo.getOrElseUpdate((s, dir, k, th),
+      DedupOps.dupClusters(ngramPairs(s, dir, k, th)).cache())
 }

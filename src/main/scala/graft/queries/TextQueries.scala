@@ -56,8 +56,7 @@ object TextQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val quality = TextOps.qualityScore(docs)
-        val clusters = graft.ops.DedupOps.dupClusters(
-          Staged.ngramPairs(s, dir, 3, 0.5))
+        val clusters = Staged.dupClusters(s, dir, 3, 0.5)
         quality.join(clusters, Seq("doc_id"), "left")
           .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
           .filter(col("quality_score") >= 0.5 && col("n_tokens") >= 20)
