@@ -215,13 +215,22 @@ object DedupOps {
     * pigeonhole is what makes this screen oracle-comparable, unlike
     * recall-probabilistic LSH. */
   def simhashHammingPairs(docs: DataFrame, nBits: Int = 32, nBands: Int = 4,
-                          maxHamming: Int = 3, text: String = "text"): DataFrame = {
+                          maxHamming: Int = 3, text: String = "text"): DataFrame =
+    simhashHammingPairsFromSigs(simhash(docs, nBits, text), nBits, nBands,
+      maxHamming)
+
+  /** Same, over an already-computed (doc_id, simhash) signature table —
+    * lets a staged/cached signature set serve both the signature query
+    * and the pair screen (and keeps the self-join from recomputing the
+    * token votes twice). */
+  def simhashHammingPairsFromSigs(sigs: DataFrame, nBits: Int = 32,
+                                  nBands: Int = 4, maxHamming: Int = 3): DataFrame = {
     require(nBits % nBands == 0, "nBits must split into equal bands")
     require(maxHamming < nBands,
       "exact banding needs maxHamming < nBands (pigeonhole)")
     val bandBits = nBits / nBands
     val mask = (1L << bandBits) - 1
-    val banded = simhash(docs, nBits, text)
+    val banded = sigs
       .select(col("doc_id"), col("simhash"),
         explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band"),

@@ -105,12 +105,14 @@ object SessionOps {
       .parquet(s"$dir/events.parque*")
       .select(col("user_id"), expr("ts div 1000").as("ts_us"))
       .as[Ev]
-    val q = sessionizeStream(raw, gapMinutes)
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StreamingConf.withStatePartitions(spark) {
+      val q = sessionizeStream(raw, gapMinutes)
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 }

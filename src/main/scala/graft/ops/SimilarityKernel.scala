@@ -27,10 +27,16 @@ object SimilarityKernel {
   final case class Pair(vec_a: Long, vec_b: Long, cosine_sim: Double)
 
   def cosineNearDupPairsKernel(embeddings: DataFrame, threshold: Double,
-                               nBlocks: Int = 8): DataFrame = {
-    val spark = embeddings.sparkSession
+                               nBlocks: Int = 8): DataFrame =
+    cosineNearDupPairsKernelNorm(
+      SimilarityOps.normalizedCorpus(embeddings), threshold, nBlocks)
+
+  /** Same, over an already-normalized (vec_id, n_emb) corpus. */
+  def cosineNearDupPairsKernelNorm(normCorpus: DataFrame, threshold: Double,
+                                   nBlocks: Int = 8): DataFrame = {
+    val spark = normCorpus.sparkSession
     import spark.implicits._
-    val corpus = SimilarityOps.normalizedCorpus(embeddings)
+    val corpus = normCorpus
       .withColumn("blk", pmod(col("vec_id"), lit(nBlocks)).cast("int"))
 
     // Side A of tile (i, j) is block i; side B is block j. A row in block

@@ -48,8 +48,12 @@ object SimilarityOps {
 
   /** Brute-force cosine top-k: query set × corpus, rank per query.
     * Queries are broadcast; ranking is a per-query-partition window. */
-  def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val corpus = normalizedCorpus(embeddings)
+  def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame =
+    bruteForceTopKNorm(normalizedCorpus(embeddings), queryIds, k)
+
+  /** Same, over an already-normalized (vec_id, n_emb) corpus — the shape
+    * a production pipeline stages once and shares across query batches. */
+  def bruteForceTopKNorm(corpus: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("n_emb").as("q_emb"))
     val scored = corpus.join(broadcast(queries),
@@ -65,8 +69,10 @@ object SimilarityOps {
   /** IVF cell assignment: nearest of `nCells` fixed centroids (the
     * vectors with the smallest vec_ids — deterministic seed centroids;
     * production would k-means them). Ties break to the smaller centroid. */
-  def ivfAssign(embeddings: DataFrame, nCells: Int): DataFrame = {
-    val corpus = normalizedCorpus(embeddings)
+  def ivfAssign(embeddings: DataFrame, nCells: Int): DataFrame =
+    ivfAssignNorm(normalizedCorpus(embeddings), nCells)
+
+  def ivfAssignNorm(corpus: DataFrame, nCells: Int): DataFrame = {
     val centroids = corpus.orderBy(col("vec_id").asc).limit(nCells)
       .select(col("vec_id").as("centroid_id"), col("n_emb").as("c_emb"))
     // argmax via max_by, not a row_number window: one hash-aggregate with
@@ -85,11 +91,14 @@ object SimilarityOps {
     * within probed cells. Approximate by construction; the oracle
     * implements the identical algorithm, so results still hash-match. */
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-              nCells: Int, nprobe: Int): DataFrame = {
-    val corpus = normalizedCorpus(embeddings)
+              nCells: Int, nprobe: Int): DataFrame =
+    ivfTopKNorm(normalizedCorpus(embeddings), queryIds, k, nCells, nprobe)
+
+  def ivfTopKNorm(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+                  nCells: Int, nprobe: Int): DataFrame = {
     val centroids = corpus.orderBy(col("vec_id").asc).limit(nCells)
       .select(col("vec_id").as("centroid_id"), col("n_emb").as("c_emb"))
-    val assigned = ivfAssign(embeddings, nCells).join(corpus, Seq("vec_id"))
+    val assigned = ivfAssignNorm(corpus, nCells).join(corpus, Seq("vec_id"))
     val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("n_emb").as("q_emb"))
     val probeW = Window.partitionBy(col("query_id"))
@@ -118,11 +127,14 @@ object SimilarityOps {
     * the second ANN scale path next to IVF: no centroid assignment pass,
     * and recall tunes with nBands/nPlanes instead of nprobe. */
   def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-              nPlanes: Int, nBands: Int): DataFrame = {
+              nPlanes: Int, nBands: Int): DataFrame =
+    lshTopKNorm(normalizedCorpus(embeddings), queryIds, k, nPlanes, nBands)
+
+  def lshTopKNorm(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+                  nPlanes: Int, nBands: Int): DataFrame = {
     require(nPlanes % nBands == 0, "nPlanes must split into equal bands")
     val bandBits = nPlanes / nBands
     val mask = (1L << bandBits) - 1
-    val corpus = normalizedCorpus(embeddings)
     // plane index by vec_id rank: a window over nPlanes rows (broadcast
     // scale), so plane weights don't assume contiguous vec_ids
     val planes = corpus.orderBy(col("vec_id").asc).limit(nPlanes)

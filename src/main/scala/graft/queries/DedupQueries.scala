@@ -115,7 +115,7 @@ object DedupQueries {
 
     // SimHash 32-bit signatures (per-token bit votes packed into a long).
     Q("dedup_simhash",
-      (s, dir) => DedupOps.simhash(Tables.documents(s, dir), 32)
+      (s, dir) => Staged.simhashSigs(s, dir, 32)
         .orderBy("doc_id"),
       s"${simhashSql(32)} ORDER BY doc_id"),
 
@@ -124,8 +124,8 @@ object DedupQueries {
     // banded candidate set provably equal to the O(n²) screen (pigeonhole)
     // while the join stays equality-keyed on the band value.
     Q("dedup_simhash_pairs",
-      (s, dir) => DedupOps.simhashHammingPairs(
-          Tables.documents(s, dir), 32, 4, 3)
+      (s, dir) => DedupOps.simhashHammingPairsFromSigs(
+          Staged.simhashSigs(s, dir, 32), 32, 4, 3)
         .orderBy("doc_a", "doc_b"),
       s"""WITH sh AS (${simhashSql(32)})
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

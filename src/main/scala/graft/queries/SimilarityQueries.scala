@@ -20,7 +20,7 @@ object SimilarityQueries {
 
     // Brute-force cosine top-k: broadcast query set, one corpus pass.
     Q("ann_topk_brute",
-      (s, dir) => SimilarityOps.bruteForceTopK(Tables.embeddings(s, dir), QueryIds, K)
+      (s, dir) => SimilarityOps.bruteForceTopKNorm(Staged.normCorpus(s, dir), QueryIds, K)
         .select(col("query_id"), col("neighbor_id"), col("cosine_sim"),
           col("rank").cast("int").as("rank"))
         .orderBy("query_id", "rank"),
@@ -40,7 +40,7 @@ object SimilarityQueries {
 
     // IVF top-k: 16 seed centroids, probe the 4 nearest cells per query.
     Q("ann_topk_ivf",
-      (s, dir) => SimilarityOps.ivfTopK(Tables.embeddings(s, dir), QueryIds, K, 16, 4)
+      (s, dir) => SimilarityOps.ivfTopKNorm(Staged.normCorpus(s, dir), QueryIds, K, 16, 4)
         .select(col("query_id"), col("neighbor_id"), col("cosine_sim"),
           col("rank").cast("int").as("rank"))
         .orderBy("query_id", "rank"),
@@ -80,7 +80,7 @@ object SimilarityQueries {
     // share ≥1 band with the query (equality-keyed join, ~4× pruning vs
     // brute at sf0.01), exact rerank within candidates.
     Q("ann_topk_lsh",
-      (s, dir) => SimilarityOps.lshTopK(Tables.embeddings(s, dir), QueryIds, K, 16, 4)
+      (s, dir) => SimilarityOps.lshTopKNorm(Staged.normCorpus(s, dir), QueryIds, K, 16, 4)
         .select(col("query_id"), col("neighbor_id"), col("cosine_sim"),
           col("rank").cast("int").as("rank"))
         .orderBy("query_id", "rank"),
@@ -120,7 +120,7 @@ object SimilarityQueries {
     // pairs dominates the declarative self-join; see SimilarityKernel).
     Q("dedup_embedding_cosine",
       (s, dir) => graft.ops.SimilarityKernel
-        .cosineNearDupPairsKernel(Tables.embeddings(s, dir), 0.4)
+        .cosineNearDupPairsKernelNorm(Staged.normCorpus(s, dir), 0.4)
         .orderBy("vec_a", "vec_b"),
       s"""WITH corpus AS ($normCorpus)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

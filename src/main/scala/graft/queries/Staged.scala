@@ -25,6 +25,27 @@ object Staged {
     memo.getOrElseUpdate((s, dir, k, th),
       DedupOps.ngramJaccardPairs(Tables.documents(s, dir), k, th).cache())
 
+  private val corpusMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** L2-normalized embedding corpus, normalized once per session+dir —
+    * the staged table every ANN/near-dup query batch shares (at scale:
+    * materialize next to the raw embeddings, normalize on write). */
+  def normCorpus(s: SparkSession, dir: String): DataFrame =
+    corpusMemo.getOrElseUpdate((s, dir),
+      graft.ops.SimilarityOps.normalizedCorpus(Tables.embeddings(s, dir)).cache())
+
+  private val simhashMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Int), DataFrame]
+
+  /** Packed simhash signatures, computed once per session+dir+nBits;
+    * serves the signature query and both sides of the pair screen's
+    * self-join. */
+  def simhashSigs(s: SparkSession, dir: String, nBits: Int): DataFrame =
+    simhashMemo.getOrElseUpdate((s, dir, nBits),
+      DedupOps.simhash(Tables.documents(s, dir), nBits).cache())
+
   private val clusterMemo =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, Int, Double), DataFrame]

@@ -32,17 +32,19 @@ object StreamingDedup {
                                 queryName: String = "streaming_dedup"): DataFrame = {
     val ticks = TickOps.normalizeEvents(
       StreamingOhlc.rawEventStream(spark, dir))
-    val q = ticks
-      .select(col("symbol"), date_trunc("second", col("event_ts")).as("ts_sec"))
-      .withWatermark("ts_sec", "24 hours")
-      .dropDuplicatesWithinWatermark("symbol", "ts_sec")
-      .writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamingConf.withStatePartitions(spark) {
+      val q = ticks
+        .select(col("symbol"), date_trunc("second", col("event_ts")).as("ts_sec"))
+        .withWatermark("ts_sec", "24 hours")
+        .dropDuplicatesWithinWatermark("symbol", "ts_sec")
+        .writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 }

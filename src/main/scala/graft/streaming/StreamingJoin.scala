@@ -34,19 +34,21 @@ object StreamingJoin {
       .select(col("symbol").as("symbol_b"), col("event_ts").as("b_ts"),
         col("event_id").as("b_id"))
       .withWatermark("b_ts", "2 hours")
-    val q = a.join(b,
-        col("symbol") === col("symbol_b") &&
-          col("b_ts") > col("a_ts") &&
-          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $windowSec SECONDS"))
-      .select(col("symbol"), col("a_id"), col("b_id"),
-        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
-      .writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamingConf.withStatePartitions(spark) {
+      val q = a.join(b,
+          col("symbol") === col("symbol_b") &&
+            col("b_ts") > col("a_ts") &&
+            col("b_ts") <= col("a_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+        .select(col("symbol"), col("a_id"), col("b_id"),
+          (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+        .writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 }

@@ -64,15 +64,17 @@ object StreamingOhlc {
     * in state, exactly once-finalized semantics). Returns the bars path. */
   def hourlyOhlcToFiles(spark: SparkSession, dir: String, outDir: String,
                         queryName: String = "streaming_ohlc_files"): String = {
-    val q = hourlyBarsStream(spark, dir).writeStream
-      .format("parquet")
-      .option("path", s"$outDir/bars")
-      .option("checkpointLocation", s"$outDir/checkpoint")
-      .queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamingConf.withStatePartitions(spark) {
+      val q = hourlyBarsStream(spark, dir).writeStream
+        .format("parquet")
+        .option("path", s"$outDir/bars")
+        .option("checkpointLocation", s"$outDir/checkpoint")
+        .queryName(queryName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s"$outDir/bars"
   }
 
@@ -81,13 +83,15 @@ object StreamingOhlc {
     * synchronously for the oracle compare. */
   def hourlyOhlcAvailableNow(spark: SparkSession, dir: String,
                              queryName: String = "streaming_ohlc"): DataFrame = {
-    val q = hourlyBarsStream(spark, dir).writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamingConf.withStatePartitions(spark) {
+      val q = hourlyBarsStream(spark, dir).writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 }

@@ -38,22 +38,24 @@ object StreamingQc {
     val ticks = TickOps.normalizeEvents(raw)
     val qcCols = Seq("price", "qty", "trader_id")
 
-    val q = ticks.writeStream
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.cache()
-        TickOps.invalidRows(b, qcCols)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(quarantine)
-        graft.ops.QualityOps.invalidSummary(b, qcCols, "symbol")
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(summary)
-        b.unpersist()
-        ()
-      }
-      .start()
-    q.awaitTermination()
+    StreamingConf.withStatePartitions(spark) {
+      val q = ticks.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val b = batch.cache()
+          TickOps.invalidRows(b, qcCols)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(quarantine)
+          graft.ops.QualityOps.invalidSummary(b, qcCols, "symbol")
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(summary)
+          b.unpersist()
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
     (quarantine, summary)
   }
 }
