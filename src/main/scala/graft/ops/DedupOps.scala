@@ -56,10 +56,19 @@ object DedupOps {
   /** N-gram Jaccard near-dup pairs above a threshold, via the inverted
     * index: |A∩B| from the shingle-hash join, |A∪B| = |A|+|B|-|A∩B|. */
   def ngramJaccardPairs(docs: DataFrame, k: Int, threshold: Double,
-                        text: String = "text"): DataFrame = {
-    val sizes = docs.select(col("doc_id"),
-      size(fastShingles(docs, k, text)).cast("long").as("n_sh"))
-    val ds = docShingleHashes(docs, k, text)
+                        text: String = "text"): DataFrame =
+    ngramJaccardPairsFromIndex(
+      docShingleHashes(docs, k, text),
+      docs.select(col("doc_id"),
+        size(fastShingles(docs, k, text)).cast("long").as("n_sh")),
+      threshold)
+
+  /** Same, over an already-built (doc_id, sh_h) inverted index and a
+    * (doc_id, n_sh) size table — stage/cache the index once and the
+    * shingle+hash pass runs once instead of three times (both self-join
+    * sides and the sizes would otherwise each recompute it). */
+  def ngramJaccardPairsFromIndex(ds: DataFrame, sizes: DataFrame,
+                                 threshold: Double): DataFrame = {
     val common = ds.as("a").join(ds.as("b"),
         col("a.sh_h") === col("b.sh_h") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -80,12 +89,16 @@ object DedupOps {
     * with one hash-aggregate (map-side partials shrink it before the
     * shuffle). */
   def minhashSignatures(docs: DataFrame, k: Int, nHashes: Int,
-                        text: String = "text"): DataFrame = {
+                        text: String = "text"): DataFrame =
+    minhashSignaturesFromIndex(docShingleHashes(docs, k, text), nHashes)
+
+  /** Same, over an already-built (doc_id, sh_h) inverted index. */
+  def minhashSignaturesFromIndex(ds: DataFrame, nHashes: Int): DataFrame = {
     val coeffs = Hashing.affineCoeffs(nHashes)
     // materialize the md5-derived base hash ONCE per (doc, shingle) in a
     // projection; the n aggregate expressions then only do cheap affine
     // arithmetic on a long
-    val base = docShingleHashes(docs, k, text)
+    val base = ds
       .select(col("doc_id"), (col("sh_h") % Hashing.Mersenne31).as("h"))
     base.groupBy(col("doc_id"))
       .agg(
@@ -99,8 +112,17 @@ object DedupOps {
     * per band), verified with exact n-gram Jaccard. Join is on the band
     * key — never all-pairs. */
   def minhashLshPairs(docs: DataFrame, k: Int, nHashes: Int, bandSize: Int,
-                      threshold: Double, text: String = "text"): DataFrame = {
-    val sigs = minhashSignatures(docs, k, nHashes, text)
+                      threshold: Double, text: String = "text"): DataFrame =
+    minhashLshPairsFromIndex(docShingleHashes(docs, k, text), docs,
+      k, nHashes, bandSize, threshold, text)
+
+  /** Same, with the signature pass fed from an already-built (doc_id,
+    * sh_h) inverted index (verification still reads shingle arrays from
+    * `docs`). */
+  def minhashLshPairsFromIndex(ds: DataFrame, docs: DataFrame, k: Int,
+                               nHashes: Int, bandSize: Int, threshold: Double,
+                               text: String = "text"): DataFrame = {
+    val sigs = minhashSignaturesFromIndex(ds, nHashes)
     val nBands = nHashes / bandSize
     val bandKeys = (0 until nBands).map { b =>
       val parts = (0 until bandSize).map(r => col(s"sig_${b * bandSize + r}"))

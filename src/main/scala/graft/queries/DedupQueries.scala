@@ -48,7 +48,8 @@ object DedupQueries {
 
     // MinHash signatures (16 affine rehashes over 31-bit shingle hashes).
     Q("minhash_signatures",
-      (s, dir) => DedupOps.minhashSignatures(Tables.documents(s, dir), K, NH)
+      (s, dir) => DedupOps.minhashSignaturesFromIndex(
+          Staged.shingleIndex(s, dir, K)._1, NH)
         .orderBy("doc_id"),
       s"""SELECT doc_id, ${minhashAggs(NH)}
          |FROM (${docShingleHashes(K)}) GROUP BY doc_id
@@ -57,7 +58,9 @@ object DedupQueries {
     // MinHash+LSH candidate pairs (8 bands × 2 rows), verified with exact
     // Jaccard over candidate pairs only.
     Q("dedup_minhash_lsh",
-      (s, dir) => DedupOps.minhashLshPairs(Tables.documents(s, dir), K, NH, BAND, TH)
+      (s, dir) => DedupOps.minhashLshPairsFromIndex(
+          Staged.shingleIndex(s, dir, K)._1, Tables.documents(s, dir),
+          K, NH, BAND, TH)
         .orderBy("doc_a", "doc_b"),
       {
         val nBands = NH / BAND
@@ -90,7 +93,7 @@ object DedupQueries {
     // group instead of 16 min aggregates; identical oracle.
     Q("minhash_signatures_agg",
       (s, dir) => {
-        val base = DedupOps.docShingleHashes(Tables.documents(s, dir), K)
+        val base = Staged.shingleIndex(s, dir, K)._1
           .select(col("doc_id"),
             (col("sh_h") % graft.functions.Hashing.Mersenne31).as("h"))
         val sig = base.groupBy(col("doc_id"))

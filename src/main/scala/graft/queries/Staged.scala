@@ -19,11 +19,32 @@ object Staged {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, Int, Double), DataFrame]
 
+  private val indexMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Int), (DataFrame, DataFrame)]
+
+  /** The (doc_id, sh_h) shingle-hash inverted index + (doc_id, n_sh)
+    * size table, built once per session+dir+k. Feeds the Jaccard pair
+    * join (both sides), minhash signatures, and the sizes lookup — the
+    * staged table a production dedup pipeline writes after the shingle
+    * pass. */
+  def shingleIndex(s: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) =
+    indexMemo.getOrElseUpdate((s, dir, k), {
+      val docs = Tables.documents(s, dir)
+      (DedupOps.docShingleHashes(docs, k).cache(),
+        docs.select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.size(
+            DedupOps.fastShingles(docs, k, "text")).cast("long").as("n_sh"))
+          .cache())
+    })
+
   /** N-gram Jaccard near-dup pairs over `documents` at (k, threshold),
     * computed once per session+dir and served from cache thereafter. */
   def ngramPairs(s: SparkSession, dir: String, k: Int, th: Double): DataFrame =
-    memo.getOrElseUpdate((s, dir, k, th),
-      DedupOps.ngramJaccardPairs(Tables.documents(s, dir), k, th).cache())
+    memo.getOrElseUpdate((s, dir, k, th), {
+      val (ds, sizes) = shingleIndex(s, dir, k)
+      DedupOps.ngramJaccardPairsFromIndex(ds, sizes, th).cache()
+    })
 
   private val corpusMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -53,8 +74,20 @@ object Staged {
   /** Connected-component labels over [[ngramPairs]] — the iterative
     * propagation loop runs once per session+dir; `dedup_clusters` and
     * `corpus_select` both read the staged labels (the label table is
-    * tiny: one row per doc that appears in a near-dup pair). */
+    * tiny: one row per doc that appears in a near-dup pair).
+    *
+    * The loop's shuffle width is sized to the STAGED pair count — the
+    * cross-action sizing AQE can't do for an iterative cached loop
+    * (each round's task count is otherwise the batch engine's default,
+    * and per-round scheduling dominates on a small label table). */
   def dupClusters(s: SparkSession, dir: String, k: Int, th: Double): DataFrame =
-    clusterMemo.getOrElseUpdate((s, dir, k, th),
-      DedupOps.dupClusters(ngramPairs(s, dir, k, th)).cache())
+    clusterMemo.getOrElseUpdate((s, dir, k, th), {
+      val pairs = ngramPairs(s, dir, k, th)
+      val nPairs = pairs.count() // cached — cheap, and stages the set
+      val parts = math.max(2, math.min(32, (nPairs / 50000L).toInt + 2))
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try DedupOps.dupClusters(pairs).cache()
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    })
 }
