@@ -37,7 +37,11 @@ object Pipeline {
     // E1: ingest + normalize + day-partitioned parquet warehouse
     val ticks = TickOps.normalizeEvents(Tables.events(spark, fixtureDir))
       .withColumn("trade_date", to_date(col("event_ts")))
-    ticks.write.mode(SaveMode.Overwrite)
+    // cluster rows by the partition column before the partitioned write:
+    // one file per date instead of (#tasks × #dates) small files — the
+    // standard small-files discipline for a partitioned warehouse
+    ticks.repartition(col("trade_date"))
+      .write.mode(SaveMode.Overwrite)
       .partitionBy("trade_date")
       .parquet(s"$workDir/warehouse/ticks")
     val warehouse = spark.read.parquet(s"$workDir/warehouse/ticks")

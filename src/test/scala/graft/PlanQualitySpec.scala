@@ -95,6 +95,25 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       s"expected pushed symbol set:\n$plan")
   }
 
+  test("banded screens never go all-pairs (no cartesian product)") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = ops.DedupOps.simhashHammingPairs(docs, 32, 4, 3)
+    val pairsPlan = executedPlan(pairs)
+    assert(!pairsPlan.contains("CartesianProduct"),
+      s"simhash pair screen degenerated to all-pairs:\n$pairsPlan")
+
+    val lsh = ops.SimilarityOps.lshTopK(
+      Tables.embeddings(spark, sf), Seq(0L, 1L), 5, 16, 4)
+    val lshPlan = executedPlan(lsh)
+    assert(!lshPlan.contains("CartesianProduct"),
+      s"LSH candidate join degenerated to all-pairs:\n$lshPlan")
+    // the only nested-loop join allowed is the broadcast of the tiny
+    // plane/centroid set; the candidate join itself must be hash-keyed
+    assert(lshPlan.contains("BroadcastHashJoin") ||
+      lshPlan.contains("ShuffledHashJoin") || lshPlan.contains("SortMergeJoin"),
+      s"expected an equality-keyed candidate join:\n$lshPlan")
+  }
+
   test("whole-stage codegen covers the normalize pipeline") {
     val t = TickOps.normalizeEvents(Tables.events(spark, sf))
     val plan = executedPlan(t)
