@@ -72,6 +72,46 @@ object TextQueries {
          |AND q.quality_score >= 0.5 AND q.n_tokens >= 20
          |ORDER BY q.doc_id""".stripMargin.replace("\n", " ")),
 
+    // Deterministic hash sampling: the reproducible corpus subsample
+    // every training-data pipeline needs (re-running selects the SAME
+    // docs; changing the rate only grows/shrinks the set monotonically
+    // in hash space — no RNG, no seed bookkeeping, shuffle-free scan).
+    Q("corpus_sample",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.documents(s, dir)
+          .filter(call_function("graft_md5long60",
+            col("doc_id").cast("string")) % 100 < 10)
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${Hashing.sqlMd5Long("CAST(doc_id AS VARCHAR)")} % 100 < 10
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+    // Stratified corpus mix: top-N docs per language by quality score —
+    // the data-mixing step that balances a multilingual training set.
+    // One window per language partition; at scale the rank prunes with a
+    // per-partition top-N (WindowGroupLimit) before the full sort.
+    Q("corpus_mix",
+      (s, dir) => {
+        val q = TextOps.qualityScore(Tables.documents(s, dir))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("quality_score").desc, col("doc_id").asc)
+        q.select(col("doc_id"), col("lang"), col("quality_score"))
+          .withColumn("lang_rank", row_number().over(w).cast("int"))
+          .filter(col("lang_rank") <= 50)
+          .orderBy("lang", "lang_rank")
+      },
+      s"""SELECT doc_id, lang, quality_score, CAST(rn AS INT) AS lang_rank
+         |FROM (SELECT doc_id, lang, quality_score,
+         |  row_number() OVER (PARTITION BY lang
+         |    ORDER BY quality_score DESC, doc_id ASC) AS rn
+         |  FROM ($qualityScoreSql))
+         |WHERE rn <= 50
+         |ORDER BY lang, lang_rank""".stripMargin.replace("\n", " ")),
+
     // Vocabulary statistics: exact top-k tokens by corpus frequency
     // (ties broken by token) — the heavy-hitters screen.
     Q("freq_tokens",

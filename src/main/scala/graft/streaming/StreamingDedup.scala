@@ -29,9 +29,10 @@ object StreamingDedup {
     * fixture everything lands in one micro-batch, so the watermark never
     * evicts mid-run and the result equals the batch DISTINCT exactly. */
   def distinctTicksAvailableNow(spark: SparkSession, dir: String,
-                                queryName: String = "streaming_dedup"): DataFrame = {
+                                queryName: String = "streaming_dedup",
+                                maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val ticks = TickOps.normalizeEvents(
-      StreamingOhlc.rawEventStream(spark, dir))
+      StreamingOhlc.rawEventStream(spark, dir, maxFilesPerTrigger))
     StreamingConf.withStatePartitions(spark) {
       val q = ticks
         .select(col("symbol"), date_trunc("second", col("event_ts")).as("ts_sec"))

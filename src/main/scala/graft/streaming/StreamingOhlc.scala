@@ -31,21 +31,27 @@ object StreamingOhlc {
 
   /** The raw events table as a file stream (shared by every streaming
     * operator in this package): explicit schema, ns→µs shim — the
-    * streaming twin of Tables.events. */
-  private[streaming] def rawEventStream(spark: SparkSession, dir: String): DataFrame = {
+    * streaming twin of Tables.events. `maxFilesPerTrigger` bounds each
+    * micro-batch (multi-file fixtures then exercise real cross-batch
+    * watermark advancement instead of one catch-all batch). */
+  private[graft] def rawEventStream(spark: SparkSession, dir: String,
+                                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file-stream source wants a directory or glob, not a bare file —
     // a glob that matches exactly the events table keeps it happy
-    spark.readStream
-      .schema(eventsSchema)
+    val reader = spark.readStream.schema(eventsSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       .parquet(s"$dir/events.parque*")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** The incremental hourly-bars plan (shared by every sink): watermarked
     * tumbling-window aggregation over the normalized tick stream. */
-  def hourlyBarsStream(spark: SparkSession, dir: String): DataFrame = {
-    val ticks = TickOps.normalizeEvents(rawEventStream(spark, dir))
+  def hourlyBarsStream(spark: SparkSession, dir: String,
+                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val ticks = TickOps.normalizeEvents(
+      rawEventStream(spark, dir, maxFilesPerTrigger))
     ticks
       .withWatermark("event_ts", "1 hour")
       .groupBy(window(col("event_ts"), "1 hour").as("w"), col("symbol"))
@@ -63,9 +69,10 @@ object StreamingOhlc {
     * bars land once the watermark closes them (the trailing open bars stay
     * in state, exactly once-finalized semantics). Returns the bars path. */
   def hourlyOhlcToFiles(spark: SparkSession, dir: String, outDir: String,
-                        queryName: String = "streaming_ohlc_files"): String = {
+                        queryName: String = "streaming_ohlc_files",
+                        maxFilesPerTrigger: Option[Int] = None): String = {
     StreamingConf.withStatePartitions(spark) {
-      val q = hourlyBarsStream(spark, dir).writeStream
+      val q = hourlyBarsStream(spark, dir, maxFilesPerTrigger).writeStream
         .format("parquet")
         .option("path", s"$outDir/bars")
         .option("checkpointLocation", s"$outDir/checkpoint")

@@ -49,6 +49,70 @@ class StreamingSinkSpec extends AnyFunSuite with SparkTestBase {
       "a watermark-closed bar is missing from the file sink")
   }
 
+  /** Stage the events table as 4 chronological parquet files so
+    * maxFilesPerTrigger=1 yields 4 real micro-batches (range partitions
+    * are ordered by part number; the file source processes equal-modtime
+    * files in path order → chronological). */
+  private def stageMultiFile(): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_multibatch"
+    deleteRec(base)
+    // keep ts as the raw ns-long (the stream reader's schema), not the
+    // µs-timestamp Tables.events surfaces
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sf/events.parquet")
+      .repartitionByRange(4, col("ts"))
+      .write.parquet(s"$base/events.parquet")
+    // the file source orders by (modTime, path); parallel write finish
+    // times are arbitrary, so pin modTimes to the part order (range
+    // partitions ascend by part number) to make batches chronological
+    val parts = new java.io.File(s"$base/events.parquet")
+      .listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1700000000000L + i * 60000L)
+    }
+    base
+  }
+
+  test("multi-batch streaming: watermark advances across batches; bars match the batch twin") {
+    val staged = stageMultiFile()
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_stream_mb"
+    deleteRec(out)
+    val path = StreamingOhlc.hourlyOhlcToFiles(spark, staged, out,
+      queryName = "mb_bars", maxFilesPerTrigger = Some(1))
+    // the run really was incremental: one offset commit per file
+    val nBatches = new java.io.File(s"$out/checkpoint/offsets")
+      .list().count(!_.endsWith(".tmp"))
+    assert(nBatches >= 4, s"expected >=4 micro-batches, got $nBatches")
+
+    val emitted = spark.read.parquet(path)
+    val batch = TickOps.ohlcBars(
+      TickOps.normalizeEvents(Tables.events(spark, sf)), "1 hour")
+    // append mode across 4 watermark advances: everything emitted is a
+    // true bar, and every bar the final watermark closed was emitted
+    assert(emitted.count() > 0)
+    assert(emitted.except(batch).isEmpty,
+      "multi-batch emitted a bar the batch plan does not produce")
+    val maxTs = TickOps.normalizeEvents(Tables.events(spark, sf))
+      .agg(max(col("event_ts"))).first().getTimestamp(0)
+    val closed = batch.filter(
+      col("bar_start") + expr("INTERVAL 2 HOURS") <= lit(maxTs))
+    assert(closed.except(emitted).isEmpty,
+      "a watermark-closed bar is missing after the multi-batch run")
+  }
+
+  test("multi-batch streaming dedup still equals the batch DISTINCT") {
+    val staged = stageMultiFile()
+    val streamed = graft.streaming.StreamingDedup
+      .distinctTicksAvailableNow(spark, staged, queryName = "mb_dedup",
+        maxFilesPerTrigger = Some(1))
+    val batch = TickOps.normalizeEvents(Tables.events(spark, sf))
+      .select(col("symbol"), date_trunc("second", col("event_ts")).as("ts_sec"))
+      .distinct()
+    // chronological batches + 24h watermark delay: no key is evicted
+    // before its duplicates arrive, so the incremental result is exact
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("streaming dedup equals the batch DISTINCT on the single-batch fixture") {
     val streamed = graft.streaming.StreamingDedup
       .distinctTicksAvailableNow(spark, sf, queryName = "dedup_spec")
