@@ -145,6 +145,35 @@ object PipelineQueries {
          |WHERE a.price >= 300.0
          |ORDER BY a_id, b_id""".stripMargin.replace("\n", " ")),
 
+    // Incremental daily refresh (dynamic partition overwrite): full load,
+    // then ONE date re-landed with doubled prices — only that partition
+    // rewrites (WarehouseSpec pins the file-level behavior); the oracle
+    // checks the merged read-back per date.
+    Q("warehouse_refresh",
+      (s, dir) => {
+        val work = freshWorkDir("graft_wh_query", dir)
+        val wh = s"$work/ticks"
+        val ticks = graft.ops.TickOps
+          .normalizeEvents(Tables.events(s, dir))
+          .withColumn("trade_date", to_date(col("event_ts")))
+        graft.ops.WarehouseOps.refreshPartitions(ticks, wh)
+        val day2 = "2024-01-02"
+        graft.ops.WarehouseOps.refreshPartitions(
+          ticks.filter(col("trade_date") === lit(day2))
+            .withColumn("price", col("price") * 2), wh)
+        s.read.parquet(wh)
+          .groupBy(col("trade_date"))
+          .agg(count(lit(1)).as("n_rows"),
+            graft.ops.Determinism.exactSum(col("price")).as("sum_price"))
+          .orderBy("trade_date")
+      },
+      s"""SELECT CAST(ts AS DATE) AS trade_date, count(*) AS n_rows,
+         |${graft.ops.Determinism.sqlExactSum(
+             "CASE WHEN CAST(ts AS DATE) = DATE '2024-01-02' " +
+             "THEN CAST(value AS DOUBLE) * 2 ELSE CAST(value AS DOUBLE) END")} AS sum_price
+         |FROM events GROUP BY 1
+         |ORDER BY trade_date""".stripMargin.replace("\n", " ")),
+
     // Whole-pipeline E2E: ingest → partitioned warehouse → CSV round-trip
     // → QC reports → analytics MV; one row of per-stage counts.
     Q("pipeline_e2e",
