@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.AsOfOps
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property test: the custom merge exec (`asofJoinNative`) must agree
+  * with the declarative union-window form AND a reference in-memory
+  * implementation on arbitrary data — duplicate timestamps, probe-before-
+  * any-tick, keys on only one side. (Generators driven with fixed seeds;
+  * the scalatest-scalacheck bridge isn't in the offline dependency set.)
+  */
+class AsOfPropertySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val baseUs = 1700000000000000L
+
+  private val keyGen = Gen.oneOf("A", "B", "C", "D")
+  private val tsGen = Gen.choose(0L, 50L).map(s => baseUs + s * 1000000L)
+  private val tickGen = for {
+    k <- keyGen; t <- tsGen; v <- Gen.choose(1, 999)
+  } yield (k, t, v.toDouble)
+  private val probeGen = for { k <- keyGen; t <- tsGen } yield (k, t)
+
+  /** Reference semantics, in-memory: the latest tick at-or-before each
+    * probe, per key. Ticks are deduped to one per (key, ts) so "latest"
+    * is well-defined on both engines. */
+  private def refAsof(ticks: Seq[(String, Long, Double)],
+                      probes: Seq[(String, Long)]): Set[(String, Long, Double, Long)] =
+    probes.distinct.flatMap { case (k, pt) =>
+      val cands = ticks.filter(t => t._1 == k && t._2 <= pt)
+      if (cands.isEmpty) None
+      else {
+        val best = cands.maxBy(_._2)
+        Some((k, pt, best._3, best._2))
+      }
+    }.toSet
+
+  test("property: native as-of exec matches reference semantics on random data") {
+    (1L to 12L).foreach { seed =>
+      val ticksRaw = sample(Gen.listOfN(60, tickGen), seed)
+      val probes = sample(Gen.listOfN(30, probeGen), seed + 1000)
+      val ticks = ticksRaw.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+      val tdf = ticks.toDF("symbol", "us", "price")
+        .selectExpr("symbol", "timestamp_micros(us) AS event_ts", "price")
+      val pdf = probes.distinct.toDF("symbol", "us")
+        .selectExpr("symbol", "timestamp_micros(us) AS event_ts")
+      def run(df: org.apache.spark.sql.DataFrame) = df
+        .selectExpr("symbol", "unix_micros(event_ts)", "asof_value",
+          "unix_micros(asof_ts)")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      val native = run(
+        AsOfOps.asofJoinNative(tdf, pdf, "symbol", "event_ts", "price"))
+      val composed = run(
+        AsOfOps.asofJoin(tdf, pdf, "symbol", "event_ts", "price"))
+      val expected = refAsof(ticks, probes)
+      assert(native == expected, s"native diverged at seed $seed")
+      assert(composed == expected, s"composed diverged at seed $seed")
+    }
+  }
+}

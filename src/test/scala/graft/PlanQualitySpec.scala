@@ -114,6 +114,13 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       s"expected an equality-keyed candidate join:\n$lshPlan")
   }
 
+  test("per-group top-N rank filter plans as WindowGroupLimit, not filter-after-full-window") {
+    val mix = SparkEntry.queries("corpus_mix")(spark, sf)
+    val plan = executedPlan(mix)
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected the rank<=N filter pushed into a per-group limit:\n$plan")
+  }
+
   test("whole-stage codegen covers the normalize pipeline") {
     val t = TickOps.normalizeEvents(Tables.events(spark, sf))
     val plan = executedPlan(t)
