@@ -159,6 +159,26 @@ class DedupTextSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("simhash pair screen works on a tiny crafted corpus (exact dup at hamming 0)") {
+    val banded = DedupOps.simhashHammingPairs(docs, 32, 4, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // docs 0 and 1 are byte-identical → identical signatures → hamming 0
+    assert(banded.contains((0L, 1L, 0)))
+  }
+
+  test("LSH top-k degrades gracefully when the corpus barely covers the planes") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.5f, 0.5f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    // 4 planes over a 4-vector corpus: every vector doubles as a plane
+    val top = SimilarityOps.lshTopK(e, Seq(0L), 3, 4, 2).collect()
+    assert(top.nonEmpty)
+    // hits carry exact rerank scores and dense ranks
+    assert(top.map(_.getAs[Int]("rank")).sorted.toSeq ==
+      (1 to top.length).toSeq)
+  }
+
   test("brute-force top-k ranks by similarity with id tiebreak") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),

@@ -113,6 +113,24 @@ class StreamingSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("multi-batch streaming QC: per-batch partials sum to the batch report") {
+    val staged = stageMultiFile()
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_mb_qc"
+    deleteRec(work)
+    val (_, summary) = graft.streaming.StreamingQc
+      .runAvailableNow(spark, staged, work, maxFilesPerTrigger = Some(1))
+    val summed = spark.read.parquet(summary)
+      .groupBy(col("symbol"))
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("n_invalid")).as("n_invalid"))
+    // ran incrementally: partials from >= 4 distinct batches
+    assert(spark.read.parquet(summary)
+      .select("batch_id").distinct().count() >= 4)
+    val t = TickOps.normalizeEvents(Tables.events(spark, sf))
+    val batch = graft.ops.QualityOps
+      .invalidSummary(t, Seq("price", "qty", "trader_id"), "symbol")
+    assert(summed.except(batch).isEmpty && batch.except(summed).isEmpty)
+  }
+
   test("streaming dedup equals the batch DISTINCT on the single-batch fixture") {
     val streamed = graft.streaming.StreamingDedup
       .distinctTicksAvailableNow(spark, sf, queryName = "dedup_spec")
