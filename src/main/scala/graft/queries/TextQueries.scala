@@ -72,6 +72,57 @@ object TextQueries {
          |AND q.quality_score >= 0.5 AND q.n_tokens >= 20
          |ORDER BY q.doc_id""".stripMargin.replace("\n", " ")),
 
+    // Regex scrubbing (the PII-redaction shape): global pattern
+    // replacement + match counting, with an md5 of the scrubbed text
+    // proving byte-exact replacement. The fixture corpus is synthetic
+    // word soup, so the pattern targets words it actually contains; the
+    // operator is the generic narrow-map redaction pass.
+    Q("text_scrub",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("CAST(regexp_count(text, '\\\\b(table|key)\\\\b') AS BIGINT)")
+            .as("n_hits"),
+          md5(regexp_replace(col("text"), "\\b(table|key)\\b", "[X]"))
+            .as("scrub_digest"))
+        .orderBy("doc_id"),
+      """SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, '\b(table|key)\b')) AS BIGINT) AS n_hits,
+        |md5(regexp_replace(text, '\b(table|key)\b', '[X]', 'g')) AS scrub_digest
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+    // Exact dedup keeping the BEST copy (not the first): identical texts
+    // collapse to the highest-quality doc — the keep-policy real corpus
+    // dedup uses (rank inside each content group; WindowGroupLimit prunes
+    // per group before any full sort).
+    Q("dedup_keep_best",
+      (s, dir) => {
+        val q = TextOps.qualityScore(Tables.documents(s, dir))
+          .select(col("doc_id"), col("quality_score"))
+        val hashed = Tables.documents(s, dir)
+          .select(col("doc_id"), md5(col("text")).as("content_hash"))
+          .join(q, Seq("doc_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("content_hash"))
+          .orderBy(col("quality_score").desc, col("doc_id").asc)
+        hashed
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_copies",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("content_hash"))))
+          .filter(col("rn") === 1)
+          .select(col("content_hash"), col("doc_id").as("keep_id"),
+            col("quality_score"), col("n_copies"))
+          .orderBy("content_hash")
+      },
+      s"""SELECT content_hash, doc_id AS keep_id, quality_score, n_copies
+         |FROM (SELECT md5(text) AS content_hash, q.doc_id, q.quality_score,
+         |  row_number() OVER (PARTITION BY md5(text)
+         |    ORDER BY q.quality_score DESC, q.doc_id ASC) AS rn,
+         |  count(*) OVER (PARTITION BY md5(text)) AS n_copies
+         |  FROM documents d JOIN ($qualityScoreSql) q ON d.doc_id = q.doc_id)
+         |WHERE rn = 1
+         |ORDER BY content_hash""".stripMargin.replace("\n", " ")),
+
     // Deterministic hash sampling: the reproducible corpus subsample
     // every training-data pipeline needs (re-running selects the SAME
     // docs; changing the rate only grows/shrinks the set monotonically
