@@ -76,7 +76,8 @@ object GraftFunctions {
     "graft_dot" -> (es => ArrayDotProduct(es.head, es(1))),
     "graft_md5long60" -> (es => Md5Long60(es.head)),
     "graft_shingles" -> (es => Shingles.fromArgs(es)),
-    "graft_minhash" -> (es => MinHashAgg.fromArgs(es)))
+    "graft_minhash" -> (es => MinHashAgg.fromArgs(es)),
+    "graft_simhash" -> (es => SimHashExpr.fromArgs(es)))
 
   /** Idempotent per-session registration (works under any driver-created
     * session — same pattern as Tables.events' runtime conf). */
@@ -108,6 +109,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
       (es: Seq[Expression]) => MinHashAgg.fromArgs(es)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
+      (es: Seq[Expression]) => SimHashExpr.fromArgs(es)))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }

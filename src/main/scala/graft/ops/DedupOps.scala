@@ -210,9 +210,21 @@ object DedupOps {
   }
 
   /** SimHash (nBits ≤ 32): per-token 31-bit hashes vote per bit position;
-    * bit j of the signature is the sign of the vote sum. One explode +
-    * one aggregate; the signature packs into a single long. */
+    * bit j of the signature is the sign of the vote sum. Computed by the
+    * native one-pass expression (functions.SimHashExpr) — a NARROW MAP,
+    * no explode, no aggregate shuffle; the [[simhashAggForm]] twin keeps
+    * the declarative explode+vote formulation and a spec asserts they
+    * are bit-identical. */
   def simhash(docs: DataFrame, nBits: Int = 32, text: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      call_function("graft_simhash", col(text), lit(nBits)).as("simhash"))
+  }
+
+  /** The declarative SimHash twin: explode tokens → per-bit vote SUM →
+    * pack. One explode + one hash-aggregate shuffle — kept as the
+    * built-ins-only formulation the oracle mirrors literally. */
+  def simhashAggForm(docs: DataFrame, nBits: Int = 32, text: String = "text"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val tok = docs.select(col("doc_id"),
       explode(TextOps.tokens(col(text))).as("token"))

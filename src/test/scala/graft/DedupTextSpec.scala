@@ -47,6 +47,17 @@ class DedupTextSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.contains((0L, 2L))) // jaccard ≈ 0.75, high LSH probability
   }
 
+  test("native one-pass simhash equals the explode+vote aggregate form") {
+    val fixture = Tables.documents(spark, "/root/testdata/sf0.001")
+    val native = DedupOps.simhash(fixture, 32)
+    val agg = DedupOps.simhashAggForm(fixture, 32)
+    assert(native.except(agg).isEmpty && agg.except(native).isEmpty)
+    // and the native form is a pure narrow map — zero exchanges
+    val plan = native.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"one-pass simhash should not shuffle:\n$plan")
+  }
+
   test("simhash: identical docs equal; near dups within small hamming distance") {
     val s = DedupOps.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
