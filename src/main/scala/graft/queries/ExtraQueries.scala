@@ -229,6 +229,46 @@ object ExtraQueries {
       },
       TickQueries.hourlyOracleSql),
 
+    // SQL front-end over a REGISTERED CUSTOM expression: the native
+    // one-pass simhash called from plain SQL (the extension surface a
+    // SQL-only user gets via spark.sql.extensions=GraftExtensions).
+    Q("sql_simhash",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.documents(s, dir).createOrReplaceTempView("graft_docs")
+        s.sql(
+          """SELECT doc_id, graft_simhash(text, 32) AS simhash
+            |FROM graft_docs ORDER BY doc_id""".stripMargin)
+      },
+      s"${OracleFrags.simhashSql(32)} ORDER BY doc_id"),
+
+    // IVF maintenance view: per-cell population — the balance histogram
+    // an ANN operator watches at scale (skewed cells = the re-seed
+    // trigger; a single agg over the assignment pass).
+    Q("ivf_cell_stats",
+      (s, dir) => graft.ops.SimilarityOps
+        .ivfAssignNorm(Staged.normCorpus(s, dir), 16)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vectors"),
+          min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+        .orderBy("cell"),
+      s"""WITH corpus AS (${OracleFrags.normCorpus}),
+         |cents AS (
+         |  SELECT vec_id AS centroid_id, n_emb AS c_emb
+         |  FROM corpus ORDER BY vec_id LIMIT 16),
+         |assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.centroid_id AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${OracleFrags.dotCosine("e.n_emb", "c.c_emb")} DESC,
+         |      c.centroid_id ASC) AS rn
+         |    FROM corpus e CROSS JOIN cents c)
+         |  WHERE rn = 1)
+         |SELECT cell, count(*) AS n_vectors,
+         |min(vec_id) AS min_vec, max(vec_id) AS max_vec
+         |FROM assigned GROUP BY cell
+         |ORDER BY cell""".stripMargin.replace("\n", " ")),
+
     // U3: the typed-Aggregator twin of ohlc_daily — must match the same
     // oracle as the untyped min_by/max_by plan.
     Q("ohlc_daily_typed",
