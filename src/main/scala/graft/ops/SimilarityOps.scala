@@ -176,6 +176,31 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Symmetric int8 quantization of the embedding column — the 4×
+    * storage-compression path an ANN deployment runs before indexing.
+    * Per vector: scale = 127 / max|x| (1 if the vector is zero), code_i
+    * = floor(x_i·scale + 0.5) (half-up, exact in both engines), plus the
+    * saturation count and reconstruction error that monitor quantizer
+    * health. Pure narrow map — codes never leave the executor. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val d = transform(col("embedding"), x => abs(x.cast("double")))
+    val mx = array_max(d)
+    val scale = when(mx === 0.0, lit(1.0)).otherwise(lit(127.0) / mx)
+    val e = embeddings
+      .withColumn("scale", scale)
+      .withColumn("codes", transform(col("embedding"),
+        x => floor(x.cast("double") * col("scale") + lit(0.5))))
+    e.select(
+      col("vec_id"),
+      round(col("scale"), 6).as("scale"),
+      size(filter(col("codes"), c => abs(c) >= 127))
+        .cast("long").as("n_sat"),
+      round(aggregate(
+        zip_with(col("embedding"), col("codes"),
+          (x, c) => pow(x.cast("double") - c / col("scale"), 2)),
+        lit(0.0), (acc, v) => acc + v), 6).as("recon_err"))
+  }
+
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold.
     * Exact baseline (triangular self-join over pre-normalized vectors);
     * at scale, block with [[ivfAssign]] cells first. */

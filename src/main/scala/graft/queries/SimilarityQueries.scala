@@ -115,6 +115,30 @@ object SimilarityQueries {
          |FROM ranked WHERE rnk <= $K
          |ORDER BY query_id, rnk""".stripMargin.replace("\n", " ")),
 
+    // Int8 quantization health report: per-vector scale, saturation
+    // count, reconstruction error — narrow map, exact half-up rounding
+    // in both engines.
+    Q("embedding_quantize",
+      (s, dir) => SimilarityOps.quantizeInt8(Tables.embeddings(s, dir))
+        .orderBy("vec_id"),
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    CASE WHEN mx = 0 THEN 1.0 ELSE 127.0 / mx END AS scale,
+         |    embedding
+         |  FROM (SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+         |    FROM embeddings)),
+         |c AS (
+         |  SELECT vec_id, scale,
+         |    list_transform(embedding, x -> floor(x::DOUBLE * scale + 0.5)) AS codes,
+         |    embedding
+         |  FROM q)
+         |SELECT vec_id, round(scale, 6) AS scale,
+         |CAST(len(list_filter(codes, c -> abs(c) >= 127)) AS BIGINT) AS n_sat,
+         |round(list_sum(list_transform(range(1, 65),
+         |  i -> pow(embedding[i]::DOUBLE - codes[i] / scale, 2))), 6) AS recon_err
+         |FROM c ORDER BY vec_id""".stripMargin.replace("\n", " ")),
+
     // Embedding near-dup screen: all pairs above a cosine threshold —
     // via the broadcast block kernel (row materialization of n² vector
     // pairs dominates the declarative self-join; see SimilarityKernel).
