@@ -217,8 +217,12 @@ object DedupOps {
     * are bit-identical. */
   def simhash(docs: DataFrame, nBits: Int = 32, text: String = "text"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs.select(col("doc_id"),
-      call_function("graft_simhash", col(text), lit(nBits)).as("simhash"))
+    // null texts are DROPPED, not kept with a null signature — the
+    // explode/unnest twin (and the oracle) produce no row for them, and
+    // the two forms are spec'd bit-identical
+    docs.filter(col(text).isNotNull)
+      .select(col("doc_id"),
+        call_function("graft_simhash", col(text), lit(nBits)).as("simhash"))
   }
 
   /** The declarative SimHash twin: explode tokens → per-bit vote SUM →
@@ -279,7 +283,10 @@ object DedupOps {
         call_function("bit_count",
           col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int")
           .as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is deterministic per pair, so
+      // the result is identical and the dedup exchange carries only the
+      // surviving pairs, not every band collision
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

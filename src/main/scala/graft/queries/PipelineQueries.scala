@@ -20,12 +20,7 @@ object PipelineQueries {
     val p = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), prefix,
       java.lang.Integer.toHexString(dir.hashCode))
-    if (java.nio.file.Files.exists(p)) {
-      val it = java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator()
-      while (it.hasNext) java.nio.file.Files.delete(it.next())
-    }
+    graft.util.Fs.deleteRec(p.toString)
     p.toString
   }
 

@@ -135,7 +135,7 @@ object SimilarityQueries {
          |  FROM q)
          |SELECT vec_id, round(scale, 6) AS scale,
          |CAST(len(list_filter(codes, c -> abs(c) >= 127)) AS BIGINT) AS n_sat,
-         |round(list_sum(list_transform(range(1, 65),
+         |round(list_sum(list_transform(range(1, len(embedding) + 1),
          |  i -> pow(embedding[i]::DOUBLE - codes[i] / scale, 2))), 6) AS recon_err
          |FROM c ORDER BY vec_id""".stripMargin.replace("\n", " ")),
 

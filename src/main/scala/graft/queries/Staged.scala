@@ -15,6 +15,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Staged {
 
+  // Memo lifetime = harness run: entries cache per (session, fixture
+  // dir, params) and assume the fixture is immutable for the session
+  // (true for the driver's parquet fixtures). A long-lived service
+  // iterating many datasets should call [[clear]] between datasets —
+  // it unpersists every staged block and empties the memos.
+
   private val memo =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, Int, Double), DataFrame]
@@ -90,4 +96,15 @@ object Staged {
       try DedupOps.dupClusters(pairs).cache()
       finally s.conf.set("spark.sql.shuffle.partitions", prev)
     })
+
+  /** Unpersist every staged block and drop all memo entries. */
+  def clear(): Unit = {
+    memo.values.foreach(_.unpersist())
+    corpusMemo.values.foreach(_.unpersist())
+    simhashMemo.values.foreach(_.unpersist())
+    clusterMemo.values.foreach(_.unpersist())
+    indexMemo.values.foreach { case (a, b) => a.unpersist(); b.unpersist() }
+    memo.clear(); corpusMemo.clear(); simhashMemo.clear()
+    clusterMemo.clear(); indexMemo.clear()
+  }
 }

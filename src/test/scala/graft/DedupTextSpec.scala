@@ -47,6 +47,19 @@ class DedupTextSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.contains((0L, 2L))) // jaccard ≈ 0.75, high LSH probability
   }
 
+  test("simhash drops null-text docs on both paths (no null-signature rows)") {
+    val withNull = Seq(
+      (0L, Some("the quick brown fox")),
+      (1L, None),
+      (2L, Some("another doc entirely"))
+    ).toDF("doc_id", "text")
+    val native = DedupOps.simhash(withNull, 32)
+    val agg = DedupOps.simhashAggForm(withNull, 32)
+    assert(native.count() == 2 && agg.count() == 2)
+    assert(native.filter(col("simhash").isNull).isEmpty)
+    assert(native.except(agg).isEmpty && agg.except(native).isEmpty)
+  }
+
   test("native one-pass simhash equals the explode+vote aggregate form") {
     val fixture = Tables.documents(spark, "/root/testdata/sf0.001")
     val native = DedupOps.simhash(fixture, 32)

@@ -15,15 +15,7 @@ class StreamingSinkSpec extends AnyFunSuite with SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def deleteRec(dir: String): Unit = {
-    val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(p)) {
-      val it = java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator()
-      while (it.hasNext) java.nio.file.Files.delete(it.next())
-    }
-  }
+  private def deleteRec(dir: String): Unit = graft.util.Fs.deleteRec(dir)
 
   test("file sink emits watermark-closed bars identical to the batch twin") {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_stream_files"

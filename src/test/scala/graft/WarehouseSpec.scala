@@ -11,15 +11,7 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def deleteRec(dir: String): Unit = {
-    val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(p)) {
-      val it = java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator()
-      while (it.hasNext) java.nio.file.Files.delete(it.next())
-    }
-  }
+  private def deleteRec(dir: String): Unit = graft.util.Fs.deleteRec(dir)
 
   private def partFiles(root: String): Map[String, Set[(String, Long)]] =
     new java.io.File(root).listFiles()
