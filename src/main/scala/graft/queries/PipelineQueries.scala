@@ -125,6 +125,19 @@ object PipelineQueries {
          |FROM (${TickQueries.normalizedSql})
          |ORDER BY symbol, ts_sec""".stripMargin.replace("\n", " ")),
 
+    // Stream-static enrichment (§2.9): reference-data join, broadcast
+    // per micro-batch, zero state.
+    Q("streaming_enrich",
+      (s, dir) => graft.streaming.StreamingJoin
+        .enrichAvailableNow(s, dir)
+        .orderBy("event_id"),
+      s"""SELECT event_id, symbol,
+         |CASE WHEN symbol IN ('click', 'view') THEN 'web'
+         |WHEN symbol IN ('purchase', 'signup') THEN 'commerce'
+         |ELSE 'ops' END AS sector, price
+         |FROM (${TickQueries.normalizedSql})
+         |ORDER BY event_id""".stripMargin.replace("\n", " ")),
+
     // Stream-stream inner join (§2.9): watermarks on both sides + a
     // bounded event-time condition (what lets Spark expire join state).
     Q("streaming_join_followers",

@@ -171,6 +171,37 @@ object SourceQueries {
          |GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replace("\n", " ")),
 
+    // ORC source/sink round-trip (third columnar surface next to
+    // parquet/CSV): Spark-written ORC read back with an explicit schema
+    // and aggregated; the oracle recomputes from the original rows, so
+    // the compare proves the format round-trip is lossless.
+    Q("orc_ingest",
+      (s, dir) => {
+        val work = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_orc",
+          java.lang.Integer.toHexString(dir.hashCode)).toString
+        val orcDir = s"$work/events_orc"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(orcDir))) {
+          Tables.events(s, dir)
+            .filter(col("event_id") < 1000)
+            .select(col("event_id"), col("event_type"), col("value"))
+            .write.orc(orcDir)
+        }
+        s.read.schema(csvSchema).orc(orcDir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            Determinism.exactSum(col("value")).as("sum_value"),
+            min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"))
+          .orderBy("event_type")
+      },
+      s"""SELECT event_type, count(*) AS n_rows,
+         |${Determinism.sqlExactSum("value")} AS sum_value,
+         |min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM events WHERE event_id < 1000
+         |GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replace("\n", " ")),
+
     // S3 end-to-end: tick-derived daily OHLC reconciled against a
     // genuinely SEPARATE source — a bhavcopy-shaped official CSV read
     // through the explicit-schema CSV scan (the reference's

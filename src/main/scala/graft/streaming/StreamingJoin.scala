@@ -18,6 +18,32 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingJoin {
 
+  /** Stream-static enrichment: the tick stream joined to a static
+    * dimension table. Unlike the stream-stream join this carries NO
+    * state — the static side broadcasts into every micro-batch, the
+    * classic reference-data enrichment shape (at scale: a dimension
+    * refreshed per batch cadence, never buffered). */
+  def enrichAvailableNow(spark: SparkSession, dir: String,
+                         queryName: String = "streaming_enrich"): DataFrame = {
+    import spark.implicits._
+    val dim = Seq(
+      ("click", "web"), ("view", "web"), ("purchase", "commerce"),
+      ("signup", "commerce"), ("error", "ops"))
+      .toDF("symbol", "sector")
+    val ticks = TickOps.normalizeEvents(StreamingOhlc.rawEventStream(spark, dir))
+    val q = ticks
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("symbol"))
+      .select(col("event_id"), col("symbol"), col("sector"), col("price"))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Follow-on trades: for each tick with price ≥ `threshold` (stream A),
     * every tick of the same symbol in (a_ts, a_ts + windowSec] (stream B).
     * AvailableNow + append memory sink as the harness adapter. */
