@@ -80,6 +80,71 @@ object ExtraQueries {
          |FROM (${TickQueries.dailySql})
          |ORDER BY symbol, trade_date""".stripMargin.replace("\n", " ")),
 
+    // Fixed-width histogram binning: the distribution profile that sizes
+    // partitioning/salting decisions (one hash-agg; bins are exact
+    // integer floors, so the oracle pins them).
+    Q("price_histogram",
+      (s, dir) => TickOps.normalizeEvents(Tables.events(s, dir))
+        .groupBy(floor(col("price") / 50).as("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("price")).as("lo"), max(col("price")).as("hi"))
+        .orderBy(col("bin").asc_nulls_first),
+      """SELECT CAST(floor(CAST(value AS DOUBLE) / 50) AS BIGINT) AS bin,
+        |count(*) AS n, min(CAST(value AS DOUBLE)) AS lo,
+        |max(CAST(value AS DOUBLE)) AS hi
+        |FROM events GROUP BY 1
+        |ORDER BY bin NULLS FIRST""".stripMargin.replace("\n", " ")),
+
+    // Data profiling: per-column null/distinct counts — the pre-training
+    // audit every ingest runs; unioned single-row aggregates, one pass
+    // per column family.
+    Q("profile_events",
+      (s, dir) => {
+        val t = TickOps.normalizeEvents(Tables.events(s, dir))
+        def prof(c: String) = t.agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+            countDistinct(col(c)).as("n_distinct"))
+          .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"))
+        prof("price").unionByName(prof("qty")).unionByName(prof("trader_id"))
+          .orderBy("col_name")
+      },
+      s"""WITH t AS (${TickQueries.normalizedSql})
+         |SELECT col_name, n_rows, n_nulls, n_distinct FROM (
+         |  SELECT 'price' AS col_name, count(*) AS n_rows,
+         |    CAST(SUM(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |    count(DISTINCT price) AS n_distinct FROM t
+         |  UNION ALL
+         |  SELECT 'qty', count(*),
+         |    CAST(SUM(CASE WHEN qty IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |    count(DISTINCT qty) FROM t
+         |  UNION ALL
+         |  SELECT 'trader_id', count(*),
+         |    CAST(SUM(CASE WHEN trader_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |    count(DISTINCT trader_id) FROM t)
+         |ORDER BY col_name""".stripMargin.replace("\n", " ")),
+
+    // Scalar-subquery rewrite: orders above the global mean price —
+    // Catalyst turns the scalar aggregate into a broadcast join against
+    // one row. The mean is computed decimal-exact then rounded, so the
+    // threshold is bit-identical in both engines.
+    Q("orders_above_avg",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val thr = o.agg(
+          round(Determinism.exactSum(col("o_totalprice")).cast("double")
+            / count(lit(1)), 6).as("avg6"))
+        o.join(broadcast(thr), col("o_totalprice") > col("avg6"))
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      s"""SELECT o_orderkey, o_totalprice FROM orders
+         |WHERE o_totalprice > (
+         |  SELECT round(CAST(${Determinism.sqlExactSum("o_totalprice")} AS DOUBLE)
+         |    / count(*), 6) FROM orders)
+         |ORDER BY o_orderkey""".stripMargin.replace("\n", " ")),
+
     // Grouping sets: CUBE over status × priority.
     Q("orders_cube",
       (s, dir) => Tables.orders(s, dir)

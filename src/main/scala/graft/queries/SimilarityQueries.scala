@@ -115,6 +115,39 @@ object SimilarityQueries {
          |FROM ranked WHERE rnk <= $K
          |ORDER BY query_id, rnk""".stripMargin.replace("\n", " ")),
 
+    // Quantized ANN: top-k by integer dot over the int8 codes — the
+    // query path that pairs with embedding_quantize (exact integer
+    // scores, no float parity surface at all).
+    Q("ann_topk_quantized",
+      (s, dir) => SimilarityOps.quantizedTopK(Tables.embeddings(s, dir), QueryIds, K)
+        .select(col("query_id"), col("neighbor_id"), col("qdot"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("query_id", "rank"),
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    CASE WHEN mx = 0 THEN 1.0 ELSE 127.0 / mx END AS scale, embedding
+         |  FROM (SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+         |    FROM embeddings)),
+         |codes AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(x::DOUBLE * scale + 0.5) AS BIGINT)) AS c
+         |  FROM q),
+         |qs AS (SELECT vec_id AS query_id, c AS qc
+         |  FROM codes WHERE vec_id IN $idList),
+         |scored AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(range(1, len(qc) + 1),
+         |      i -> qc[i] * e.c[i])) AS BIGINT) AS qdot
+         |  FROM codes e JOIN qs ON e.vec_id <> qs.query_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, qdot, CAST(rnk AS INT) AS rank
+         |FROM ranked WHERE rnk <= $K
+         |ORDER BY query_id, rnk""".stripMargin.replace("\n", " ")),
+
     // Int8 quantization health report: per-vector scale, saturation
     // count, reconstruction error — narrow map, exact half-up rounding
     // in both engines.
