@@ -105,6 +105,56 @@ class StreamingSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("checkpointed restart is exactly-once: late-arriving files extend, never duplicate") {
+    // stage all 4 chronological files, but EXPOSE only the first two;
+    // run to completion; then expose the rest and re-run with the SAME
+    // checkpoint — the restarted query must pick up only the new files
+    val staged = stageMultiFile()
+    val exposed = s"${System.getProperty("java.io.tmpdir")}/graft_restart"
+    deleteRec(exposed)
+    val srcDir = new java.io.File(s"$staged/events.parquet")
+    val dstDir = new java.io.File(s"$exposed/events.parquet")
+    dstDir.mkdirs()
+    val parts = srcDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    def expose(f: java.io.File): Unit = {
+      val d = new java.io.File(dstDir, f.getName)
+      java.nio.file.Files.copy(f.toPath, d.toPath)
+      d.setLastModified(f.lastModified())
+    }
+    parts.take(2).foreach(expose)
+
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_stream_restart_out"
+    deleteRec(out)
+    val path = StreamingOhlc.hourlyOhlcToFiles(spark, exposed, out,
+      queryName = "restart_bars_1", maxFilesPerTrigger = Some(1))
+    val firstRun = spark.read.parquet(path).count()
+
+    parts.drop(2).foreach(expose)
+    StreamingOhlc.hourlyOhlcToFiles(spark, exposed, out,
+      queryName = "restart_bars_2", maxFilesPerTrigger = Some(1))
+
+    val emitted = spark.read.parquet(path)
+    assert(emitted.count() > firstRun,
+      "restart did not process the late-arriving files")
+    // exactly-once: no bar appears twice...
+    assert(emitted.groupBy("bar_start", "symbol").count()
+      .filter(col("count") > 1).isEmpty,
+      "restart re-emitted a bar already finalized before the restart")
+    // ...every emitted bar is a true batch bar, and everything the final
+    // watermark closed is present
+    val batch = TickOps.ohlcBars(
+      TickOps.normalizeEvents(Tables.events(spark, sf)), "1 hour")
+    assert(emitted.except(batch).isEmpty,
+      "restarted stream emitted a bar the batch plan does not produce")
+    val maxTs = TickOps.normalizeEvents(Tables.events(spark, sf))
+      .agg(max(col("event_ts"))).first().getTimestamp(0)
+    val closed = batch.filter(
+      col("bar_start") + expr("INTERVAL 2 HOURS") <= lit(maxTs))
+    assert(closed.except(emitted).isEmpty,
+      "a watermark-closed bar is missing after the restart")
+  }
+
   test("multi-batch streaming QC: per-batch partials sum to the batch report") {
     val staged = stageMultiFile()
     val work = s"${System.getProperty("java.io.tmpdir")}/graft_mb_qc"
