@@ -34,6 +34,19 @@ object AsOfOps {
                              ts: String): DataFrame =
     probes.filter(col(key).isNotNull && col(ts).isNotNull)
 
+  /** As-of join with a staleness tolerance (pandas merge_asof's
+    * `tolerance`): a match older than `toleranceSec` before the probe is
+    * dropped — inner semantics, so the probe vanishes rather than
+    * carrying a stale value. Composes the plain as-of with one
+    * post-filter (the filter cannot be pushed below the as-of because
+    * it references both sides' timestamps). */
+  def asofJoinTolerance(ticks: DataFrame, probes: DataFrame,
+                        key: String, ts: String, value: String,
+                        toleranceSec: Long): DataFrame =
+    asofJoin(ticks, probes, key, ts, value)
+      .filter(col("asof_ts") >=
+        col(ts) - expr(s"INTERVAL $toleranceSec SECONDS"))
+
   /** @param ticks  (key, ts, value) observations
     * @param probes (key, ts) lookup points
     * @return (key, probe ts, asof_value, asof_ts) — inner semantics */

@@ -84,6 +84,37 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Stop-shingle variant of the Jaccard screen: shingles appearing in
+    * more than `maxDf` documents are dropped BEFORE the pair join — the
+    * hot-shingle mitigation for the inverted index's Σ posting² cost
+    * (a shingle in f docs contributes f² join rows; capping f bounds
+    * the worst case). Jaccard is then computed over the RETAINED shingle
+    * sets, so the screen is self-consistent and oracle-exact — it trades
+    * recall on pairs whose overlap is mostly stop-shingles, which is the
+    * point: such pairs are boilerplate matches, not near-dups. */
+  def ngramJaccardPairsStopShingle(ds: DataFrame, maxDf: Long,
+                                   threshold: Double): DataFrame = {
+    // (doc_id, sh_h) is distinct per doc, so df = posting-list length
+    val dfreq = ds.groupBy(col("sh_h"))
+      .agg(count(lit(1)).as("df_"))
+    val kept = ds.join(dfreq.filter(col("df_") <= maxDf), Seq("sh_h"))
+      .select(col("doc_id"), col("sh_h"))
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = kept.as("a").join(kept.as("b"),
+        col("a.sh_h") === col("b.sh_h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_common").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("n_common")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** MinHash signatures: nHashes affine rehashes of the 31-bit shingle
     * hash, min-reduced per document. Computed over the exploded relation
     * with one hash-aggregate (map-side partials shrink it before the

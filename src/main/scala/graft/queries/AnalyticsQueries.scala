@@ -42,6 +42,37 @@ object AnalyticsQueries {
         |GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin.replace("\n", " ")),
 
+    // The Spark-NATIVE sessionization: session_window in the groupBy —
+    // one gap-merge aggregation, no lag/running-sum window pair. Session
+    // end here is max event ts (w.end minus the gap). Boundary semantics
+    // (a gap of exactly 30min starts a NEW session) differ from the
+    // lag-form's strict >, so the oracle mirrors >= explicitly.
+    Q("sessionize_native",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          (unix_micros(col("w.end")) - 1800000000L).as("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us"),
+      """SELECT user_id, epoch_us(min(ts)) AS start_us,
+        |epoch_us(max(ts)) AS end_us, count(*) AS n_events
+        |FROM (
+        |  SELECT user_id, ts,
+        |  CAST(SUM(CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+        |    THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |    lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |    FROM events))
+        |GROUP BY user_id, session_seq
+        |ORDER BY user_id, start_us""".stripMargin.replace("\n", " ")),
+
     // Volume-weighted average price per hourly bar (decimal-exact
     // weighted sum; null when the bar trades zero volume).
     Q("vwap_hourly",

@@ -46,6 +46,31 @@ object DedupQueries {
          |WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) >= $TH
          |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")),
 
+    // The hot-shingle mitigation as a first-class operator: shingles in
+    // more than maxDf docs are dropped before the pair join (caps the
+    // inverted index's Σ posting² blow-up; jaccard over retained sets).
+    Q("dedup_ngram_stopshingle",
+      (s, dir) => DedupOps.ngramJaccardPairsStopShingle(
+          Staged.shingleIndex(s, dir, K)._1, 50L, TH)
+        .orderBy("doc_a", "doc_b"),
+      s"""WITH ds AS (${docShingleHashes(K)}),
+         |dfreq AS (SELECT sh_h, count(*) AS df_ FROM ds GROUP BY sh_h),
+         |kept AS (
+         |  SELECT doc_id, ds.sh_h FROM ds
+         |  JOIN dfreq ON ds.sh_h = dfreq.sh_h AND dfreq.df_ <= 50),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM kept a JOIN kept b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) >= $TH
+         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")),
+
     // MinHash signatures (16 affine rehashes over 31-bit shingle hashes).
     Q("minhash_signatures",
       (s, dir) => DedupOps.minhashSignaturesFromIndex(

@@ -234,6 +234,47 @@ object ExtraQueries {
          |ON p.symbol = t.symbol AND p.event_ts >= t.event_ts
          |ORDER BY p.symbol, p.event_ts""".stripMargin.replace("\n", " ")),
 
+    // As-of with staleness tolerance (merge_asof's tolerance): a grid
+    // point whose latest tick is older than 10 minutes gets no row.
+    Q("asof_join_tolerance",
+      (s, dir) => {
+        val ticks = TickOps.normalizeEvents(Tables.events(s, dir))
+          .select(col("symbol"), col("event_ts"), col("price"))
+        val probes = TickOps.ohlcBars(
+            TickOps.normalizeEvents(Tables.events(s, dir)), "1 hour")
+          .select(col("symbol"), col("bar_start").as("event_ts"))
+        AsOfOps.asofJoinTolerance(ticks, probes, "symbol", "event_ts",
+            "price", 600L)
+          .orderBy("symbol", "event_ts")
+      },
+      // DuckDB's native ASOF JOIN allows exactly one inequality, and its
+      // optimizer pushes the tolerance filter INTO the join — so the
+      // oracle uses the union-window formulation (the same shape as the
+      // composed Spark implementation) with the tolerance as a plain
+      // post-filter.
+      s"""WITH ticks AS (
+         |  SELECT replace(event_type, '.NSE', '') AS symbol, ts AS event_ts,
+         |  CAST(value AS DOUBLE) AS price FROM events),
+         |probes AS (
+         |  SELECT DISTINCT symbol,
+         |  make_timestamp((epoch_us(event_ts) // 3600000000) * 3600000000) AS event_ts
+         |  FROM ticks),
+         |u AS (
+         |  SELECT symbol, event_ts, price AS v, event_ts AS vts, 0 AS side FROM ticks
+         |  UNION ALL
+         |  SELECT symbol, event_ts, NULL, NULL, 1 FROM probes),
+         |f AS (
+         |  SELECT symbol, event_ts, side,
+         |    last_value(v IGNORE NULLS) OVER
+         |      (PARTITION BY symbol ORDER BY event_ts, side ROWS UNBOUNDED PRECEDING) AS asof_value,
+         |    last_value(vts IGNORE NULLS) OVER
+         |      (PARTITION BY symbol ORDER BY event_ts, side ROWS UNBOUNDED PRECEDING) AS asof_ts
+         |  FROM u)
+         |SELECT symbol, event_ts, asof_value, asof_ts FROM f
+         |WHERE side = 1 AND asof_value IS NOT NULL
+         |AND asof_ts >= event_ts - INTERVAL 600 SECONDS
+         |ORDER BY symbol, event_ts""".stripMargin.replace("\n", " ")),
+
     // The same as-of join through the custom whole-operator plan
     // (LogicalPlan + Strategy + physical merge exec) — one hash-cluster
     // exchange per side + linear merge, verified by the same oracle.
