@@ -44,9 +44,9 @@ object AnalyticsQueries {
 
     // The Spark-NATIVE sessionization: session_window in the groupBy —
     // one gap-merge aggregation, no lag/running-sum window pair. Session
-    // end here is max event ts (w.end minus the gap). Boundary semantics
-    // (a gap of exactly 30min starts a NEW session) differ from the
-    // lag-form's strict >, so the oracle mirrors >= explicitly.
+    // end here is max event ts (w.end minus the gap). Boundary: an event
+    // at EXACTLY prev + gap continues the session (probed by
+    // SessionBoundarySpec), matching the lag form's strict >.
     Q("sessionize_native",
       (s, dir) => Tables.events(s, dir)
         .groupBy(col("user_id"),
@@ -62,7 +62,7 @@ object AnalyticsQueries {
         |FROM (
         |  SELECT user_id, ts,
         |  CAST(SUM(CASE WHEN prev_ts IS NULL
-        |      OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+        |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
         |    THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
