@@ -100,19 +100,9 @@ object DedupOps {
     val kept = ds.join(dfreq.filter(col("df_") <= maxDf), Seq("sh_h"))
       .select(col("doc_id"), col("sh_h"))
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = kept.as("a").join(kept.as("b"),
-        col("a.sh_h") === col("b.sh_h") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("n_common").cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - col("n_common")), 6)
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    // the pair join + jaccard over the capped index is EXACTLY the plain
+    // screen on a smaller index — one shared implementation
+    ngramJaccardPairsFromIndex(kept, sizes, threshold)
   }
 
   /** MinHash signatures: nHashes affine rehashes of the 31-bit shingle

@@ -176,21 +176,25 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
-  /** Symmetric int8 quantization of the embedding column — the 4×
-    * storage-compression path an ANN deployment runs before indexing.
-    * Per vector: scale = 127 / max|x| (1 if the vector is zero), code_i
-    * = floor(x_i·scale + 0.5) (half-up, exact in both engines), plus the
-    * saturation count and reconstruction error that monitor quantizer
-    * health. Pure narrow map — codes never leave the executor. */
-  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+  /** (embedding, scale, codes) — the shared symmetric-int8 quantization:
+    * scale = 127 / max|x| (1 if the vector is zero), code_i =
+    * floor(x_i·scale + 0.5) (half-up, exact in both engines). */
+  private def withScaleAndCodes(embeddings: DataFrame): DataFrame = {
     val d = transform(col("embedding"), x => abs(x.cast("double")))
     val mx = array_max(d)
     val scale = when(mx === 0.0, lit(1.0)).otherwise(lit(127.0) / mx)
-    val e = embeddings
+    embeddings
       .withColumn("scale", scale)
       .withColumn("codes", transform(col("embedding"),
         x => floor(x.cast("double") * col("scale") + lit(0.5))))
-    e.select(
+  }
+
+  /** Symmetric int8 quantization health report — the 4× storage-
+    * compression path an ANN deployment runs before indexing: per-vector
+    * scale, saturation count, and reconstruction error. Pure narrow
+    * map — codes never leave the executor. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    withScaleAndCodes(embeddings).select(
       col("vec_id"),
       round(col("scale"), 6).as("scale"),
       size(filter(col("codes"), c => abs(c) >= 127))
@@ -199,21 +203,13 @@ object SimilarityOps {
         zip_with(col("embedding"), col("codes"),
           (x, c) => pow(x.cast("double") - c / col("scale"), 2)),
         lit(0.0), (acc, v) => acc + v), 6).as("recon_err"))
-  }
 
   /** Int8 code table (vec_id, c: array<long>) — the stored form of the
-    * quantized corpus. */
-  def int8Codes(embeddings: DataFrame): DataFrame = {
-    val d = transform(col("embedding"), x => abs(x.cast("double")))
-    val mx = array_max(d)
-    val scale = when(mx === 0.0, lit(1.0)).otherwise(lit(127.0) / mx)
-    embeddings
-      .withColumn("scale", scale)
+    * quantized corpus (same scale/code formula as [[quantizeInt8]]). */
+  def int8Codes(embeddings: DataFrame): DataFrame =
+    withScaleAndCodes(embeddings)
       .select(col("vec_id"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * col("scale") + lit(0.5)).cast("long"))
-          .as("c"))
-  }
+        transform(col("codes"), c => c.cast("long")).as("c"))
 
   /** Top-k over the QUANTIZED corpus: integer dot products on int8
     * codes — exact integer arithmetic (no float-parity concerns at

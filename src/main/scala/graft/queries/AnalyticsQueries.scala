@@ -51,10 +51,14 @@ object AnalyticsQueries {
       (s, dir) => Tables.events(s, dir)
         .groupBy(col("user_id"),
           session_window(col("ts"), "30 minutes").as("w"))
-        .agg(count(lit(1)).as("n_events"))
+        // session end = max event ts aggregated directly, rather than
+        // w.end minus a gap constant that would silently diverge from
+        // the session_window duration string
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("smin"), max(col("ts")).as("smax"))
         .select(col("user_id"),
-          unix_micros(col("w.start")).as("start_us"),
-          (unix_micros(col("w.end")) - 1800000000L).as("end_us"),
+          unix_micros(col("smin")).as("start_us"),
+          unix_micros(col("smax")).as("end_us"),
           col("n_events"))
         .orderBy("user_id", "start_us"),
       """SELECT user_id, epoch_us(min(ts)) AS start_us,

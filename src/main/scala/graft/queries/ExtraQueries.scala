@@ -96,18 +96,22 @@ object ExtraQueries {
         |ORDER BY bin NULLS FIRST""".stripMargin.replace("\n", " ")),
 
     // Data profiling: per-column null/distinct counts — the pre-training
-    // audit every ingest runs; unioned single-row aggregates, one pass
-    // per column family.
+    // audit every ingest runs. ONE aggregation computes every column's
+    // stats in a single scan; stack() then unpivots the row to
+    // per-column rows (three separate aggs would scan three times).
     Q("profile_events",
       (s, dir) => {
         val t = TickOps.normalizeEvents(Tables.events(s, dir))
-        def prof(c: String) = t.agg(
-            count(lit(1)).as("n_rows"),
-            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
-            countDistinct(col(c)).as("n_distinct"))
-          .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
-            col("n_distinct"))
-        prof("price").unionByName(prof("qty")).unionByName(prof("trader_id"))
+        val cols = Seq("price", "qty", "trader_id")
+        val aggs = count(lit(1)).as("n_rows") +:
+          cols.flatMap(c => Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+            countDistinct(col(c)).as(s"${c}_distinct")))
+        val stackArgs = cols.map(c =>
+          s"'$c', n_rows, ${c}_nulls, ${c}_distinct").mkString(", ")
+        t.agg(aggs.head, aggs.tail: _*)
+          .select(expr(s"stack(${cols.length}, $stackArgs) " +
+            "AS (col_name, n_rows, n_nulls, n_distinct)"))
           .orderBy("col_name")
       },
       s"""WITH t AS (${TickQueries.normalizedSql})
@@ -247,11 +251,10 @@ object ExtraQueries {
             "price", 600L)
           .orderBy("symbol", "event_ts")
       },
-      // DuckDB's native ASOF JOIN allows exactly one inequality, and its
-      // optimizer pushes the tolerance filter INTO the join — so the
-      // oracle uses the union-window formulation (the same shape as the
-      // composed Spark implementation) with the tolerance as a plain
-      // post-filter.
+      // Independent oracle: DuckDB's NATIVE ASOF JOIN + post-filter. The
+      // MATERIALIZED CTE is an optimization fence — without it DuckDB
+      // pushes the tolerance predicate into the ASOF join and rejects
+      // the second inequality at bind time.
       s"""WITH ticks AS (
          |  SELECT replace(event_type, '.NSE', '') AS symbol, ts AS event_ts,
          |  CAST(value AS DOUBLE) AS price FROM events),
@@ -259,20 +262,13 @@ object ExtraQueries {
          |  SELECT DISTINCT symbol,
          |  make_timestamp((epoch_us(event_ts) // 3600000000) * 3600000000) AS event_ts
          |  FROM ticks),
-         |u AS (
-         |  SELECT symbol, event_ts, price AS v, event_ts AS vts, 0 AS side FROM ticks
-         |  UNION ALL
-         |  SELECT symbol, event_ts, NULL, NULL, 1 FROM probes),
-         |f AS (
-         |  SELECT symbol, event_ts, side,
-         |    last_value(v IGNORE NULLS) OVER
-         |      (PARTITION BY symbol ORDER BY event_ts, side ROWS UNBOUNDED PRECEDING) AS asof_value,
-         |    last_value(vts IGNORE NULLS) OVER
-         |      (PARTITION BY symbol ORDER BY event_ts, side ROWS UNBOUNDED PRECEDING) AS asof_ts
-         |  FROM u)
-         |SELECT symbol, event_ts, asof_value, asof_ts FROM f
-         |WHERE side = 1 AND asof_value IS NOT NULL
-         |AND asof_ts >= event_ts - INTERVAL 600 SECONDS
+         |asof_result AS MATERIALIZED (
+         |  SELECT p.symbol, p.event_ts, t.price AS asof_value,
+         |  t.event_ts AS asof_ts
+         |  FROM probes p ASOF JOIN ticks t
+         |  ON p.symbol = t.symbol AND p.event_ts >= t.event_ts)
+         |SELECT symbol, event_ts, asof_value, asof_ts FROM asof_result
+         |WHERE asof_ts >= event_ts - INTERVAL 600 SECONDS
          |ORDER BY symbol, event_ts""".stripMargin.replace("\n", " ")),
 
     // The same as-of join through the custom whole-operator plan

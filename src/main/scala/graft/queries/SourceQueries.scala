@@ -181,7 +181,12 @@ object SourceQueries {
           System.getProperty("java.io.tmpdir"), "graft_orc",
           java.lang.Integer.toHexString(dir.hashCode)).toString
         val orcDir = s"$work/events_orc"
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(orcDir))) {
+        // idempotence guard on _SUCCESS, not the directory: a directory
+        // write is non-atomic, and a killed first run would otherwise
+        // leave a partial staging every later run silently reads
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$orcDir/_SUCCESS"))) {
+          graft.util.Fs.deleteRec(orcDir)
           Tables.events(s, dir)
             .filter(col("event_id") < 1000)
             .select(col("event_id"), col("event_type"), col("value"))

@@ -31,9 +31,14 @@ object StreamingJoin {
       ("signup", "commerce"), ("error", "ops"))
       .toDF("symbol", "sector")
     val ticks = TickOps.normalizeEvents(StreamingOhlc.rawEventStream(spark, dir))
+    // LEFT join + default bucket: a symbol missing from the dimension
+    // keeps its rows (sector 'ops'), matching the oracle's CASE ... ELSE
+    // semantically — an inner join would only agree while the fixture's
+    // symbol domain exactly covers the dim keys
     val q = ticks
-      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("symbol"))
-      .select(col("event_id"), col("symbol"), col("sector"), col("price"))
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("symbol"), "left")
+      .select(col("event_id"), col("symbol"),
+        coalesce(col("sector"), lit("ops")).as("sector"), col("price"))
       .writeStream
       .format("memory")
       .queryName(queryName)
