@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the single-JVM suite stages shared caches (shingle
+  // index, normalized corpus, cluster labels) across ~90 queries; 8g
+  // spent measurable wall-clock in GC at sf0.1 (SPARK_DRIVER_MEM
+  // overrides; container has 128 GiB)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

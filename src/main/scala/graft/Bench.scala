@@ -30,7 +30,14 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop consumed temp views (complete-mode streaming sinks hold
+      // their full result in driver memory for the rest of the run
+      // otherwise; every query recreates what it needs)
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary)
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      dt
     }
 
     // warmup: exercise scan/agg/join codegen paths once, unmeasured
