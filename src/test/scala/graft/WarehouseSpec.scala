@@ -57,4 +57,16 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     // the rest of the table is unchanged
     assert(reread.count() == ticks.count())
   }
+
+  test("refresh with an empty frame is a no-op (no partitions dropped)") {
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_empty"
+    graft.util.Fs.deleteRec(wh)
+    val ticks = TickOps.normalizeEvents(Tables.events(spark, sf))
+      .withColumn("trade_date", to_date(col("event_ts")))
+    WarehouseOps.refreshPartitions(ticks, wh)
+    val before = spark.read.parquet(wh).count()
+    WarehouseOps.refreshPartitions(ticks.filter(lit(false)), wh)
+    assert(spark.read.parquet(wh).count() == before,
+      "an empty refresh must not touch existing partitions")
+  }
 }
