@@ -22,7 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SimHash {
   def compute(s: UTF8String, nBits: Int): Long = {
-    val toks = s.toString.trim.split("\\s+", -1)
+    // UTF8String.trim strips ASCII-32 spaces ONLY — the semantics of SQL
+    // trim and therefore of the aggregate twin's split(trim(text), ..).
+    // Java String.trim would also strip \t\n\r and silently change the
+    // token list (a trailing "\n" yields a trailing "" token in the SQL
+    // form that must vote here too).
+    val toks = s.trim().toString.split("\\s+", -1)
     val votes = new Array[Int](nBits)
     var t = 0
     while (t < toks.length) {

@@ -20,11 +20,18 @@ import org.apache.spark.sql.functions._
 object AsOfOps {
 
   /** Null handling (both implementations, spec-asserted identical): rows
-    * with a null key or ts — and ticks with a null value — are dropped up
-    * front. Inner as-of semantics can never produce them (SQL equality
-    * never matches null keys; a null probe ts compares with nothing), and
-    * filtering makes the two implementations agree instead of the window
-    * form accidentally grouping all null keys into one partition. */
+    * with a null key or ts are dropped up front — inner as-of semantics
+    * can never produce them (SQL equality never matches null keys; a
+    * null probe ts compares with nothing), and filtering makes the two
+    * implementations agree instead of the window form accidentally
+    * grouping all null keys into one partition.
+    *
+    * Null-VALUE ticks are also dropped: a null observation is not an
+    * observation, so the probe falls through to the latest NON-null
+    * value (the composed form's last(ignoreNulls=true) semantics). Note
+    * this is a deliberate deviation from a bare SQL ASOF JOIN, which
+    * would match the null-value tick and emit a null — the oracles
+    * mirror the skip with `WHERE value IS NOT NULL` on the tick side. */
   private def dropNullTicks(ticks: DataFrame, key: String, ts: String,
                             value: String): DataFrame =
     ticks.filter(col(key).isNotNull && col(ts).isNotNull &&

@@ -79,7 +79,10 @@ object SimilarityKernel {
             while (i < n) { s += a.n_emb(i) * b.n_emb(i); i += 1 }
             val sim = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP)
               .toDouble
-            if (sim >= threshold && a.vec_id != b.vec_id)
+            // a == b is impossible here: diagonal tiles start past
+            // a.vec_id via the binary search, off-diagonal tiles pair
+            // blocks of different pmod residues
+            if (sim >= threshold)
               Some(if (a.vec_id < b.vec_id) Pair(a.vec_id, b.vec_id, sim)
                    else Pair(b.vec_id, a.vec_id, sim))
             else None

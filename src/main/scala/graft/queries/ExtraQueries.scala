@@ -227,7 +227,7 @@ object ExtraQueries {
       },
       s"""WITH ticks AS (
          |  SELECT replace(event_type, '.NSE', '') AS symbol, ts AS event_ts,
-         |  CAST(value AS DOUBLE) AS price FROM events),
+         |  CAST(value AS DOUBLE) AS price FROM events WHERE value IS NOT NULL),
          |probes AS (
          |  SELECT DISTINCT symbol,
          |  make_timestamp((epoch_us(event_ts) // 3600000000) * 3600000000) AS event_ts
@@ -257,7 +257,7 @@ object ExtraQueries {
       // the second inequality at bind time.
       s"""WITH ticks AS (
          |  SELECT replace(event_type, '.NSE', '') AS symbol, ts AS event_ts,
-         |  CAST(value AS DOUBLE) AS price FROM events),
+         |  CAST(value AS DOUBLE) AS price FROM events WHERE value IS NOT NULL),
          |probes AS (
          |  SELECT DISTINCT symbol,
          |  make_timestamp((epoch_us(event_ts) // 3600000000) * 3600000000) AS event_ts
@@ -286,7 +286,7 @@ object ExtraQueries {
       },
       s"""WITH ticks AS (
          |  SELECT replace(event_type, '.NSE', '') AS symbol, ts AS event_ts,
-         |  CAST(value AS DOUBLE) AS price FROM events),
+         |  CAST(value AS DOUBLE) AS price FROM events WHERE value IS NOT NULL),
          |probes AS (
          |  SELECT DISTINCT symbol,
          |  make_timestamp((epoch_us(event_ts) // 3600000000) * 3600000000) AS event_ts

@@ -17,9 +17,7 @@ object PipelineQueries {
     * front so every invocation reprocesses from a clean slate (append
     * sinks + checkpoints are run artifacts, not shared fixtures). */
   private def freshWorkDir(prefix: String, dir: String): String = {
-    val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), prefix,
-      java.lang.Integer.toHexString(dir.hashCode))
+    val p = graft.util.Fs.workDir(prefix, dir)
     graft.util.Fs.deleteRec(p.toString)
     p.toString
   }

@@ -22,19 +22,16 @@ object SourceQueries {
   /** Stage <workdir>/landing/events.zip from the first 1000 events
     * (idempotent per fixture dir). */
   private def stageZip(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val work = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_zip",
-      java.lang.Integer.toHexString(dir.hashCode))
+    val work = graft.util.Fs.workDir("graft_zip", dir)
     val zipPath = work.resolve("landing/events.zip")
     if (!java.nio.file.Files.exists(zipPath)) {
-      java.nio.file.Files.createDirectories(zipPath.getParent)
       val rows = Tables.events(s, dir)
         .filter(col("event_id") < 1000)
         .select(col("event_id"), col("event_type"), col("value"))
         .orderBy("event_id")
         .collect() // fixture staging only — the operator under test is the read path
-      val out = new java.util.zip.ZipOutputStream(
-        java.nio.file.Files.newOutputStream(zipPath))
+      val bytes = new java.io.ByteArrayOutputStream()
+      val out = new java.util.zip.ZipOutputStream(bytes)
       out.putNextEntry(new java.util.zip.ZipEntry("events.csv"))
       val sb = new StringBuilder("event_id,event_type,value\n")
       rows.foreach { r =>
@@ -45,6 +42,7 @@ object SourceQueries {
       out.write(sb.toString.getBytes("UTF-8"))
       out.closeEntry()
       out.close()
+      graft.util.Fs.writeAtomic(zipPath, bytes.toByteArray)
     }
     zipPath.getParent.toString
   }
@@ -65,12 +63,9 @@ object SourceQueries {
     * operator under test is the second-source CSV ingest path.
     * Double round-trip is exact (shortest-repr toString). */
   private def stageBhavcopy(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val work = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_bhav",
-      java.lang.Integer.toHexString(dir.hashCode))
+    val work = graft.util.Fs.workDir("graft_bhav", dir)
     val csvPath = work.resolve("bhav/official_ohlc.csv")
     if (!java.nio.file.Files.exists(csvPath)) {
-      java.nio.file.Files.createDirectories(csvPath.getParent)
       val rows = graft.ops.TickOps.dailyOhlc(
           graft.ops.TickOps.normalizeEvents(Tables.events(s, dir)))
         .orderBy("trade_date", "symbol")
@@ -84,7 +79,9 @@ object SourceQueries {
           .append(r.getAs[Double]("low")).append(',')
           .append(r.getAs[Double]("close")).append('\n')
       }
-      java.nio.file.Files.write(csvPath, sb.toString.getBytes("UTF-8"))
+      // atomic publish: the existence check above must never observe a
+      // partially-written file from a killed earlier run
+      graft.util.Fs.writeAtomic(csvPath, sb.toString.getBytes("UTF-8"))
     }
     csvPath.toString
   }
@@ -103,12 +100,9 @@ object SourceQueries {
     * (shortest-repr toString ↔ JSON parse); bucket = event_id % 7 is
     * oracle-reproducible. */
   private def stageJson(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val work = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_json",
-      java.lang.Integer.toHexString(dir.hashCode))
+    val work = graft.util.Fs.workDir("graft_json", dir)
     val jsonPath = work.resolve("json/events.jsonl")
     if (!java.nio.file.Files.exists(jsonPath)) {
-      java.nio.file.Files.createDirectories(jsonPath.getParent)
       val rows = Tables.events(s, dir)
         .filter(col("event_id") < 1000)
         .select(col("event_id"), col("event_type"), col("value"))
@@ -123,7 +117,8 @@ object SourceQueries {
           .append(",\"meta\":{\"bucket\":").append(r.getLong(0) % 7)
           .append("}}\n")
       }
-      java.nio.file.Files.write(jsonPath, sb.toString.getBytes("UTF-8"))
+      // atomic publish — see stageBhavcopy
+      graft.util.Fs.writeAtomic(jsonPath, sb.toString.getBytes("UTF-8"))
     }
     jsonPath.getParent.toString
   }
@@ -177,9 +172,7 @@ object SourceQueries {
     // the compare proves the format round-trip is lossless.
     Q("orc_ingest",
       (s, dir) => {
-        val work = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft_orc",
-          java.lang.Integer.toHexString(dir.hashCode)).toString
+        val work = graft.util.Fs.workDir("graft_orc", dir).toString
         val orcDir = s"$work/events_orc"
         // idempotence guard on _SUCCESS, not the directory: a directory
         // write is non-atomic, and a killed first run would otherwise

@@ -65,6 +65,14 @@ class DedupTextSpec extends AnyFunSuite with SparkTestBase {
     val native = DedupOps.simhash(fixture, 32)
     val agg = DedupOps.simhashAggForm(fixture, 32)
     assert(native.except(agg).isEmpty && agg.except(native).isEmpty)
+    // whitespace edge cases the fixture never hits: SQL trim is
+    // space-only, so tab/newline padding must tokenize identically on
+    // both paths (a trailing "\n" yields a voting "" token in BOTH)
+    val edgy = Seq((0L, "foo\n"), (1L, "\tbar baz\t"), (2L, "  spaced  "),
+      (3L, ""), (4L, "a b")).toDF("doc_id", "text")
+    val en = DedupOps.simhash(edgy, 32)
+    val ea = DedupOps.simhashAggForm(edgy, 32)
+    assert(en.except(ea).isEmpty && ea.except(en).isEmpty)
     // and the native form is a pure narrow map — zero exchanges
     val plan = native.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
