@@ -121,6 +121,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       s"expected the rank<=N filter pushed into a per-group limit:\n$plan")
   }
 
+  test("quantization is a narrow map; profiling is one scan") {
+    // int8 quantization must not shuffle — codes are per-row
+    val quant = ops.SimilarityOps.quantizeInt8(Tables.embeddings(spark, sf))
+    val qPlan = executedPlan(quant)
+    assert(!qPlan.contains("Exchange"),
+      s"quantization should be shuffle-free:\n$qPlan")
+    // profile_events computes all columns' stats from ONE scan of the
+    // events table (the stack() unpivot must not multiply the source)
+    val prof = SparkEntry.queries("profile_events")(spark, sf)
+    val pPlan = executedPlan(prof)
+    val scans = "Scan parquet".r.findAllIn(pPlan).length
+    assert(scans == 1, s"expected one events scan, got $scans:\n$pPlan")
+  }
+
   test("whole-stage codegen covers the normalize pipeline") {
     val t = TickOps.normalizeEvents(Tables.events(spark, sf))
     val plan = executedPlan(t)
