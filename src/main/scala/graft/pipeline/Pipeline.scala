@@ -32,15 +32,23 @@ object Pipeline {
     StructField("event_id", LongType)))
 
   /** Run the full daily pipeline against a fixture dir; artifacts land
-    * under `workDir`. Returns per-stage row counts (the QC report). */
+    * under `workDir`. Returns per-stage row counts (the QC report).
+    *
+    * Stage counts that correspond to a write ride that write as
+    * `Observation` metrics — collected by the executors DURING the job,
+    * so they cost zero extra actions/scans; only count-of-something-
+    * never-written (csv read-back, missing keys, MV read-back,
+    * partitions) goes through the one union-of-aggregates job. */
   def runDaily(spark: SparkSession, fixtureDir: String, workDir: String): Result = {
     // E1: ingest + normalize + day-partitioned parquet warehouse
+    val obsWh = new org.apache.spark.sql.Observation("wh_rows")
     val ticks = TickOps.normalizeEvents(Tables.events(spark, fixtureDir))
       .withColumn("trade_date", to_date(col("event_ts")))
     // cluster rows by the partition column before the partitioned write:
     // one file per date instead of (#tasks × #dates) small files — the
     // standard small-files discipline for a partitioned warehouse
-    ticks.repartition(col("trade_date"))
+    ticks.observe(obsWh, count(lit(1)).as("n"))
+      .repartition(col("trade_date"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("trade_date")
       .parquet(s"$workDir/warehouse/ticks")
@@ -73,36 +81,37 @@ object Pipeline {
         max(col("high")).as("high"), min(col("low")).as("low"),
         max_by(col("close"), col("bar_start")).as("close"))
     val recon = QualityOps.reconcile(daily, official, Seq("trade_date", "symbol"))
-    invalid.coalesce(1).write.mode(SaveMode.Overwrite)
+    val obsInvalid = new org.apache.spark.sql.Observation("invalid_rows")
+    invalid.observe(obsInvalid, count(lit(1)).as("n"))
+      .coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(s"$workDir/reports/invalid")
-    recon.coalesce(1).write.mode(SaveMode.Overwrite)
+    val obsRecon = new org.apache.spark.sql.Observation("recon_rows")
+    recon.observe(obsRecon, count(lit(1)).as("n"))
+      .coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(s"$workDir/reports/reconcile")
 
     // E3: analytics materialization (the reference's MV → parquet table)
     hourly.write.mode(SaveMode.Overwrite)
       .parquet(s"$workDir/warehouse/hourly_ohlc")
 
-    // QC report: ONE union-of-aggregates job instead of seven count()
-    // actions — each branch collapses to a single row before the union,
-    // so the driver fires one collect over seven tiny partial aggregates
-    // (the warehouse scan is still shared via the cache above)
+    // Remaining counts (nothing wrote them): ONE union-of-aggregates job
+    // — each branch collapses to a single row before the union, so the
+    // driver fires one collect over four tiny partial aggregates (the
+    // warehouse scan is still shared via the cache above)
     def labeled(df: DataFrame, label: String): DataFrame =
       df.agg(count(lit(1)).as("n")).select(lit(label).as("k"), col("n"))
-    val counts = labeled(warehouse, "warehouse")
-      .unionByName(labeled(csvBack, "csv"))
-      .unionByName(labeled(invalid, "invalid"))
+    val counts = labeled(csvBack, "csv")
       .unionByName(labeled(missing, "missing"))
-      .unionByName(labeled(recon, "recon"))
       .unionByName(labeled(spark.read.parquet(s"$workDir/warehouse/hourly_ohlc"), "hourly"))
       .unionByName(warehouse.agg(countDistinct(col("trade_date")).as("n"))
         .select(lit("partitions").as("k"), col("n")))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val result = Result(
-      warehouseRows = counts("warehouse"),
+      warehouseRows = obsWh.get("n").asInstanceOf[Long],
       csvRoundtripRows = counts("csv"),
-      invalidRows = counts("invalid"),
+      invalidRows = obsInvalid.get("n").asInstanceOf[Long],
       missingSymbols = counts("missing"),
-      reconcileRows = counts("recon"),
+      reconcileRows = obsRecon.get("n").asInstanceOf[Long],
       hourlyBars = counts("hourly"),
       partitions = counts("partitions"))
     warehouse.unpersist()
