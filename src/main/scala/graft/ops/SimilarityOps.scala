@@ -233,13 +233,67 @@ object SimilarityOps {
   }
 
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold.
-    * Exact baseline (triangular self-join over pre-normalized vectors);
-    * at scale, block with [[ivfAssign]] cells first. */
+    * EXACT SMALL-N BASELINE ONLY — a triangular self-join is O(n²) pairs
+    * and must never run on a full production corpus; the scale path is
+    * [[cosineNearDupPairsBlocked]] (IVF-cell candidates, then verify),
+    * and the exact-but-tiled middle ground is
+    * [[SimilarityKernel.cosineNearDupPairsKernelNorm]]. */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
     val e = normalizedCorpus(embeddings)
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         dotCosine(col("a.n_emb"), col("b.n_emb")).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+
+  /** Multi-probe IVF cell assignment: each vector lands in its `nprobe`
+    * nearest cells, so a pair sitting on a cell boundary still collides
+    * in at least one shared cell (the standard recall repair for
+    * cell-blocked pairing; nprobe=1 degenerates to [[ivfAssignNorm]]).
+    * Output (vec_id, cell) has nprobe rows per vector. */
+  def ivfMultiAssignNorm(corpus: DataFrame, nCells: Int, nprobe: Int): DataFrame = {
+    val centroids = corpus.orderBy(col("vec_id").asc).limit(nCells)
+      .select(col("vec_id").as("centroid_id"), col("n_emb").as("c_emb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("centroid_id").asc)
+    corpus.join(broadcast(centroids), expr("true"))
+      .select(col("vec_id"), col("centroid_id"),
+        dotCosine(col("n_emb"), col("c_emb")).as("c_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id"), col("centroid_id").as("cell"))
+  }
+
+  /** SCALE PATH for embedding near-dup: candidates are generated by IVF
+    * cell blocking — pairs must share one of their `nprobe` nearest
+    * cells — and only candidates are verified with the exact dot
+    * product. The candidate join is EQUALITY-KEYED on the cell id
+    * (never all-pairs): work is Σ over cells of |cell|², bounded by
+    * nprobe²·n²/nCells for balanced cells, and nCells scales with the
+    * corpus — the same candidates-then-verify shape as
+    * [[graft.ops.DedupOps.minhashLshPairsFromIndex]] for text.
+    * Approximate by construction (a near-dup pair whose members share
+    * no probed cell is missed); the oracle implements the identical
+    * blocking so results still hash-match. */
+  def cosineNearDupPairsBlocked(embeddings: DataFrame, threshold: Double,
+                                nCells: Int, nprobe: Int = 2): DataFrame =
+    cosineNearDupPairsBlockedNorm(normalizedCorpus(embeddings),
+      threshold, nCells, nprobe)
+
+  def cosineNearDupPairsBlockedNorm(corpus: DataFrame, threshold: Double,
+                                    nCells: Int, nprobe: Int = 2): DataFrame = {
+    val assigned = ivfMultiAssignNorm(corpus, nCells, nprobe)
+    val cands = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cands
+      .join(corpus.select(col("vec_id").as("vec_a"), col("n_emb").as("ea")),
+        Seq("vec_a"))
+      .join(corpus.select(col("vec_id").as("vec_b"), col("n_emb").as("eb")),
+        Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        dotCosine(col("ea"), col("eb")).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
 }

@@ -184,6 +184,39 @@ object SimilarityQueries {
          |${dotCosine("a.n_emb", "b.n_emb")} AS cosine_sim
          |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
          |WHERE ${dotCosine("a.n_emb", "b.n_emb")} >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin.replace("\n", " ")),
+
+    // Embedding near-dup at scale: IVF-cell blocked candidates (each
+    // vector in its 2 nearest of 16 cells; pairs must share a cell —
+    // an equality-keyed join, never all-pairs), exact-cosine verify.
+    // This is the operator a 100 TB dedup run invokes; the exact forms
+    // above are the small-n baseline and the tiled middle ground.
+    Q("dedup_embedding_blocked",
+      (s, dir) => SimilarityOps
+        .cosineNearDupPairsBlockedNorm(Staged.normCorpus(s, dir), 0.4, 16, 2)
+        .orderBy("vec_a", "vec_b"),
+      s"""WITH corpus AS ($normCorpus),
+         |cents AS (
+         |  SELECT vec_id AS centroid_id, n_emb AS c_emb
+         |  FROM corpus ORDER BY vec_id LIMIT 16),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id AS cell FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${dotCosine("e.n_emb", "c.c_emb")} DESC, c.centroid_id ASC) AS rn
+         |    FROM corpus e CROSS JOIN cents c)
+         |  WHERE rn <= 2),
+         |cands AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM assigned a JOIN assigned b
+         |  ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT vec_a, vec_b, ${dotCosine("ca.n_emb", "cb.n_emb")} AS cosine_sim
+         |  FROM cands
+         |  JOIN corpus ca ON vec_a = ca.vec_id
+         |  JOIN corpus cb ON vec_b = cb.vec_id)
+         |SELECT vec_a, vec_b, cosine_sim FROM scored
+         |WHERE cosine_sim >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin.replace("\n", " "))
   )
 }

@@ -92,9 +92,17 @@ object Staged {
       val nPairs = pairs.count() // cached — cheap, and stages the set
       val parts = math.max(2, math.min(32, (nPairs / 50000L).toInt + 2))
       val prev = s.conf.get("spark.sql.shuffle.partitions")
+      val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
       s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      // AQE re-plans every exchange of every round's job from scratch —
+      // pure driver latency once the loop's shuffles are already sized
+      // here (label tables are tiny relative to the pair count bound)
+      s.conf.set("spark.sql.adaptive.enabled", "false")
       try DedupOps.dupClusters(pairs).cache()
-      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
     })
 
   /** Unpersist every staged block and drop all memo entries. */

@@ -64,4 +64,39 @@ class AsOfPropertySpec extends AnyFunSuite with SparkTestBase {
       assert(composed == expected, s"composed diverged at seed $seed")
     }
   }
+
+  test("null keys/timestamps/values are dropped identically by both forms") {
+    // nulls on every column that participates in the merge: a null-key
+    // tick and probe, a null-ts tick and probe, and a null-VALUE tick
+    // sitting between two valid ticks (the probe must fall through to
+    // the latest non-null observation, not match the null one).
+    val ticks = Seq(
+      (Some("A"), Some(10L), Some(1.0)),
+      (Some("A"), Some(20L), None: Option[Double]), // null value: skipped
+      (None: Option[String], Some(15L), Some(99.0)), // null key
+      (Some("A"), None: Option[Long], Some(98.0)), // null ts
+      (Some("B"), Some(5L), Some(7.0)))
+    val probes = Seq(
+      (Some("A"), Some(25L)), // sees 1.0@10 (null-value tick skipped)
+      (None: Option[String], Some(25L)), // null key: dropped
+      (Some("B"), None: Option[Long]), // null ts: dropped
+      (Some("B"), Some(4L))) // before any B tick: inner drop
+    val tdf = ticks.toDF("symbol", "s", "price")
+      .selectExpr("symbol", "timestamp_micros(s * 1000000) AS event_ts", "price")
+    val pdf = probes.toDF("symbol", "s")
+      .selectExpr("symbol", "timestamp_micros(s * 1000000) AS event_ts")
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("symbol", "unix_micros(event_ts) / 1000000", "asof_value",
+        "unix_micros(asof_ts) / 1000000")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    val native = run(
+      AsOfOps.asofJoinNative(tdf, pdf, "symbol", "event_ts", "price"))
+    val composed = run(
+      AsOfOps.asofJoin(tdf, pdf, "symbol", "event_ts", "price"))
+    val expected = Set(("A", 25.0, 1.0, 10.0))
+    assert(native == expected)
+    assert(composed == expected)
+  }
 }

@@ -112,6 +112,18 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(lshPlan.contains("BroadcastHashJoin") ||
       lshPlan.contains("ShuffledHashJoin") || lshPlan.contains("SortMergeJoin"),
       s"expected an equality-keyed candidate join:\n$lshPlan")
+
+    // the blocked embedding near-dup: candidate generation must be
+    // equality-keyed on the cell id — the only non-equi join allowed is
+    // the broadcast of the 16-row centroid set
+    val blocked = ops.SimilarityOps.cosineNearDupPairsBlocked(
+      Tables.embeddings(spark, sf), 0.4, 16, 2)
+    val bPlan = executedPlan(blocked)
+    assert(!bPlan.contains("CartesianProduct"),
+      s"blocked near-dup degenerated to all-pairs:\n$bPlan")
+    assert(bPlan.contains("BroadcastHashJoin") ||
+      bPlan.contains("ShuffledHashJoin") || bPlan.contains("SortMergeJoin"),
+      s"expected an equality-keyed candidate join:\n$bPlan")
   }
 
   test("per-group top-N rank filter plans as WindowGroupLimit, not filter-after-full-window") {
