@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Error bound for the one query no DuckDB oracle can hash-match:
+  * `order_stats_approx` (HLL++ distinct counts). Spark's
+  * approx_count_distinct default rsd is 0.05, so each group's estimate must
+  * sit within 5% of the exact `order_stats` twin — checked at both the
+  * correctness SF (0.01) and the bench SF (0.1).
+  */
+class ApproxBoundSpec extends AnyFunSuite with SparkTestBase {
+
+  private def check(dir: String): Unit = {
+    val exact = SparkEntry.queries("order_stats")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val approx = SparkEntry.queries("order_stats_approx")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(exact.keySet == approx.keySet, "group sets diverge")
+    exact.foreach { case (flag, (nOrders, nParts, nRows)) =>
+      val (aOrders, aParts, aRows) = approx(flag)
+      assert(aRows == nRows, s"$flag: exact row counts must be identical")
+      val errOrders = math.abs(aOrders - nOrders).toDouble / nOrders
+      val errParts = math.abs(aParts - nParts).toDouble / nParts
+      assert(errOrders <= 0.05,
+        s"$flag: approx_orders off by ${errOrders * 100}% ($aOrders vs $nOrders)")
+      assert(errParts <= 0.05,
+        s"$flag: approx_parts off by ${errParts * 100}% ($aParts vs $nParts)")
+    }
+  }
+
+  test("order_stats_approx within 5% of the exact twin at sf0.01") {
+    check("/root/testdata/sf0.01")
+  }
+
+  test("order_stats_approx within 5% of the exact twin at sf0.1") {
+    check("/root/testdata/sf0.1")
+  }
+}
