@@ -43,6 +43,15 @@ object Bench {
     // warmup: exercise scan/agg/join codegen paths once, unmeasured
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // ...and touch every fixture table once: the first parquet read in a
+    // JVM pays Hadoop/parquet reader initialization (~seconds) that is
+    // session startup, not query cost — without this the alphabetically
+    // first query per table gets billed for it
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+      "region", "documents", "embeddings").foreach { t =>
+      try Tables.load(spark, sfDir, t).count()
+      catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> force(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

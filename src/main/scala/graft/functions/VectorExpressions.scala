@@ -69,11 +69,96 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** One-pass L2 normalization: out_i = x_i / sqrt(Σ x_j²), input
+  * array<float> or array<double>, output array<double>.
+  *
+  * The declarative form — `transform(d, x => x / sqrt(graft_dot(d, d)))`
+  * — re-evaluates the norm subtree PER ELEMENT (the lambda body can't be
+  * subexpression-eliminated across elements), a 64× blow-up at dim 64
+  * that dominated corpus staging. This expression computes the norm once
+  * per row; the Σx² fold and the per-element division are in the same
+  * left-to-right order as the declarative form and the DuckDB oracle's
+  * list_sum, so normalized values are bit-identical (spec-asserted).
+  * Array elements are assumed non-null (embedding vectors). A zero
+  * vector has no direction: the result is NULL (ANSI-safe — the naive
+  * x/0.0 is a DIVIDE_BY_ZERO error under Spark 4's default ANSI mode);
+  * an empty array stays empty. */
+case class ArrayL2Normalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_l2norm"
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) |
+         ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double>, got ${t.catalogString}")
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val d = new Array[Double](n)
+    var i = 0
+    if (elemIsFloat) while (i < n) { d(i) = x.getFloat(i).toDouble; i += 1 }
+    else while (i < n) { d(i) = x.getDouble(i); i += 1 }
+    var s = 0.0
+    i = 0
+    while (i < n) { s += d(i) * d(i); i += 1 }
+    if (n > 0 && s == 0.0) null
+    else {
+      val nrm = math.sqrt(s)
+      i = 0
+      while (i < n) { d(i) = d(i) / nrm; i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(d)
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val nrm = ctx.freshName("nrm")
+      val get = if (elemIsFloat) s"(double) $a.getFloat" else s"$a.getDouble"
+      s"""
+         |int $n = $a.numElements();
+         |double[] $d = new double[$n];
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $d[$i] = $get($i);
+         |  $s += $d[$i] * $d[$i];
+         |}
+         |if ($n > 0 && $s == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $nrm = java.lang.Math.sqrt($s);
+         |  for (int $i = 0; $i < $n; $i++) { $d[$i] = $d[$i] / $nrm; }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($d);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Registration for graft's native functions — callable from any session
   * (runtime registry) or via spark.sql.extensions (injected). */
 object GraftFunctions {
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => ArrayDotProduct(es.head, es(1))),
+    "graft_l2norm" -> (es => ArrayL2Normalize(es.head)),
     "graft_md5long60" -> (es => Md5Long60(es.head)),
     "graft_shingles" -> (es => Shingles.fromArgs(es)),
     "graft_minhash" -> (es => MinHashAgg.fromArgs(es)),
@@ -97,6 +182,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
       (es: Seq[Expression]) => ArrayDotProduct(es.head, es(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_l2norm"),
+      new ExpressionInfo(classOf[ArrayL2Normalize].getName, "graft_l2norm"),
+      (es: Seq[Expression]) => ArrayL2Normalize(es.head)))
     e.injectFunction((
       new FunctionIdentifier("graft_md5long60"),
       new ExpressionInfo(classOf[Md5Long60].getName, "graft_md5long60"),

@@ -24,12 +24,23 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** L2-normalized double vector (one pass for the norm, one for the
-    * scale — per ROW, not per pair). */
-  def l2Normalize(e: Column): Column = {
+  /** L2-normalized double vector via the native one-pass expression
+    * (functions.ArrayL2Normalize): norm computed ONCE per row. The
+    * declarative HOF twin [[l2NormalizeHof]] re-evaluates the norm
+    * subtree per element (64× at dim 64); a spec asserts the two are
+    * bit-identical. (Callers reach this via [[normalizedCorpus]], which
+    * registers graft functions.) */
+  def l2Normalize(e: Column): Column = call_function("graft_l2norm", e)
+
+  /** Declarative formulation of [[l2Normalize]] — kept as the
+    * cross-check twin for the native expression (same fold order as the
+    * DuckDB oracle's list_sum; same zero-vector → null contract, which
+    * is also what keeps it ANSI-safe). */
+  def l2NormalizeHof(e: Column): Column = {
     val d = transform(e, x => x.cast("double"))
     val n = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
-    transform(d, x => x / n)
+    when(n === 0.0 && size(e) > 0, lit(null))
+      .otherwise(transform(d, x => x / n))
   }
 
   /** Cosine of two pre-normalized vectors: a single dot-product pass via

@@ -206,12 +206,15 @@ object ExtraQueries {
       (s, dir) => Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          // rsd 0.01 (vs the 0.05 default): rsd is a standard deviation,
+          // rsd 0.02 (vs the 0.05 default): rsd is a standard deviation,
           // not a bound — at 0.05 the observed per-group error reached
-          // 8.6% at sf0.01; 0.01 keeps 3σ ≈ 3% under ApproxBoundSpec's
-          // 5% gate for ~16 KiB of registers per group
-          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          // 8.6% at sf0.01. 0.02 keeps the worst observed group at 3.3%
+          // under ApproxBoundSpec's 5% gate (deterministic estimator, so
+          // the margin is stable), at 4 KiB of registers per sketch —
+          // rsd 0.01's 16 KiB sketches made the approx SLOWER than the
+          // exact countDistinct at sf0.1
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag"),
       None),

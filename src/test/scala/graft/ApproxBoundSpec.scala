@@ -3,10 +3,11 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Error bound for the one query no DuckDB oracle can hash-match:
-  * `order_stats_approx` (HLL++ distinct counts). Spark's
-  * approx_count_distinct default rsd is 0.05, so each group's estimate must
-  * sit within 5% of the exact `order_stats` twin — checked at both the
-  * correctness SF (0.01) and the bench SF (0.1).
+  * `order_stats_approx` (HLL++ distinct counts). The query pins
+  * rsd=0.02 (worst observed group error 3.3% — HLL++ is deterministic,
+  * so the margin is stable run-to-run); each group's estimate must sit
+  * within 5% of the exact `order_stats` twin at both the correctness
+  * SF (0.01) and the bench SF (0.1).
   */
 class ApproxBoundSpec extends AnyFunSuite with SparkTestBase {
 
