@@ -77,26 +77,72 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
-  /** IVF cell assignment: nearest of `nCells` fixed centroids (the
-    * vectors with the smallest vec_ids — deterministic seed centroids;
-    * production would k-means them). Ties break to the smaller centroid. */
-  def ivfAssign(embeddings: DataFrame, nCells: Int): DataFrame =
-    ivfAssignNorm(normalizedCorpus(embeddings), nCells)
-
-  def ivfAssignNorm(corpus: DataFrame, nCells: Int): DataFrame = {
-    val centroids = corpus.orderBy(col("vec_id").asc).limit(nCells)
-      .select(col("vec_id").as("centroid_id"), col("n_emb").as("c_emb"))
-    // argmax via max_by, not a row_number window: one hash-aggregate with
-    // map-side partials over the n×nCells scored rows instead of a full
-    // sort-per-key exchange. Ties (equal rounded c_sim) break to the
-    // smaller centroid_id via the negated second struct field.
+  /** Assignment of every corpus vector to its nearest centroid from an
+    * arbitrary centroid table (centroid_id, c_emb). Argmax via max_by,
+    * not a row_number window: one hash-aggregate with map-side partials
+    * over the n×nCells scored rows instead of a full sort-per-key
+    * exchange. Ties (equal rounded c_sim) break to the smaller
+    * centroid_id via the negated second struct field. */
+  private def assignTo(corpus: DataFrame, centroids: DataFrame): DataFrame =
     corpus.join(broadcast(centroids), expr("true"))
       .select(col("vec_id"), col("centroid_id"),
         dotCosine(col("n_emb"), col("c_emb")).as("c_sim"))
       .groupBy(col("vec_id"))
       .agg(max_by(col("centroid_id"),
         struct(col("c_sim"), (-col("centroid_id")).as("neg_id"))).as("cell"))
+
+  /** Deterministic spherical-k-means centroids: the `nCells` lowest-
+    * vec_id vectors seed the cells, then `iters` Lloyd rounds refine
+    * them — assign every vector to its nearest centroid, recompute each
+    * non-empty cell's centroid as the L2-normalized element-wise mean
+    * of its members, round to 6 dp (cross-engine pin).
+    *
+    * Scale + determinism, by construction:
+    *  - only the `sampleM` lowest-vec_id members of a cell feed its
+    *    mean — centroid estimation from a bounded deterministic sample,
+    *    the production shape at 10^9 vectors (a full-cell fold has
+    *    unbounded task memory; a random sample isn't reproducible);
+    *  - the member fold runs in vec_id order (sorted collect over ≤
+    *    sampleM rows), so the FP sum is exactly reproducible and the
+    *    DuckDB oracle (OracleFrags.ivfCentroids) mirrors it bit-for-bit.
+    */
+  def ivfCentroidsNorm(corpus: DataFrame, nCells: Int, iters: Int = 1,
+                       sampleM: Int = 256): DataFrame = {
+    var cents = corpus.orderBy(col("vec_id").asc).limit(nCells)
+      .select(col("vec_id").as("centroid_id"), col("n_emb").as("c_emb"))
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy(col("cell")).orderBy(col("vec_id").asc)
+      val sampled = assignTo(corpus, cents)
+        .join(corpus, Seq("vec_id"))
+        .withColumn("m_rn", row_number().over(w))
+        .filter(col("m_rn") <= sampleM)
+      val grouped = sampled.groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("n_emb"))))
+          .as("ms"))
+      val dim = size(element_at(col("ms"), 1).getField("n_emb"))
+      val sums = aggregate(col("ms"), array_repeat(lit(0.0), dim),
+        (acc, m) => zip_with(acc, m.getField("n_emb"), (a, b) => a + b))
+      val meanArr = transform(sums, x => x / size(col("ms")))
+      cents = grouped.select(col("cell").as("centroid_id"),
+        transform(call_function("graft_l2norm", meanArr),
+          x => round(x, 6)).as("c_emb"))
+    }
+    cents
   }
+
+  /** IVF cell assignment against the Lloyd-refined centroids
+    * ([[ivfCentroidsNorm]]). Ties break to the smaller centroid. */
+  def ivfAssign(embeddings: DataFrame, nCells: Int): DataFrame =
+    ivfAssignNorm(normalizedCorpus(embeddings), nCells)
+
+  def ivfAssignNorm(corpus: DataFrame, nCells: Int): DataFrame =
+    assignTo(corpus, ivfCentroidsNorm(corpus, nCells))
+
+  /** Same, against an externally staged centroid table — the production
+    * shape: the coarse quantizer is trained once and shared by every
+    * assignment/search job (queries.Staged.ivfCentroids). */
+  def ivfAssignNormWith(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignTo(corpus, centroids)
 
   /** IVF top-k: probe the `nprobe` nearest cells per query, rank only
     * within probed cells. Approximate by construction; the oracle
@@ -106,10 +152,12 @@ object SimilarityOps {
     ivfTopKNorm(normalizedCorpus(embeddings), queryIds, k, nCells, nprobe)
 
   def ivfTopKNorm(corpus: DataFrame, queryIds: Seq[Long], k: Int,
-                  nCells: Int, nprobe: Int): DataFrame = {
-    val centroids = corpus.orderBy(col("vec_id").asc).limit(nCells)
-      .select(col("vec_id").as("centroid_id"), col("n_emb").as("c_emb"))
-    val assigned = ivfAssignNorm(corpus, nCells).join(corpus, Seq("vec_id"))
+                  nCells: Int, nprobe: Int): DataFrame =
+    ivfTopKNormWith(corpus, ivfCentroidsNorm(corpus, nCells), queryIds, k, nprobe)
+
+  def ivfTopKNormWith(corpus: DataFrame, centroids: DataFrame,
+                      queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+    val assigned = assignTo(corpus, centroids).join(corpus, Seq("vec_id"))
     val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("n_emb").as("q_emb"))
     val probeW = Window.partitionBy(col("query_id"))
@@ -262,9 +310,11 @@ object SimilarityOps {
     * in at least one shared cell (the standard recall repair for
     * cell-blocked pairing; nprobe=1 degenerates to [[ivfAssignNorm]]).
     * Output (vec_id, cell) has nprobe rows per vector. */
-  def ivfMultiAssignNorm(corpus: DataFrame, nCells: Int, nprobe: Int): DataFrame = {
-    val centroids = corpus.orderBy(col("vec_id").asc).limit(nCells)
-      .select(col("vec_id").as("centroid_id"), col("n_emb").as("c_emb"))
+  def ivfMultiAssignNorm(corpus: DataFrame, nCells: Int, nprobe: Int): DataFrame =
+    ivfMultiAssignNormWith(corpus, ivfCentroidsNorm(corpus, nCells), nprobe)
+
+  def ivfMultiAssignNormWith(corpus: DataFrame, centroids: DataFrame,
+                             nprobe: Int): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_sim").desc, col("centroid_id").asc)
     corpus.join(broadcast(centroids), expr("true"))
@@ -292,8 +342,15 @@ object SimilarityOps {
       threshold, nCells, nprobe)
 
   def cosineNearDupPairsBlockedNorm(corpus: DataFrame, threshold: Double,
-                                    nCells: Int, nprobe: Int = 2): DataFrame = {
-    val assigned = ivfMultiAssignNorm(corpus, nCells, nprobe)
+                                    nCells: Int, nprobe: Int = 2): DataFrame =
+    cosineNearDupPairsBlockedNormWith(corpus,
+      ivfCentroidsNorm(corpus, nCells), threshold, nprobe)
+
+  def cosineNearDupPairsBlockedNormWith(corpus: DataFrame,
+                                        centroids: DataFrame,
+                                        threshold: Double,
+                                        nprobe: Int = 2): DataFrame = {
+    val assigned = ivfMultiAssignNormWith(corpus, centroids, nprobe)
     val cands = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))

@@ -356,15 +356,14 @@ object ExtraQueries {
     // trigger; a single agg over the assignment pass).
     Q("ivf_cell_stats",
       (s, dir) => graft.ops.SimilarityOps
-        .ivfAssignNorm(Staged.normCorpus(s, dir), 16)
+        .ivfAssignNormWith(Staged.normCorpus(s, dir),
+          Staged.ivfCentroids(s, dir, 16))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n_vectors"),
           min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
         .orderBy("cell"),
       s"""WITH corpus AS (${OracleFrags.normCorpus}),
-         |cents AS (
-         |  SELECT vec_id AS centroid_id, n_emb AS c_emb
-         |  FROM corpus ORDER BY vec_id LIMIT 16),
+         |cents AS (SELECT * FROM ${OracleFrags.ivfCentroids(16)}),
          |assigned AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT e.vec_id, c.centroid_id AS cell,

@@ -38,6 +38,41 @@ object OracleFrags {
   def dotCosine(a: String, b: String, dim: Int = 64): String =
     s"round(list_sum(list_transform(range(1, ${dim + 1}), i -> ($a)[i] * ($b)[i])), 6)"
 
+  /** Lloyd-refined IVF centroid relation (centroid_id, c_emb) — mirrors
+    * ops.SimilarityOps.ivfCentroidsNorm (1 iteration): lowest-vec_id
+    * seeds → assign → per-cell element-wise mean over the sampleM
+    * lowest-vec_id members, summed in vec_id order (bit-identical to the
+    * Spark-side sorted fold) → L2-normalize → round 6 dp. Expects a
+    * `corpus(vec_id, n_emb)` CTE in scope. */
+  def ivfCentroids(nCells: Int, sampleM: Int = 256, dim: Int = 64): String =
+    s"""(WITH cents0 AS (
+       |  SELECT vec_id AS centroid_id, n_emb AS c_emb
+       |  FROM corpus ORDER BY vec_id LIMIT $nCells),
+       |a0 AS (
+       |  SELECT vec_id, n_emb, cell FROM (
+       |    SELECT e.vec_id, e.n_emb, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${dotCosine("e.n_emb", "c.c_emb", dim)} DESC,
+       |        c.centroid_id ASC) AS rn
+       |    FROM corpus e CROSS JOIN cents0 c) WHERE rn = 1),
+       |samp AS (
+       |  SELECT vec_id, n_emb, cell FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY cell ORDER BY vec_id) AS mrn
+       |    FROM a0) WHERE mrn <= $sampleM),
+       |comp AS (
+       |  SELECT cell, i, list_sum(list(n_emb[i] ORDER BY vec_id)) AS s,
+       |    count(*) AS n
+       |  FROM samp CROSS JOIN
+       |    (SELECT CAST(unnest(range(1, ${dim + 1})) AS INT) AS i)
+       |  GROUP BY cell, i),
+       |m AS (SELECT cell, list(s / n ORDER BY i) AS mean_emb
+       |  FROM comp GROUP BY cell)
+       |SELECT cell AS centroid_id,
+       |  list_transform(mean_emb, x -> round(x /
+       |    sqrt(list_sum(list_transform(mean_emb, y -> y * y))), 6)) AS c_emb
+       |FROM m)""".stripMargin.replace("\n", " ")
+
   /** 31-bit md5-based hash — mirrors functions.Hashing.h31. */
   def h31(expr: String): String = Hashing.sqlH31(expr)
 

@@ -40,14 +40,13 @@ object SimilarityQueries {
 
     // IVF top-k: 16 seed centroids, probe the 4 nearest cells per query.
     Q("ann_topk_ivf",
-      (s, dir) => SimilarityOps.ivfTopKNorm(Staged.normCorpus(s, dir), QueryIds, K, 16, 4)
+      (s, dir) => SimilarityOps.ivfTopKNormWith(Staged.normCorpus(s, dir),
+          Staged.ivfCentroids(s, dir, 16), QueryIds, K, 4)
         .select(col("query_id"), col("neighbor_id"), col("cosine_sim"),
           col("rank").cast("int").as("rank"))
         .orderBy("query_id", "rank"),
       s"""WITH corpus AS ($normCorpus),
-         |cents AS (
-         |  SELECT vec_id AS centroid_id, n_emb AS c_emb
-         |  FROM corpus ORDER BY vec_id LIMIT 16),
+         |cents AS (SELECT * FROM ${OracleFrags.ivfCentroids(16)}),
          |assigned AS (
          |  SELECT vec_id, n_emb, cell FROM (
          |    SELECT e.vec_id, e.n_emb, c.centroid_id AS cell,
@@ -193,12 +192,11 @@ object SimilarityQueries {
     // above are the small-n baseline and the tiled middle ground.
     Q("dedup_embedding_blocked",
       (s, dir) => SimilarityOps
-        .cosineNearDupPairsBlockedNorm(Staged.normCorpus(s, dir), 0.4, 16, 2)
+        .cosineNearDupPairsBlockedNormWith(Staged.normCorpus(s, dir),
+          Staged.ivfCentroids(s, dir, 16), 0.4, 2)
         .orderBy("vec_a", "vec_b"),
       s"""WITH corpus AS ($normCorpus),
-         |cents AS (
-         |  SELECT vec_id AS centroid_id, n_emb AS c_emb
-         |  FROM corpus ORDER BY vec_id LIMIT 16),
+         |cents AS (SELECT * FROM ${OracleFrags.ivfCentroids(16)}),
          |assigned AS (
          |  SELECT vec_id, centroid_id AS cell FROM (
          |    SELECT e.vec_id, c.centroid_id,

@@ -62,6 +62,19 @@ object Staged {
     corpusMemo.getOrElseUpdate((s, dir),
       graft.ops.SimilarityOps.normalizedCorpus(Tables.embeddings(s, dir)).cache())
 
+  private val centroidMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Int), DataFrame]
+
+  /** Lloyd-refined IVF centroids over [[normCorpus]], trained once per
+    * session+dir+nCells — the staged coarse quantizer every IVF
+    * assignment/search/blocking job shares (16×64 doubles: broadcast
+    * scale). */
+  def ivfCentroids(s: SparkSession, dir: String, nCells: Int): DataFrame =
+    centroidMemo.getOrElseUpdate((s, dir, nCells),
+      graft.ops.SimilarityOps
+        .ivfCentroidsNorm(normCorpus(s, dir), nCells).cache())
+
   private val simhashMemo =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, Int), DataFrame]
@@ -109,10 +122,11 @@ object Staged {
   def clear(): Unit = {
     memo.values.foreach(_.unpersist())
     corpusMemo.values.foreach(_.unpersist())
+    centroidMemo.values.foreach(_.unpersist())
     simhashMemo.values.foreach(_.unpersist())
     clusterMemo.values.foreach(_.unpersist())
     indexMemo.values.foreach { case (a, b) => a.unpersist(); b.unpersist() }
-    memo.clear(); corpusMemo.clear(); simhashMemo.clear()
-    clusterMemo.clear(); indexMemo.clear()
+    memo.clear(); corpusMemo.clear(); centroidMemo.clear()
+    simhashMemo.clear(); clusterMemo.clear(); indexMemo.clear()
   }
 }
