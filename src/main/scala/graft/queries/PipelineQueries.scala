@@ -180,6 +180,60 @@ object PipelineQueries {
          |FROM events GROUP BY 1
          |ORDER BY trade_date""".stripMargin.replace("\n", " ")),
 
+    // Catalog-managed warehouse (S8-S11 through the session catalog):
+    // create partitioned+bucketed table, land all dates, re-land ONE
+    // date with doubled prices via insertInto dynamic partition
+    // overwrite, then answer a reconcile-shaped query THROUGH the
+    // catalog — the per-(symbol, date) tick aggregate joined with the
+    // co-bucketed daily-OHLC dim. Both the aggregate and the join run
+    // WITHOUT a hash exchange (bucketed layout = the reference's
+    // indexes; plan-asserted in PlanQualitySpec).
+    Q("warehouse_catalog",
+      (s, dir) => {
+        // drop catalog entry AND the physical location: a fresh session
+        // doesn't know the previous run's table, so DROP alone leaves a
+        // stale directory that blocks the managed-table CREATE
+        Seq("graft_wh_ticks", "graft_wh_daily").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          graft.util.Fs.deleteRec(
+            s.conf.get("spark.sql.warehouse.dir")
+              .stripPrefix("file:") + s"/$t")
+        }
+        val ticks = graft.ops.TickOps
+          .normalizeEvents(Tables.events(s, dir))
+          .withColumn("trade_date", to_date(col("event_ts")))
+        graft.ops.WarehouseOps.refreshCatalogTable(ticks, "graft_wh_ticks")
+        val day2 = "2024-01-02"
+        graft.ops.WarehouseOps.refreshCatalogTable(
+          ticks.filter(col("trade_date") === lit(day2))
+            .withColumn("price", col("price") * 2), "graft_wh_ticks")
+        graft.ops.WarehouseOps.saveBucketedDim(
+          graft.ops.TickOps.dailyOhlc(
+            graft.ops.TickOps.normalizeEvents(Tables.events(s, dir))),
+          "graft_wh_daily")
+        s.table("graft_wh_ticks")
+          .groupBy(col("symbol"), col("trade_date"))
+          .agg(count(lit(1)).as("n_rows"),
+            graft.ops.Determinism.exactSum(col("price")).as("sum_price"))
+          .join(s.table("graft_wh_daily"), Seq("symbol", "trade_date"))
+          .select(col("trade_date"), col("symbol"), col("n_rows"),
+            col("sum_price"), col("close"))
+          .orderBy("trade_date", "symbol")
+      },
+      s"""WITH t AS (${TickQueries.normalizedSql}),
+         |agg AS (
+         |  SELECT CAST(event_ts AS DATE) AS trade_date, symbol,
+         |  count(*) AS n_rows,
+         |  ${graft.ops.Determinism.sqlExactSum(
+             "CASE WHEN CAST(event_ts AS DATE) = DATE '2024-01-02' " +
+             "THEN price * 2 ELSE price END")} AS sum_price
+         |  FROM t GROUP BY 1, 2),
+         |daily AS (${TickQueries.dailySql})
+         |SELECT a.trade_date, a.symbol, a.n_rows, a.sum_price, d.close
+         |FROM agg a JOIN daily d
+         |ON a.symbol = d.symbol AND a.trade_date = d.trade_date
+         |ORDER BY a.trade_date, a.symbol""".stripMargin.replace("\n", " ")),
+
     // Whole-pipeline E2E: ingest → partitioned warehouse → CSV round-trip
     // → QC reports → analytics MV; one row of per-stage counts.
     Q("pipeline_e2e",

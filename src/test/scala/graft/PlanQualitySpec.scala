@@ -126,6 +126,30 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       s"expected an equality-keyed candidate join:\n$bPlan")
   }
 
+  test("catalog warehouse query: bucketed layout keeps agg + join exchange-free") {
+    // warehouse_catalog aggregates the bucketed tick table by
+    // (symbol, trade_date) and joins the co-bucketed daily dim on the
+    // same keys: with HashPartitioning(symbol) satisfying both
+    // clusterings, the ONLY exchange allowed is the final orderBy's
+    // range partitioning — a hash exchange means the bucketed layout
+    // (the reference's index equivalent) stopped being used
+    val df = SparkEntry.queries("warehouse_catalog")(spark, sf)
+    val plan = executedPlan(df)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed warehouse plan re-shuffled:\n$plan")
+    // the fact-table scan must actually USE the bucketed layout (it
+    // feeds the (symbol, trade_date) aggregate with no exchange); the
+    // dim side may legitimately broadcast instead of SMJ — both are
+    // exchange-free on the fact table
+    assert(plan.contains("Bucketed: true"),
+      s"expected the bucketed tick scan in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"),
+      s"expected a join operator in:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS graft_wh_ticks")
+    spark.sql("DROP TABLE IF EXISTS graft_wh_daily")
+  }
+
   test("per-group top-N rank filter plans as WindowGroupLimit, not filter-after-full-window") {
     val mix = SparkEntry.queries("corpus_mix")(spark, sf)
     val plan = executedPlan(mix)
