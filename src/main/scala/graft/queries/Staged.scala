@@ -15,15 +15,58 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Staged {
 
-  // Memo lifetime = harness run: entries cache per (session, fixture
+  // Memo lifetime = owning session: entries cache per (session, fixture
   // dir, params) and assume the fixture is immutable for the session
-  // (true for the driver's parquet fixtures). A long-lived service
-  // iterating many datasets should call [[clear]] between datasets —
-  // it unpersists every staged block and empties the memos.
+  // (true for the driver's parquet fixtures). A session's entries are
+  // dropped automatically when its application ends (listener registered
+  // on first staging); a long-lived service iterating many datasets can
+  // also call [[clearSession]] (one session) or [[clear]] (everything)
+  // explicitly — both unpersist the staged blocks.
 
   private val memo =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, Int, Double), DataFrame]
+
+  // one cleanup hook per session: when the application (context) ends,
+  // that session's staged entries are dropped — without this the memos
+  // pin DataFrames of dead sessions forever in a long-lived service
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  private def registerCleanup(s: SparkSession): Unit =
+    if (cleanupRegistered.add(s)) {
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            clearSession(s)
+        })
+    }
+
+  private def safeUnpersist(df: DataFrame): Unit =
+    try if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+    catch { case _: Throwable => () }
+
+  /** Drop (and unpersist, if the context is still alive) every staged
+    * entry owned by `s`. Invoked automatically on application end; a
+    * service cycling many datasets through one session can also call it
+    * directly between datasets. */
+  def clearSession(s: SparkSession): Unit = {
+    def drop[K <: Product](m: scala.collection.concurrent.TrieMap[K, DataFrame]): Unit =
+      m.filterInPlace { case (k, df) =>
+        val keep = k.productElement(0) != s
+        if (!keep) safeUnpersist(df)
+        keep
+      }
+    drop(memo); drop(corpusMemo); drop(centroidMemo)
+    drop(simhashMemo); drop(clusterMemo)
+    indexMemo.filterInPlace { case (k, (a, b)) =>
+      val keep = k.productElement(0) != s
+      if (!keep) { safeUnpersist(a); safeUnpersist(b) }
+      keep
+    }
+    cleanupRegistered.remove(s)
+  }
 
   private val indexMemo =
     scala.collection.concurrent.TrieMap
@@ -34,7 +77,8 @@ object Staged {
     * join (both sides), minhash signatures, and the sizes lookup — the
     * staged table a production dedup pipeline writes after the shingle
     * pass. */
-  def shingleIndex(s: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) =
+  def shingleIndex(s: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) = {
+    registerCleanup(s)
     indexMemo.getOrElseUpdate((s, dir, k), {
       val docs = Tables.documents(s, dir)
       (DedupOps.docShingleHashes(docs, k).cache(),
@@ -43,14 +87,17 @@ object Staged {
             DedupOps.fastShingles(docs, k, "text")).cast("long").as("n_sh"))
           .cache())
     })
+  }
 
   /** N-gram Jaccard near-dup pairs over `documents` at (k, threshold),
     * computed once per session+dir and served from cache thereafter. */
-  def ngramPairs(s: SparkSession, dir: String, k: Int, th: Double): DataFrame =
+  def ngramPairs(s: SparkSession, dir: String, k: Int, th: Double): DataFrame = {
+    registerCleanup(s)
     memo.getOrElseUpdate((s, dir, k, th), {
       val (ds, sizes) = shingleIndex(s, dir, k)
       DedupOps.ngramJaccardPairsFromIndex(ds, sizes, th).cache()
     })
+  }
 
   private val corpusMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -58,9 +105,11 @@ object Staged {
   /** L2-normalized embedding corpus, normalized once per session+dir —
     * the staged table every ANN/near-dup query batch shares (at scale:
     * materialize next to the raw embeddings, normalize on write). */
-  def normCorpus(s: SparkSession, dir: String): DataFrame =
+  def normCorpus(s: SparkSession, dir: String): DataFrame = {
+    registerCleanup(s)
     corpusMemo.getOrElseUpdate((s, dir),
       graft.ops.SimilarityOps.normalizedCorpus(Tables.embeddings(s, dir)).cache())
+  }
 
   private val centroidMemo =
     scala.collection.concurrent.TrieMap
@@ -70,10 +119,12 @@ object Staged {
     * session+dir+nCells — the staged coarse quantizer every IVF
     * assignment/search/blocking job shares (16×64 doubles: broadcast
     * scale). */
-  def ivfCentroids(s: SparkSession, dir: String, nCells: Int): DataFrame =
+  def ivfCentroids(s: SparkSession, dir: String, nCells: Int): DataFrame = {
+    registerCleanup(s)
     centroidMemo.getOrElseUpdate((s, dir, nCells),
       graft.ops.SimilarityOps
         .ivfCentroidsNorm(normCorpus(s, dir), nCells).cache())
+  }
 
   private val simhashMemo =
     scala.collection.concurrent.TrieMap
@@ -82,9 +133,11 @@ object Staged {
   /** Packed simhash signatures, computed once per session+dir+nBits;
     * serves the signature query and both sides of the pair screen's
     * self-join. */
-  def simhashSigs(s: SparkSession, dir: String, nBits: Int): DataFrame =
+  def simhashSigs(s: SparkSession, dir: String, nBits: Int): DataFrame = {
+    registerCleanup(s)
     simhashMemo.getOrElseUpdate((s, dir, nBits),
       DedupOps.simhash(Tables.documents(s, dir), nBits).cache())
+  }
 
   private val clusterMemo =
     scala.collection.concurrent.TrieMap
@@ -99,7 +152,8 @@ object Staged {
     * cross-action sizing AQE can't do for an iterative cached loop
     * (each round's task count is otherwise the batch engine's default,
     * and per-round scheduling dominates on a small label table). */
-  def dupClusters(s: SparkSession, dir: String, k: Int, th: Double): DataFrame =
+  def dupClusters(s: SparkSession, dir: String, k: Int, th: Double): DataFrame = {
+    registerCleanup(s)
     clusterMemo.getOrElseUpdate((s, dir, k, th), {
       val pairs = ngramPairs(s, dir, k, th)
       val nPairs = pairs.count() // cached — cheap, and stages the set
@@ -117,6 +171,7 @@ object Staged {
         s.conf.set("spark.sql.adaptive.enabled", prevAqe)
       }
     })
+  }
 
   /** Unpersist every staged block and drop all memo entries. */
   def clear(): Unit = {

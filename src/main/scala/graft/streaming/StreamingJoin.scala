@@ -49,6 +49,29 @@ object StreamingJoin {
     spark.table(queryName)
   }
 
+  /** The time-bounded follow-on join plan, shared by both sinks. */
+  private def followersPlan(spark: SparkSession, dir: String,
+                            threshold: Double, windowSec: Int,
+                            maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val a = TickOps.normalizeEvents(
+        StreamingOhlc.rawEventStream(spark, dir, maxFilesPerTrigger))
+      .filter(col("price") >= threshold)
+      .select(col("symbol"), col("event_ts").as("a_ts"),
+        col("event_id").as("a_id"))
+      .withWatermark("a_ts", "2 hours")
+    val b = TickOps.normalizeEvents(
+        StreamingOhlc.rawEventStream(spark, dir, maxFilesPerTrigger))
+      .select(col("symbol").as("symbol_b"), col("event_ts").as("b_ts"),
+        col("event_id").as("b_id"))
+      .withWatermark("b_ts", "2 hours")
+    a.join(b,
+        col("symbol") === col("symbol_b") &&
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("symbol"), col("a_id"), col("b_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+  }
+
   /** Follow-on trades: for each tick with price ≥ `threshold` (stream A),
     * every tick of the same symbol in (a_ts, a_ts + windowSec] (stream B).
     * AvailableNow + append memory sink as the harness adapter. */
@@ -56,22 +79,8 @@ object StreamingJoin {
                                     threshold: Double = 300.0,
                                     windowSec: Int = 3600,
                                     queryName: String = "streaming_join"): DataFrame = {
-    val a = TickOps.normalizeEvents(StreamingOhlc.rawEventStream(spark, dir))
-      .filter(col("price") >= threshold)
-      .select(col("symbol"), col("event_ts").as("a_ts"),
-        col("event_id").as("a_id"))
-      .withWatermark("a_ts", "2 hours")
-    val b = TickOps.normalizeEvents(StreamingOhlc.rawEventStream(spark, dir))
-      .select(col("symbol").as("symbol_b"), col("event_ts").as("b_ts"),
-        col("event_id").as("b_id"))
-      .withWatermark("b_ts", "2 hours")
     StreamingConf.withStatePartitions(spark) {
-      val q = a.join(b,
-          col("symbol") === col("symbol_b") &&
-            col("b_ts") > col("a_ts") &&
-            col("b_ts") <= col("a_ts") + expr(s"INTERVAL $windowSec SECONDS"))
-        .select(col("symbol"), col("a_id"), col("b_id"),
-          (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+      val q = followersPlan(spark, dir, threshold, windowSec, None)
         .writeStream
         .format("memory")
         .queryName(queryName)
@@ -81,5 +90,31 @@ object StreamingJoin {
       q.awaitTermination()
     }
     spark.table(queryName)
+  }
+
+  /** PRODUCTION sink for the stream-stream join: append parquet + durable
+    * checkpoint. Restartable — buffered join state (rows awaiting
+    * partners inside the time bound) lives in the state store, so a
+    * killed-and-resumed run emits exactly the pairs a single run would
+    * (StreamingSinkSpec proves it). Returns the pairs path. */
+  def bigTradeFollowersToFiles(spark: SparkSession, dir: String,
+                               outDir: String,
+                               threshold: Double = 300.0,
+                               windowSec: Int = 3600,
+                               queryName: String = "streaming_join_files",
+                               maxFilesPerTrigger: Option[Int] = None): String = {
+    StreamingConf.withStatePartitions(spark) {
+      val q = followersPlan(spark, dir, threshold, windowSec, maxFilesPerTrigger)
+        .writeStream
+        .format("parquet")
+        .option("path", s"$outDir/pairs")
+        .option("checkpointLocation", s"$outDir/checkpoint")
+        .queryName(queryName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s"$outDir/pairs"
   }
 }

@@ -52,4 +52,52 @@ class SkewJoinSpec extends AnyFunSuite with SparkTestBase {
       case (k, None)    => conf.unset(k)
     }
   }
+
+  test("planted hot shingle (df ~ n): the maxDf cap bounds the pair-join work") {
+    // every document gets the same boilerplate tail -> its shingles have
+    // document frequency ~ n. The inverted-index self-join's cost is
+    // sum(df^2) over shingles, so one hot shingle alone would contribute
+    // n^2 join rows — the 100 TB failure mode of n-gram dedup.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" this common boilerplate footer text" +
+          " is appended to every single document here")).as("text"))
+    val n = docs.count()
+    val ds = ops.DedupOps.docShingleHashes(docs, 3).cache()
+    try {
+      val dfreq = ds.groupBy(col("sh_h")).agg(count(lit(1)).as("df_")).cache()
+      val hottest = dfreq.agg(max(col("df_"))).first().getLong(0)
+      assert(hottest >= n * 9 / 10, s"planted shingle not hot: $hottest of $n")
+
+      val maxDf = 50L
+      // data-level bound: after the cap, NO posting list exceeds maxDf,
+      // so the largest per-key join contribution is maxDf^2 regardless
+      // of corpus size — the task-size bound AQE can't give an
+      // index whose single key holds ~all rows
+      val kept = ds.join(dfreq.filter(col("df_") <= maxDf), Seq("sh_h"))
+      val keptMax = kept.groupBy(col("sh_h")).count()
+        .agg(max(col("count"))).first().getLong(0)
+      assert(keptMax <= maxDf, s"cap leaked a posting list of $keptMax")
+
+      // the join-work bound is real: sum(df^2) shrinks by orders of
+      // magnitude once the hot mass is gone
+      val work = dfreq.agg(
+        sum(col("df_") * col("df_")).as("uncapped"),
+        sum(when(col("df_") <= maxDf, col("df_") * col("df_"))
+          .otherwise(0L)).as("capped")).first()
+      assert(work.getLong(1) < work.getLong(0) / 10,
+        s"capped work ${work.getLong(1)} not << uncapped ${work.getLong(0)}")
+
+      // and the capped screen still finds REAL near-dups: a planted
+      // verbatim copy survives (its overlap is not just the boilerplate)
+      val planted = docs.unionByName(
+        docs.filter(col("doc_id") === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val ds2 = ops.DedupOps.docShingleHashes(planted, 3)
+      val pairs = ops.DedupOps.ngramJaccardPairsStopShingle(ds2, maxDf, 0.5)
+      assert(pairs.filter(col("doc_a") === 0 &&
+        col("doc_b") === 1000000L).count() == 1,
+        "capped screen lost the planted verbatim duplicate")
+    } finally { ds.unpersist(); () }
+  }
 }

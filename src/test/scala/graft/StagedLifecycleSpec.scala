@@ -1,0 +1,52 @@
+package graft
+
+import graft.queries.Staged
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Staged-block lifecycle: a session's staged DataFrames must be
+  * unpersistable as a unit (clearSession) and re-stageable afterwards —
+  * the hook that onApplicationEnd invokes so a long-lived multi-session
+  * service doesn't leak cached blocks of dead sessions.
+  */
+class StagedLifecycleSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("clearSession unpersists the session's staged blocks; restaging works") {
+    val corpus = Staged.normCorpus(spark, sf)
+    corpus.count() // materialize the cache
+    assert(corpus.storageLevel.useMemory, "staged corpus should be cached")
+
+    Staged.clearSession(spark)
+    assert(!corpus.storageLevel.useMemory,
+      "clearSession must unpersist the staged corpus")
+
+    // restaging after eviction yields a fresh, cached, correct block
+    val again = Staged.normCorpus(spark, sf)
+    assert(again.count() == corpus.count())
+    assert(again.storageLevel.useMemory, "restaged corpus should be cached")
+    Staged.clearSession(spark)
+  }
+
+  test("clearSession only drops the owning session's memo entries") {
+    // two sessions sharing one context: stage in both, clear one.
+    // (Cache BLOCKS are context-shared in Spark — unpersisting one
+    // session's plan uncaches the identical plan everywhere — so the
+    // per-session contract is on the MEMO: the other session keeps
+    // serving its staged entry, the cleared one restages fresh.)
+    val other = spark.newSession()
+    val a = Staged.normCorpus(spark, sf)
+    val b = Staged.normCorpus(other, sf)
+    a.count(); b.count()
+    Staged.clearSession(spark)
+    assert(Staged.normCorpus(other, sf) eq b,
+      "other session's memo entry must survive")
+    assert(Staged.normCorpus(spark, sf) ne a,
+      "cleared session must restage a fresh entry")
+    Staged.clearSession(other)
+    assert(Staged.normCorpus(other, sf) ne b,
+      "clearing the other session must drop its entry too")
+    Staged.clearSession(spark)
+    Staged.clearSession(other)
+  }
+}

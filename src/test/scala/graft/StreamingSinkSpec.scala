@@ -183,6 +183,66 @@ class StreamingSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("stream-stream join survives a checkpointed restart with an identical pair set") {
+    // first run sees only the chronologically first half of the stream;
+    // the resumed run (same checkpoint) sees the rest. Buffered join
+    // state must survive the restart: an A-row from the first run that
+    // finds its follower only in the second run still emits exactly one
+    // pair, and nothing emits twice.
+    val staged = stageMultiFile()
+    val exposed = s"${System.getProperty("java.io.tmpdir")}/graft_join_restart"
+    deleteRec(exposed)
+    val srcDir = new java.io.File(s"$staged/events.parquet")
+    val dstDir = new java.io.File(s"$exposed/events.parquet")
+    dstDir.mkdirs()
+    val parts = srcDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    def expose(f: java.io.File): Unit = {
+      val d = new java.io.File(dstDir, f.getName)
+      java.nio.file.Files.copy(f.toPath, d.toPath)
+      d.setLastModified(f.lastModified())
+    }
+    parts.take(2).foreach(expose)
+
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_join_restart_out"
+    deleteRec(out)
+    val path = graft.streaming.StreamingJoin.bigTradeFollowersToFiles(
+      spark, exposed, out, threshold = 100.0, windowSec = 3600,
+      queryName = "join_restart_1", maxFilesPerTrigger = Some(1))
+    val firstRun = spark.read.parquet(path).count()
+
+    parts.drop(2).foreach(expose)
+    graft.streaming.StreamingJoin.bigTradeFollowersToFiles(
+      spark, exposed, out, threshold = 100.0, windowSec = 3600,
+      queryName = "join_restart_2", maxFilesPerTrigger = Some(1))
+    val emitted = spark.read.parquet(path)
+    assert(emitted.count() > firstRun,
+      "restart did not produce the second half's pairs")
+    // exactly-once across the restart: no (a_id, b_id) pair twice
+    assert(emitted.groupBy("a_id", "b_id").count()
+      .filter(col("count") > 1).isEmpty,
+      "restart re-emitted a pair")
+    // and the final pair set is IDENTICAL to the batch twin — including
+    // pairs whose A side arrived before the restart and B side after
+    val t = TickOps.normalizeEvents(Tables.events(spark, sf))
+    val a = t.filter(col("price") >= 100.0)
+      .select(col("symbol"), col("event_ts").as("a_ts"), col("event_id").as("a_id"))
+    val b = t.select(col("symbol").as("symbol_b"),
+      col("event_ts").as("b_ts"), col("event_id").as("b_id"))
+    val batch = a.join(b,
+        col("symbol") === col("symbol_b") &&
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 3600 SECONDS"))
+      .select(col("symbol"), col("a_id"), col("b_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+    assert(emitted.except(batch).isEmpty && batch.except(emitted).isEmpty,
+      "restarted join diverged from the batch twin")
+    // the cross-restart case really occurred: at least one pair whose
+    // sides were processed in different runs
+    assert(emitted.count() > firstRun && firstRun > 0,
+      "fixture did not exercise state across the restart")
+  }
+
   test("stream-stream join equals the batch time-bounded join") {
     val streamed = graft.streaming.StreamingJoin
       .bigTradeFollowersAvailableNow(spark, sf, threshold = 100.0,
