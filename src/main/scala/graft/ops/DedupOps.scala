@@ -186,39 +186,48 @@ object DedupOps {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
+    // labels sum (decimal — no ANSI long overflow at any scale) doubles
+    // as the convergence signal: min-label propagation only ever
+    // DECREASES labels, so an unchanged sum ⟺ a fixed point. Summing
+    // rides the same action that materializes each round's cache — one
+    // job per round, no extra comparison join.
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("cluster_id")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).first()
+        .getDecimal(0))
     var cached = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id")).cache()
     var labels = cached
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val neighborMin = edges
+      // one round = one equality join + one min-aggregate (2 shuffles):
+      // every neighbor label flows to its target, unioned with the
+      // node's own label, min-reduced per node. cache() gives
+      // deterministic per-round freeing (unpersist below) and keeps
+      // lineage recomputable on executor loss. Dedup graphs converge in
+      // a handful of rounds; for adversarially long chains, periodic
+      // RELIABLE checkpointing is the cluster-safe lineage truncation
+      // (localCheckpoint would make lost executors fatal and its blocks
+      // aren't freeable via Dataset.unpersist).
+      val next = edges
         .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("cluster_id")).as("neighbor_min"))
-      // cache() gives deterministic per-round freeing (unpersist below)
-      // and keeps lineage recomputable on executor loss. Dedup graphs
-      // converge in a handful of rounds; for adversarially long chains,
-      // periodic RELIABLE checkpointing is the cluster-safe lineage
-      // truncation (localCheckpoint would make lost executors fatal and
-      // its blocks aren't freeable via Dataset.unpersist).
-      //
-      // The convergence test rides the label update itself: a `chg` flag
-      // is computed in the same projection and summed in ONE action that
-      // also materializes the cache — one job per round, not two.
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
-            .as("cluster_id"),
-          when(col("neighbor_min") < col("cluster_id"), 1L).otherwise(0L)
-            .as("chg"))
+        .select(col("src").as("id"), col("cluster_id"))
+        .unionByName(labels)
+        .groupBy(col("id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
         .cache()
-      val nChanged =
-        next.agg(coalesce(sum(col("chg")), lit(0L))).first().getLong(0)
-      converged = nChanged == 0L
+      val s = labelSum(next)
+      converged = (s, prevSum) match {
+        case (Some(a), Some(b)) => a.compareTo(b) == 0
+        case (None, None)       => true
+        case _                  => false
+      }
+      prevSum = s
       cached.unpersist()
       cached = next
-      labels = next.select(col("id"), col("cluster_id"))
+      labels = next
       iter += 1
     }
     if (!converged)

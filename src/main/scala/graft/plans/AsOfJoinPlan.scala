@@ -83,11 +83,21 @@ case class AsOfJoinExec(pKey: Attribute, pTs: Attribute,
     val tValIdx = right.output.indexWhere(_.exprId == tVal.exprId)
     val outputAttrs = output
 
-    left.execute().zipPartitions(right.execute()) { (probeIt, tickIt) =>
+    left.execute().zipPartitions(right.execute()) { (probeItRaw, tickItRaw) =>
       val resultProj = UnsafeProjection.create(outputAttrs, outputAttrs)
       val joined = new JoinedRow
       val extra = new GenericInternalRow(2)
-      val ticks = tickIt.buffered
+      // defense in depth: AsOfOps filters nulls before building the
+      // node, but a directly constructed AsOfJoinNode must not crash the
+      // merge's UTF8String/getLong primitives — null key/ts (and null
+      // tick values) can never join under inner as-of semantics, so
+      // they are skipped here too. Nulls sort FIRST under the required
+      // ascending ordering, so this drains them from the head.
+      val probeIt = probeItRaw.filter(r =>
+        !r.isNullAt(pKeyIdx) && !r.isNullAt(pTsIdx))
+      val ticks = tickItRaw.filter(r =>
+        !r.isNullAt(tKeyIdx) && !r.isNullAt(tTsIdx) && !r.isNullAt(tValIdx))
+        .buffered
 
       new Iterator[InternalRow] {
         private var nextRow: InternalRow = _

@@ -99,4 +99,39 @@ class AsOfPropertySpec extends AnyFunSuite with SparkTestBase {
     assert(native == expected)
     assert(composed == expected)
   }
+
+  test("a directly constructed AsOfJoinNode tolerates null rows (exec-level guard)") {
+    // bypass AsOfOps' null pre-filters entirely: build the node straight
+    // from analyzed plans containing null keys/timestamps/values — the
+    // exec must skip them instead of crashing on null primitives
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val tdf = Seq(
+      (Option("A"), Option(10L), Option(1.0)),
+      (Option.empty[String], Option(5L), Option(9.0)),
+      (Option("A"), Option.empty[Long], Option(8.0)),
+      (Option("A"), Option(20L), Option.empty[Double]))
+      .toDF("symbol", "s", "price")
+      .selectExpr("symbol", "timestamp_micros(s * 1000000) AS event_ts", "price")
+    val pdf = Seq((Option("A"), Option(30L)), (Option.empty[String], Option(30L)),
+        (Option("A"), Option.empty[Long]))
+      .toDF("symbol", "s")
+      .selectExpr("symbol", "timestamp_micros(s * 1000000) AS event_ts")
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) = plan.output.find(_.name == n).get
+    val p = pdf.queryExecution.analyzed
+    val t = tdf.queryExecution.analyzed
+    val node = graft.plans.AsOfJoinNode(p, t,
+      attr(p, "symbol"), attr(p, "event_ts"),
+      attr(t, "symbol"), attr(t, "event_ts"), attr(t, "price"))
+    val out = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, node)
+      .selectExpr("symbol", "unix_micros(event_ts) / 1000000",
+        "asof_value", "unix_micros(asof_ts) / 1000000")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(out == Set(("A", 30.0, 1.0, 10.0)))
+  }
 }
