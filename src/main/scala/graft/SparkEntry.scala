@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, DedupQueries, ExtraQueries, PipelineQueries, RelationalQueries, SimilarityQueries, SourceQueries, TextQueries, TickQueries}
+import graft.queries.{AnalyticsQueries, CorpusQueries, DedupQueries, ExtraQueries, PipelineQueries, RelationalQueries, SimilarityQueries, SourceQueries, TextQueries, TickQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,6 +16,7 @@ object SparkEntry {
     TickQueries.all ++
     RelationalQueries.all ++
     TextQueries.all ++
+    CorpusQueries.all ++
     DedupQueries.all ++
     SimilarityQueries.all ++
     PipelineQueries.all ++

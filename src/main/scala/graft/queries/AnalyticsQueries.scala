@@ -349,6 +349,141 @@ object AnalyticsQueries {
          |WINDOW w AS (PARTITION BY symbol ORDER BY event_ts, event_id),
          |f AS (PARTITION BY symbol ORDER BY event_ts, event_id
          |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
-         |ORDER BY symbol, event_ts, event_id""".stripMargin.replace("\n", " "))
+         |ORDER BY symbol, event_ts, event_id""".stripMargin.replace("\n", " ")),
+
+    // Maximum drawdown per symbol: running peak (an associative, exact
+    // window max) → pointwise trough ratio → one agg. price/run_max and
+    // the subtraction are single IEEE ops on identical doubles, so no
+    // decimal staging is needed — bit-equal across engines.
+    Q("max_drawdown",
+      (s, dir) => {
+        val t = TickOps.normalizeEvents(Tables.events(s, dir))
+          .filter(col("price").isNotNull)
+        val w = Window.partitionBy(col("symbol"))
+          .orderBy(col("event_ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        t.select(col("symbol"), col("price"),
+            max(col("price")).over(w).as("run_max"))
+          .groupBy(col("symbol"))
+          .agg(max(col("run_max")).as("peak_price"),
+            round(min(col("price") / col("run_max") - 1), 6)
+              .as("max_drawdown"))
+          .orderBy("symbol")
+      },
+      s"""WITH t AS (SELECT symbol, event_ts, event_id, price
+         |  FROM ($normalizedSql) WHERE price IS NOT NULL),
+         |r AS (SELECT symbol, price, max(price) OVER (PARTITION BY symbol
+         |  ORDER BY event_ts, event_id ROWS UNBOUNDED PRECEDING) AS run_max FROM t)
+         |SELECT symbol, max(run_max) AS peak_price,
+         |round(min(price / run_max - 1), 6) AS max_drawdown
+         |FROM r GROUP BY symbol ORDER BY symbol"""
+        .stripMargin.replace("\n", " ")),
+
+    // Cumulative simple return per tick: price vs the symbol's first
+    // trade (first_value over the running frame — deterministic under the
+    // unique (event_ts, event_id) order). Division/subtraction only, so
+    // engine-exact without decimal staging.
+    Q("cum_return",
+      (s, dir) => {
+        val t = TickOps.normalizeEvents(Tables.events(s, dir))
+          .filter(col("price").isNotNull)
+        val w = Window.partitionBy(col("symbol"))
+          .orderBy(col("event_ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        t.select(col("symbol"), col("event_ts"), col("event_id"),
+            col("price"),
+            round(col("price") / first(col("price")).over(w) - 1, 6)
+              .as("cum_return"))
+          .orderBy("symbol", "event_ts", "event_id")
+      },
+      s"""SELECT symbol, event_ts, event_id, price,
+         |round(price / first_value(price) OVER (PARTITION BY symbol
+         |  ORDER BY event_ts, event_id ROWS UNBOUNDED PRECEDING) - 1, 6)
+         |  AS cum_return
+         |FROM ($normalizedSql) WHERE price IS NOT NULL
+         |ORDER BY symbol, event_ts, event_id"""
+        .stripMargin.replace("\n", " ")),
+
+    // Time-weighted average price per symbol-day: each tick's price is
+    // weighted by its holding duration (lead timestamp minus own, inside
+    // the day). The price×duration products and their sum run in exact
+    // decimals (price ≤6 dp × integral microseconds), one final double
+    // division — order-independent, so partial aggregation order can't
+    // flip bits. The window and the agg share the (symbol, trade_date)
+    // key: one shuffle total.
+    Q("twap_daily",
+      (s, dir) => {
+        val t = TickOps.normalizeEvents(Tables.events(s, dir))
+          .filter(col("price").isNotNull)
+          .withColumn("trade_date", to_date(col("event_ts")))
+        val w = Window.partitionBy(col("symbol"), col("trade_date"))
+          .orderBy(col("event_ts").asc, col("event_id").asc)
+        t.withColumn("dur_us",
+            lead(unix_micros(col("event_ts")), 1).over(w) -
+              unix_micros(col("event_ts")))
+          .groupBy(col("symbol"), col("trade_date"))
+          .agg(count(lit(1)).as("n_ticks"),
+            round(
+              sum(col("price").cast("decimal(20,6)") *
+                col("dur_us").cast("decimal(18,0)")).cast("double") /
+                sum(col("dur_us")), 6).as("twap"))
+          .orderBy("symbol", "trade_date")
+      },
+      s"""WITH t AS (SELECT symbol, CAST(event_ts AS DATE) AS trade_date,
+         |  event_ts, event_id, price FROM ($normalizedSql)
+         |  WHERE price IS NOT NULL),
+         |d AS (SELECT *, lead(epoch_us(event_ts)) OVER (PARTITION BY symbol,
+         |  trade_date ORDER BY event_ts, event_id) - epoch_us(event_ts)
+         |  AS dur_us FROM t)
+         |SELECT symbol, trade_date, CAST(count(*) AS BIGINT) AS n_ticks,
+         |round(CAST(SUM(CAST(price AS DECIMAL(20,6)) *
+         |  CAST(dur_us AS DECIMAL(18,0))) AS DOUBLE) / SUM(dur_us), 6) AS twap
+         |FROM d GROUP BY 1, 2 ORDER BY symbol, trade_date"""
+        .stripMargin.replace("\n", " ")),
+
+    // 14-period RSI (simple-average Cutler form — the Wilder EMA is a
+    // sequential recurrence, deliberately traded for a frame-expressible
+    // twin): tick deltas split into gain/loss, 14-row rolling sums in
+    // exact decimals, RSI = 100·G/(G+L). Emitted only once the frame is
+    // full (rn ≥ 15). Flat frames (G+L=0) are null on both engines.
+    Q("rsi_14",
+      (s, dir) => {
+        val t = TickOps.normalizeEvents(Tables.events(s, dir))
+          .filter(col("price").isNotNull)
+        val w = Window.partitionBy(col("symbol"))
+          .orderBy(col("event_ts").asc, col("event_id").asc)
+        val f = w.rowsBetween(-13, 0)
+        t.withColumn("delta", col("price") - lag(col("price"), 1).over(w))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("gain",
+            greatest(col("delta"), lit(0d)).cast("decimal(30,6)"))
+          .withColumn("loss",
+            greatest(-col("delta"), lit(0d)).cast("decimal(30,6)"))
+          .withColumn("sg", sum(col("gain")).over(f))
+          .withColumn("sl", sum(col("loss")).over(f))
+          .filter(col("rn") >= 15)
+          .select(col("symbol"), col("event_ts"), col("event_id"),
+            col("price"),
+            round((lit(100) * col("sg")).cast("double") /
+              nullif((col("sg") + col("sl")).cast("double"), lit(0d)), 6)
+              .as("rsi_14"))
+          .orderBy("symbol", "event_ts", "event_id")
+      },
+      s"""WITH t AS (SELECT symbol, event_ts, event_id, price
+         |  FROM ($normalizedSql) WHERE price IS NOT NULL),
+         |d AS (SELECT *, price - lag(price) OVER w AS delta,
+         |  row_number() OVER w AS rn FROM t
+         |  WINDOW w AS (PARTITION BY symbol ORDER BY event_ts, event_id)),
+         |g AS (SELECT *, CAST(greatest(delta, 0) AS DECIMAL(30,6)) AS gain,
+         |  CAST(greatest(-delta, 0) AS DECIMAL(30,6)) AS loss FROM d),
+         |a AS (SELECT symbol, event_ts, event_id, price, rn,
+         |  SUM(gain) OVER f AS sg, SUM(loss) OVER f AS sl FROM g
+         |  WINDOW f AS (PARTITION BY symbol ORDER BY event_ts, event_id
+         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT symbol, event_ts, event_id, price,
+         |round(CAST(100 * sg AS DOUBLE) / nullif(CAST(sg + sl AS DOUBLE), 0), 6)
+         |  AS rsi_14
+         |FROM a WHERE rn >= 15 ORDER BY symbol, event_ts, event_id"""
+        .stripMargin.replace("\n", " "))
   )
 }

@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Hashing
+import graft.ops.{CorpusOps, TextOps}
+import org.apache.spark.sql.functions._
+import OracleFrags._
+
+/** Training-corpus preparation operators beyond dedup/similarity: the
+  * benchmark-decontamination, chunking, splitting, and repetition-scoring
+  * passes an LLM data pipeline runs between "filtered corpus" and
+  * "training shards". All are narrow maps or equality-keyed joins/aggs —
+  * the 100 TB-safe shapes (no all-pairs, no driver loops).
+  */
+object CorpusQueries {
+
+  /** Chunk size (tokens) for the concat-and-chunk pass. Small enough that
+    * the sf fixtures produce multi-chunk shards and boundary-spanning
+    * docs, which is what the oracle needs to actually check. */
+  private val ChunkTokens = 64L
+
+  val all: Seq[Q] = Seq(
+
+    // Benchmark decontamination: flag training docs sharing any word
+    // 3-gram with a held-out eval set (here: doc_id % 50 == 0 plays the
+    // benchmark). The shape is the standard n-gram-overlap contamination
+    // check (GPT-3 appendix C / PaLM style): build one inverted shingle
+    // index, distinct the (small) benchmark side, broadcast it into an
+    // equality hash-join keyed by the 60-bit shingle hash, hash-aggregate
+    // per doc. At 100 TB the benchmark side stays tiny (benchmarks are
+    // MBs), so the broadcast join never shuffles the corpus — each corpus
+    // partition streams once. Index is session-staged (shared with the
+    // dedup_ngram_* family).
+    Q("decontaminate_ngram",
+      (s, dir) => {
+        val (ds, sizes) = Staged.shingleIndex(s, dir, 3)
+        CorpusOps.decontaminate(ds, sizes, col("doc_id") % 50 === 0)
+          .orderBy("doc_id")
+      },
+      s"""WITH dsh AS (${docShingleHashes(3)}),
+         |bench AS (SELECT DISTINCT sh_h FROM dsh WHERE doc_id % 50 = 0),
+         |sizes AS (SELECT doc_id, CAST(len(${shingles(toks, 3)}) AS BIGINT) AS n_sh
+         |  FROM documents WHERE doc_id % 50 <> 0),
+         |hits AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM dsh a JOIN bench b ON a.sh_h = b.sh_h
+         |  WHERE a.doc_id % 50 <> 0 GROUP BY 1)
+         |SELECT s.doc_id, s.n_sh, coalesce(h.n_hits, 0) AS n_hits,
+         |CASE WHEN s.n_sh = 0 THEN 0.0
+         |  ELSE round(coalesce(h.n_hits, 0) / CAST(s.n_sh AS DOUBLE), 6)
+         |END AS contamination
+         |FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+         |ORDER BY s.doc_id""".stripMargin.replace("\n", " ")),
+
+    // Concat-and-chunk: documents are concatenated per (lang, source)
+    // shard in doc_id order and cut into fixed token-length chunks — the
+    // sequence-packing step that turns a corpus into training examples.
+    // Chunk ids come from a running token total (one window pass per
+    // shard); a doc's [start_chunk, end_chunk] span shows boundary
+    // crossings. Sharding by (lang, source) is what makes this
+    // distributed at 100 TB: each shard's prefix sum is an independent
+    // partition, no global order.
+    Q("corpus_chunks",
+      (s, dir) => CorpusOps
+        .chunkSpans(Tables.documents(s, dir), ChunkTokens)
+        .orderBy("doc_id"),
+      s"""WITH t AS (SELECT doc_id, lang, source,
+         |  CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY lang, source
+         |  ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
+         |SELECT doc_id, lang, source, n_tokens,
+         |(cum - n_tokens) // $ChunkTokens AS start_chunk,
+         |(cum - 1) // $ChunkTokens AS end_chunk,
+         |(cum - 1) // $ChunkTokens - (cum - n_tokens) // $ChunkTokens + 1 AS n_chunks
+         |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+    // Deterministic train/val/test split: a content-independent hash of
+    // the doc id buckets every row into 90/5/5 — reproducible across
+    // runs, machines, and engines (md5, not engine-local xxhash), and
+    // embarrassingly parallel (pure narrow map, no shuffle before the
+    // summary agg). Output is the per-(split, lang) manifest a training
+    // job reads.
+    Q("corpus_split",
+      (s, dir) => {
+        val bucket = Hashing.md5Long(col("doc_id").cast("string")) % 100
+        Tables.documents(s, dir)
+          .select(col("lang"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+            when(bucket < 90, lit("train"))
+              .when(bucket < 95, lit("val"))
+              .otherwise(lit("test")).as("split"))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"))
+          .orderBy("split", "lang")
+      },
+      s"""SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM (
+         |  SELECT lang, CAST(len($toks) AS BIGINT) AS n_tokens,
+         |  CASE WHEN ${Hashing.sqlMd5Long("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+         |       WHEN ${Hashing.sqlMd5Long("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+         |       ELSE 'test' END AS split FROM documents)
+         |GROUP BY split, lang ORDER BY split, lang"""
+        .stripMargin.replace("\n", " ")),
+
+    // Within-document repetition scoring (the Gopher/MassiveText "
+    // repetitious text" signal): per doc, the frequency profile of its
+    // word bigrams — total, distinct, the top bigram's share, and the
+    // distinct/total ratio. Explode + two hash-aggs keyed by doc; narrow
+    // per-doc work that scales linearly. Non-distinct bigrams here
+    // (repetition is the point), vs the distinct shingles dedup uses.
+    Q("doc_repetition",
+      (s, dir) => CorpusOps.bigramProfile(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents
+         |  WHERE len($toks) >= 2),
+         |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |  i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t),
+         |c AS (SELECT doc_id, bigram, count(*) AS cnt FROM b GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+         |CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |CAST(MAX(cnt) AS BIGINT) AS max_count,
+         |round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_bigram_frac,
+         |round(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS distinct_frac
+         |FROM c GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "))
+  )
+}

@@ -11,6 +11,20 @@ import org.apache.spark.sql.functions._
   */
 object ExtraQueries {
 
+  /** One text, two engines: runnable unchanged by spark.sql (over the
+    * registered `lineitem` temp view) and by DuckDB (over the parquet
+    * view of the same name). Declared before `all`, which captures it. */
+  private val GroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+      |CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+      |CAST(count(*) AS BIGINT) AS n_items,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+      .stripMargin.replace("\n", " ")
+
   val all: Seq[Q] = Seq(
 
     // SO2/A5: UNION ALL of homogeneous per-period QC summaries (the
@@ -383,6 +397,47 @@ object ExtraQueries {
       (s, dir) => TypedOhlc.dailyOhlcTyped(
           TickOps.normalizeEvents(Tables.events(s, dir)))
         .orderBy("trade_date", "symbol"),
-      s"SELECT * FROM (${TickQueries.dailySql}) ORDER BY trade_date, symbol")
+      s"SELECT * FROM (${TickQueries.dailySql}) ORDER BY trade_date, symbol"),
+
+    // Explicit GROUPING SETS (finer than CUBE/ROLLUP: an arbitrary set
+    // list) with grouping() null-vs-group disambiguation — one SQL text
+    // shared verbatim by Spark and the DuckDB oracle. Spark expands the
+    // sets into a single Expand + hash-agg: one shuffle for all three
+    // granularities.
+    Q("sql_grouping_sets",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+        s.sql(GroupingSetsSql)
+      },
+      GroupingSetsSql),
+
+    // Time-interval RANGE window frame (value-based, not row-count):
+    // 30-minute trailing volume per symbol over the epoch-microsecond
+    // ordering. RANGE includes timestamp peers, so the frame is
+    // deterministic even under tied timestamps; the sum runs in exact
+    // decimals. One shuffle on symbol.
+    Q("rolling_volume_range",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = TickOps.normalizeEvents(Tables.events(s, dir))
+          .withColumn("ts_us", unix_micros(col("event_ts")))
+        val f = Window.partitionBy(col("symbol")).orderBy(col("ts_us"))
+          .rangeBetween(-1800000000L, 0)
+        t.select(col("symbol"), col("event_ts"), col("event_id"), col("qty"),
+            sum(col("qty").cast("decimal(30,6)")).over(f).cast("double")
+              .as("vol_30min"),
+            count(col("qty")).over(f).as("n_30min"))
+          .orderBy("symbol", "event_ts", "event_id")
+      },
+      s"""WITH t AS (SELECT symbol, event_ts, epoch_us(event_ts) AS ts_us,
+         |  event_id, qty FROM (${TickQueries.normalizedSql}))
+         |SELECT symbol, event_ts, event_id, qty,
+         |CAST(SUM(CAST(qty AS DECIMAL(30,6))) OVER f AS DOUBLE) AS vol_30min,
+         |CAST(COUNT(qty) OVER f AS BIGINT) AS n_30min
+         |FROM t
+         |WINDOW f AS (PARTITION BY symbol ORDER BY ts_us
+         |  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+         |ORDER BY symbol, event_ts, event_id"""
+        .stripMargin.replace("\n", " "))
   )
 }
