@@ -177,4 +177,35 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     // codegen'd stages print as "*(n) Operator" in the plan string
     assert(plan.contains("*(1)"), s"expected codegen span:\n$plan")
   }
+
+  test("decontamination broadcasts the benchmark side; corpus never all-pairs") {
+    val plan = executedPlan(
+      SparkEntry.queries("decontaminate_ngram")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark shingle set must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"the corpus side must stream through a broadcast hash join:\n$plan")
+    graft.queries.Staged.clearSession(spark)
+  }
+
+  test("chunking/RSI shuffle once on their shard key before the output sort") {
+    // corpus_chunks: one hash exchange (the shard window) + the final
+    // range exchange for orderBy — nothing else
+    val cPlan = executedPlan(SparkEntry.queries("corpus_chunks")(spark, sf))
+    val cHash = "Exchange hashpartitioning".r.findAllIn(cPlan).length
+    assert(cHash == 1, s"expected 1 shard shuffle, got $cHash:\n$cPlan")
+    // rsi_14: both window passes share the (symbol) partitioning — one
+    // hash exchange total, the second WindowExec rides the same sort
+    val rPlan = executedPlan(SparkEntry.queries("rsi_14")(spark, sf))
+    val rHash = "Exchange hashpartitioning".r.findAllIn(rPlan).length
+    assert(rHash == 1, s"expected 1 symbol shuffle, got $rHash:\n$rPlan")
+  }
+
+  test("grouping sets plan as one Expand + one aggregation shuffle") {
+    val plan = executedPlan(SparkEntry.queries("sql_grouping_sets")(spark, sf))
+    assert(plan.contains("Expand"), s"expected Expand for grouping sets:\n$plan")
+    val hash = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hash == 1,
+      s"all grouping-set granularities must share one shuffle, got $hash:\n$plan")
+  }
 }
