@@ -16,6 +16,53 @@ object SimilarityQueries {
 
   private val idList = QueryIds.mkString("(", ", ", ")")
 
+  /** Brute-force top-k oracle text (no trailing ORDER BY — reused as a
+    * derived table by the recall query; each Q adds its own order). */
+  private val bruteSql: String =
+    s"""WITH corpus AS ($normCorpus),
+       |q AS (SELECT vec_id AS query_id, n_emb AS q_emb
+       |  FROM corpus WHERE vec_id IN $idList),
+       |scored AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |  ${dotCosine("q_emb", "e.n_emb")} AS cosine_sim
+       |  FROM corpus e JOIN q ON e.vec_id <> q.query_id),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rank
+       |FROM ranked WHERE rnk <= $K""".stripMargin.replace("\n", " ")
+
+  /** IVF (16 cells, 4 probes) top-k oracle text, same shape. */
+  private val ivfSql: String =
+    s"""WITH corpus AS ($normCorpus),
+       |cents AS (SELECT * FROM ${OracleFrags.ivfCentroids(16)}),
+       |assigned AS (
+       |  SELECT vec_id, n_emb, cell FROM (
+       |    SELECT e.vec_id, e.n_emb, c.centroid_id AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${dotCosine("e.n_emb", "c.c_emb")} DESC, c.centroid_id ASC) AS rn
+       |    FROM corpus e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, n_emb AS q_emb
+       |  FROM corpus WHERE vec_id IN $idList),
+       |probed AS (
+       |  SELECT query_id, q_emb, cell FROM (
+       |    SELECT q.query_id, q.q_emb, c.centroid_id AS cell,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |      ${dotCosine("q.q_emb", "c.c_emb")} DESC, c.centroid_id ASC) AS pr
+       |    FROM q CROSS JOIN cents c)
+       |  WHERE pr <= 4),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |  ${dotCosine("p.q_emb", "a.n_emb")} AS cosine_sim
+       |  FROM probed p JOIN assigned a ON p.cell = a.cell
+       |  WHERE a.vec_id <> p.query_id),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rank
+       |FROM ranked WHERE rnk <= $K""".stripMargin.replace("\n", " ")
+
   val all: Seq[Q] = Seq(
 
     // Brute-force cosine top-k: broadcast query set, one corpus pass.
@@ -24,19 +71,7 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"), col("cosine_sim"),
           col("rank").cast("int").as("rank"))
         .orderBy("query_id", "rank"),
-      s"""WITH corpus AS ($normCorpus),
-         |q AS (SELECT vec_id AS query_id, n_emb AS q_emb
-         |  FROM corpus WHERE vec_id IN $idList),
-         |scored AS (
-         |  SELECT query_id, e.vec_id AS neighbor_id,
-         |  ${dotCosine("q_emb", "e.n_emb")} AS cosine_sim
-         |  FROM corpus e JOIN q ON e.vec_id <> q.query_id),
-         |ranked AS (SELECT *, row_number() OVER
-         |  (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
-         |  FROM scored)
-         |SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rank
-         |FROM ranked WHERE rnk <= $K
-         |ORDER BY query_id, rnk""".stripMargin.replace("\n", " ")),
+      s"SELECT * FROM ($bruteSql) ORDER BY query_id, rank"),
 
     // IVF top-k: 16 seed centroids, probe the 4 nearest cells per query.
     Q("ann_topk_ivf",
@@ -45,35 +80,37 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"), col("cosine_sim"),
           col("rank").cast("int").as("rank"))
         .orderBy("query_id", "rank"),
-      s"""WITH corpus AS ($normCorpus),
-         |cents AS (SELECT * FROM ${OracleFrags.ivfCentroids(16)}),
-         |assigned AS (
-         |  SELECT vec_id, n_emb, cell FROM (
-         |    SELECT e.vec_id, e.n_emb, c.centroid_id AS cell,
-         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |      ${dotCosine("e.n_emb", "c.c_emb")} DESC, c.centroid_id ASC) AS rn
-         |    FROM corpus e CROSS JOIN cents c)
-         |  WHERE rn = 1),
-         |q AS (SELECT vec_id AS query_id, n_emb AS q_emb
-         |  FROM corpus WHERE vec_id IN $idList),
-         |probed AS (
-         |  SELECT query_id, q_emb, cell FROM (
-         |    SELECT q.query_id, q.q_emb, c.centroid_id AS cell,
-         |    row_number() OVER (PARTITION BY q.query_id ORDER BY
-         |      ${dotCosine("q.q_emb", "c.c_emb")} DESC, c.centroid_id ASC) AS pr
-         |    FROM q CROSS JOIN cents c)
-         |  WHERE pr <= 4),
-         |scored AS (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id,
-         |  ${dotCosine("p.q_emb", "a.n_emb")} AS cosine_sim
-         |  FROM probed p JOIN assigned a ON p.cell = a.cell
-         |  WHERE a.vec_id <> p.query_id),
-         |ranked AS (SELECT *, row_number() OVER
-         |  (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
-         |  FROM scored)
-         |SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rank
-         |FROM ranked WHERE rnk <= $K
-         |ORDER BY query_id, rnk""".stripMargin.replace("\n", " ")),
+      s"SELECT * FROM ($ivfSql) ORDER BY query_id, rank"),
+
+    // Recall@k evaluation of the approximate index against the exact
+    // baseline — the measurement a production ANN deployment runs before
+    // trusting nprobe/nCells settings. Both sides ride the session-staged
+    // corpus/centroids; the compare is one equality join on
+    // (query_id, neighbor_id) + a per-query count. At scale this runs on
+    // a sampled query set — the corpus passes dominate, the eval join is
+    // ~|queries|·k rows.
+    Q("ann_recall_ivf",
+      (s, dir) => {
+        val brute = SimilarityOps
+          .bruteForceTopKNorm(Staged.normCorpus(s, dir), QueryIds, K)
+          .select(col("query_id"), col("neighbor_id"))
+        val ivf = SimilarityOps.ivfTopKNormWith(Staged.normCorpus(s, dir),
+            Staged.ivfCentroids(s, dir, 16), QueryIds, K, 4)
+          .select(col("query_id"), col("neighbor_id"),
+            lit(1).as("hit"))
+        brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_matched"))
+          .select(col("query_id"), col("n_matched"),
+            round(col("n_matched") / lit(K.toDouble), 6).as("recall_at_k"))
+          .orderBy("query_id")
+      },
+      s"""SELECT b.query_id, CAST(count(i.neighbor_id) AS BIGINT) AS n_matched,
+         |round(count(i.neighbor_id) / ${K.toDouble}, 6) AS recall_at_k
+         |FROM ($bruteSql) b LEFT JOIN ($ivfSql) i
+         |ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id"""
+        .stripMargin.replace("\n", " ")),
 
     // Hyperplane-LSH top-k: 16 sign-bit planes banded 4×4; candidates
     // share ≥1 band with the query (equality-keyed join, ~4× pruning vs

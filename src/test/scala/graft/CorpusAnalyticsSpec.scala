@@ -96,6 +96,17 @@ class CorpusAnalyticsSpec extends AnyFunSuite with SparkTestBase {
       (col("twap") < col("lo") || col("twap") > col("hi"))).isEmpty)
   }
 
+  test("ann_recall_ivf: one row per query, recall in [0,1], probing can't overshoot") {
+    val rows = SparkEntry.queries("ann_recall_ivf")(spark, sf).collect()
+    assert(rows.length == 10, "one recall row per query id")
+    rows.foreach { r =>
+      val (n, rec) = (r.getLong(1), r.getDouble(2))
+      assert(n >= 0 && n <= 10, s"matched count $n outside [0,10]")
+      assert(rec >= 0.0 && rec <= 1.0 && rec == n / 10.0)
+    }
+    graft.queries.Staged.clearSession(spark)
+  }
+
   test("cum_return starts at zero and rolling_volume_range includes self") {
     val first = SparkEntry.queries("cum_return")(spark, sf)
       .filter(col("cum_return") =!= 0.0)
