@@ -43,6 +43,33 @@ object RelationalOps {
         exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_items"))
 
+  /** TPC-H Q3 shape (shipping priority): segment-filtered customers ×
+    * date-filtered orders × date-filtered lineitems → per-order revenue →
+    * top-k. Filters sit directly on the base tables so they push to the
+    * parquet scans; the filtered customer key set broadcasts; only the
+    * (o_orderkey, o_orderdate) agg shuffles; the top-k plans as
+    * TakeOrderedAndProject (never a full sort). Unique o_orderkey
+    * tiebreak keeps the cut deterministic. */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, segment: String,
+                       cutoff: String, k: Int): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") > lit(cutoff))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(orders.filter(col("o_orderdate") < lit(cutoff))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === segment)
+        .select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(k)
+
   /** Top-k customers by order spend (sort/limit family — absent from the
     * reference, SURVEY.md §2.6). Unique tiebreak on the key keeps the
     * result deterministic; plans as TakeOrderedAndProject. */

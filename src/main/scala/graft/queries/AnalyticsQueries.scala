@@ -351,6 +351,46 @@ object AnalyticsQueries {
          |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
          |ORDER BY symbol, event_ts, event_id""".stripMargin.replace("\n", " ")),
 
+    // Z-score anomaly screen: per-symbol mean/stddev from exact decimal
+    // moments (one hash-agg), broadcast back onto the tick stream, flag
+    // |z| > 2.5. The moments relation is |symbols| rows — the join is a
+    // broadcast at any corpus size, so the screen is one scan + one tiny
+    // agg, no window over the full stream.
+    Q("events_anomaly",
+      (s, dir) => {
+        val t = TickOps.normalizeEvents(Tables.events(s, dir))
+          .filter(col("price").isNotNull)
+          .select(col("symbol"), col("event_ts"), col("event_id"),
+            col("price"))
+        val sx = sum(col("price").cast("decimal(30,6)")).cast("double")
+        val sxx = sum((col("price") * col("price")).cast("decimal(30,12)"))
+          .cast("double")
+        val n = count(lit(1))
+        val stats = t.groupBy(col("symbol"))
+          .agg((sx / n).as("mu"),
+            sqrt((sxx - sx * sx / n) / (n - lit(1))).as("sd"))
+        t.join(broadcast(stats), Seq("symbol"))
+          .filter(abs((col("price") - col("mu")) / col("sd")) > 2.5)
+          .select(col("symbol"), col("event_ts"), col("event_id"),
+            col("price"),
+            round((col("price") - col("mu")) / col("sd"), 6).as("zscore"))
+          .orderBy("symbol", "event_ts", "event_id")
+      },
+      s"""WITH t AS (SELECT symbol, event_ts, event_id, price
+         |  FROM ($normalizedSql) WHERE price IS NOT NULL),
+         |m AS (SELECT symbol, count(*) AS n,
+         |  CAST(SUM(CAST(price AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+         |  CAST(SUM(CAST(price * price AS DECIMAL(30,12))) AS DOUBLE) AS sxx
+         |  FROM t GROUP BY symbol),
+         |st AS (SELECT symbol, sx / n AS mu,
+         |  sqrt((sxx - sx * sx / n) / (n - 1)) AS sd FROM m)
+         |SELECT t.symbol, event_ts, event_id, price,
+         |round((price - mu) / sd, 6) AS zscore
+         |FROM t JOIN st ON t.symbol = st.symbol
+         |WHERE abs((price - mu) / sd) > 2.5
+         |ORDER BY t.symbol, event_ts, event_id"""
+        .stripMargin.replace("\n", " ")),
+
     // Maximum drawdown per symbol: running peak (an associative, exact
     // window max) → pointwise trough ratio → one agg. price/run_max and
     // the subtraction are single IEEE ops on identical doubles, so no

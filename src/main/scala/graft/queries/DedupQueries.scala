@@ -132,6 +132,68 @@ object DedupQueries {
          |FROM (${docShingleHashes(K)}) GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
+    // Sketch-quality evaluation: over every LSH candidate pair, the
+    // MinHash collision-rate estimate of Jaccard (matching positions /
+    // NH) against the exact shingle-set Jaccard, with the absolute
+    // error. This is the measurement that justifies (NH, band) settings
+    // before a 100 TB dedup run — same candidates-then-verify shape as
+    // the dedup itself, so the eval costs no more than one dedup pass.
+    Q("minhash_est_error",
+      (s, dir) => {
+        val ds = Staged.shingleIndex(s, dir, K)._1
+        val sigs = DedupOps.minhashSignaturesFromIndex(ds, NH)
+        val cands = DedupOps.minhashLshPairsFromIndex(
+          ds, Tables.documents(s, dir), K, NH, BAND, 0.0)
+        val matches = (0 until NH)
+          .map(i => when(col(s"sa.sig_$i") === col(s"sb.sig_$i"), 1)
+            .otherwise(0))
+          .reduce(_ + _)
+        cands
+          .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(col("doc_a"), col("doc_b"), col("jaccard"),
+            round(matches.cast("double") / NH, 6).as("est_jaccard"))
+          .withColumn("abs_err",
+            round(abs(col("est_jaccard") - col("jaccard")), 6))
+          .orderBy("doc_a", "doc_b")
+      },
+      {
+        val nBands = NH / BAND
+        val bandExprs = (0 until nBands).map { b =>
+          val parts = (0 until BAND).map(r => s"sig_${b * BAND + r}::VARCHAR")
+          s"concat_ws('_', '$b', ${parts.mkString(", ")})"
+        }.mkString("[", ", ", "]")
+        val estSum = (0 until NH)
+          .map(i => s"CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH sigs AS (
+           |  SELECT doc_id, ${minhashAggs(NH)}
+           |  FROM (${docShingleHashes(K)}) GROUP BY doc_id),
+           |banded AS (SELECT doc_id, unnest($bandExprs) AS band_key FROM sigs),
+           |cands AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM banded a JOIN banded b
+           |  ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |sh AS (SELECT doc_id, ${shingles(toks, K)} AS sh FROM documents),
+           |ex AS (
+           |  SELECT doc_a, doc_b,
+           |  round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+           |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+           |    AS jaccard
+           |  FROM cands
+           |  JOIN sh sa ON doc_a = sa.doc_id
+           |  JOIN sh sb ON doc_b = sb.doc_id),
+           |est AS (
+           |  SELECT e.doc_a, e.doc_b, e.jaccard,
+           |  round(($estSum)::DOUBLE / $NH, 6) AS est_jaccard
+           |  FROM ex e
+           |  JOIN sigs a ON e.doc_a = a.doc_id
+           |  JOIN sigs b ON e.doc_b = b.doc_id)
+           |SELECT doc_a, doc_b, jaccard, est_jaccard,
+           |round(abs(est_jaccard - jaccard), 6) AS abs_err
+           |FROM est ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
+      }),
+
     // Duplicate clusters: connected components over the n-gram near-dup
     // pairs (min-label propagation; recursive-CTE closure as the oracle).
     Q("dedup_clusters",

@@ -39,6 +39,24 @@ object RelationalQueries {
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name ORDER BY n_name""".stripMargin.replace("\n", " ")),
 
+    // TPC-H Q3 shape: 3-table join with pushed-down date/segment
+    // filters, per-order revenue, deterministic top-10.
+    Q("q3_shipping_priority",
+      (s, dir) => RelationalOps.shippingPriority(
+        Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir), "BUILDING", "1995-03-15", 10),
+      s"""SELECT l_orderkey, o_orderdate,
+         |${sqlExactSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |CAST(count(*) AS BIGINT) AS n_items
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |AND o_orderdate < DATE '1995-03-15'
+         |AND l_shipdate > DATE '1995-03-15'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+        .stripMargin.replace("\n", " ")),
+
     // Top-k by aggregate (sort/limit; plans as TakeOrderedAndProject).
     Q("top_customers",
       (s, dir) => RelationalOps.topCustomers(
