@@ -142,8 +142,15 @@ object DedupOps {
     * `docs`). */
   def minhashLshPairsFromIndex(ds: DataFrame, docs: DataFrame, k: Int,
                                nHashes: Int, bandSize: Int, threshold: Double,
-                               text: String = "text"): DataFrame = {
-    val sigs = minhashSignaturesFromIndex(ds, nHashes)
+                               text: String = "text"): DataFrame =
+    minhashLshPairsFromSigs(minhashSignaturesFromIndex(ds, nHashes), docs,
+      k, nHashes, bandSize, threshold, text)
+
+  /** Same, over precomputed (possibly session-staged) signatures — the
+    * signature aggregation is the pass worth sharing across consumers. */
+  def minhashLshPairsFromSigs(sigs: DataFrame, docs: DataFrame, k: Int,
+                              nHashes: Int, bandSize: Int, threshold: Double,
+                              text: String = "text"): DataFrame = {
     val nBands = nHashes / bandSize
     val bandKeys = (0 until nBands).map { b =>
       val parts = (0 until bandSize).map(r => col(s"sig_${b * bandSize + r}"))

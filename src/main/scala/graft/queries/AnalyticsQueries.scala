@@ -366,9 +366,15 @@ object AnalyticsQueries {
         val sxx = sum((col("price") * col("price")).cast("decimal(30,12)"))
           .cast("double")
         val n = count(lit(1))
+        // greatest(...,0) clamps float-cancellation "negative variance"
+        // on constant symbols; nullif(sd,0) turns a degenerate (constant-
+        // price) symbol into null z-scores, which the screen drops — both
+        // engines agree, and neither ANSI division nor DuckDB's sqrt of
+        // a negative can throw
         val stats = t.groupBy(col("symbol"))
           .agg((sx / n).as("mu"),
-            sqrt((sxx - sx * sx / n) / (n - lit(1))).as("sd"))
+            nullif(sqrt(greatest((sxx - sx * sx / n) / (n - lit(1)),
+              lit(0d))), lit(0d)).as("sd"))
         t.join(broadcast(stats), Seq("symbol"))
           .filter(abs((col("price") - col("mu")) / col("sd")) > 2.5)
           .select(col("symbol"), col("event_ts"), col("event_id"),
@@ -383,7 +389,8 @@ object AnalyticsQueries {
          |  CAST(SUM(CAST(price * price AS DECIMAL(30,12))) AS DOUBLE) AS sxx
          |  FROM t GROUP BY symbol),
          |st AS (SELECT symbol, sx / n AS mu,
-         |  sqrt((sxx - sx * sx / n) / (n - 1)) AS sd FROM m)
+         |  nullif(sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0)), 0) AS sd
+         |  FROM m)
          |SELECT t.symbol, event_ts, event_id, price,
          |round((price - mu) / sd, 6) AS zscore
          |FROM t JOIN st ON t.symbol = st.symbol
@@ -402,11 +409,14 @@ object AnalyticsQueries {
         val w = Window.partitionBy(col("symbol"))
           .orderBy(col("event_ts").asc, col("event_id").asc)
           .rowsBetween(Window.unboundedPreceding, 0)
+        // nullif: a zero running peak (price 0.0 as the first tick) must
+        // not throw under ANSI; the null ratio is skipped by min on both
+        // engines
         t.select(col("symbol"), col("price"),
             max(col("price")).over(w).as("run_max"))
           .groupBy(col("symbol"))
           .agg(max(col("run_max")).as("peak_price"),
-            round(min(col("price") / col("run_max") - 1), 6)
+            round(min(col("price") / nullif(col("run_max"), lit(0d)) - 1), 6)
               .as("max_drawdown"))
           .orderBy("symbol")
       },
@@ -415,7 +425,7 @@ object AnalyticsQueries {
          |r AS (SELECT symbol, price, max(price) OVER (PARTITION BY symbol
          |  ORDER BY event_ts, event_id ROWS UNBOUNDED PRECEDING) AS run_max FROM t)
          |SELECT symbol, max(run_max) AS peak_price,
-         |round(min(price / run_max - 1), 6) AS max_drawdown
+         |round(min(price / nullif(run_max, 0) - 1), 6) AS max_drawdown
          |FROM r GROUP BY symbol ORDER BY symbol"""
         .stripMargin.replace("\n", " ")),
 
@@ -430,15 +440,18 @@ object AnalyticsQueries {
         val w = Window.partitionBy(col("symbol"))
           .orderBy(col("event_ts").asc, col("event_id").asc)
           .rowsBetween(Window.unboundedPreceding, 0)
+        // nullif: a 0.0 first trade yields null returns for that symbol
+        // instead of an ANSI divide error (rows stay, return is null)
         t.select(col("symbol"), col("event_ts"), col("event_id"),
             col("price"),
-            round(col("price") / first(col("price")).over(w) - 1, 6)
+            round(col("price") /
+              nullif(first(col("price")).over(w), lit(0d)) - 1, 6)
               .as("cum_return"))
           .orderBy("symbol", "event_ts", "event_id")
       },
       s"""SELECT symbol, event_ts, event_id, price,
-         |round(price / first_value(price) OVER (PARTITION BY symbol
-         |  ORDER BY event_ts, event_id ROWS UNBOUNDED PRECEDING) - 1, 6)
+         |round(price / nullif(first_value(price) OVER (PARTITION BY symbol
+         |  ORDER BY event_ts, event_id ROWS UNBOUNDED PRECEDING), 0) - 1, 6)
          |  AS cum_return
          |FROM ($normalizedSql) WHERE price IS NOT NULL
          |ORDER BY symbol, event_ts, event_id"""
@@ -463,10 +476,12 @@ object AnalyticsQueries {
               unix_micros(col("event_ts")))
           .groupBy(col("symbol"), col("trade_date"))
           .agg(count(lit(1)).as("n_ticks"),
+            // nullif: a day whose ticks all share one timestamp has zero
+            // total duration — twap is null, not an ANSI divide error
             round(
               sum(col("price").cast("decimal(20,6)") *
                 col("dur_us").cast("decimal(18,0)")).cast("double") /
-                sum(col("dur_us")), 6).as("twap"))
+                nullif(sum(col("dur_us")), lit(0L)), 6).as("twap"))
           .orderBy("symbol", "trade_date")
       },
       s"""WITH t AS (SELECT symbol, CAST(event_ts AS DATE) AS trade_date,
@@ -477,7 +492,8 @@ object AnalyticsQueries {
          |  AS dur_us FROM t)
          |SELECT symbol, trade_date, CAST(count(*) AS BIGINT) AS n_ticks,
          |round(CAST(SUM(CAST(price AS DECIMAL(20,6)) *
-         |  CAST(dur_us AS DECIMAL(18,0))) AS DOUBLE) / SUM(dur_us), 6) AS twap
+         |  CAST(dur_us AS DECIMAL(18,0))) AS DOUBLE) / nullif(SUM(dur_us), 0), 6)
+         |  AS twap
          |FROM d GROUP BY 1, 2 ORDER BY symbol, trade_date"""
         .stripMargin.replace("\n", " ")),
 

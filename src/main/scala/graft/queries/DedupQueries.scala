@@ -73,8 +73,7 @@ object DedupQueries {
 
     // MinHash signatures (16 affine rehashes over 31-bit shingle hashes).
     Q("minhash_signatures",
-      (s, dir) => DedupOps.minhashSignaturesFromIndex(
-          Staged.shingleIndex(s, dir, K)._1, NH)
+      (s, dir) => Staged.minhashSigs(s, dir, K, NH)
         .orderBy("doc_id"),
       s"""SELECT doc_id, ${minhashAggs(NH)}
          |FROM (${docShingleHashes(K)}) GROUP BY doc_id
@@ -83,8 +82,8 @@ object DedupQueries {
     // MinHash+LSH candidate pairs (8 bands × 2 rows), verified with exact
     // Jaccard over candidate pairs only.
     Q("dedup_minhash_lsh",
-      (s, dir) => DedupOps.minhashLshPairsFromIndex(
-          Staged.shingleIndex(s, dir, K)._1, Tables.documents(s, dir),
+      (s, dir) => DedupOps.minhashLshPairsFromSigs(
+          Staged.minhashSigs(s, dir, K, NH), Tables.documents(s, dir),
           K, NH, BAND, TH)
         .orderBy("doc_a", "doc_b"),
       {
@@ -140,10 +139,9 @@ object DedupQueries {
     // the dedup itself, so the eval costs no more than one dedup pass.
     Q("minhash_est_error",
       (s, dir) => {
-        val ds = Staged.shingleIndex(s, dir, K)._1
-        val sigs = DedupOps.minhashSignaturesFromIndex(ds, NH)
-        val cands = DedupOps.minhashLshPairsFromIndex(
-          ds, Tables.documents(s, dir), K, NH, BAND, 0.0)
+        val sigs = Staged.minhashSigs(s, dir, K, NH)
+        val cands = DedupOps.minhashLshPairsFromSigs(
+          sigs, Tables.documents(s, dir), K, NH, BAND, 0.0)
         val matches = (0 until NH)
           .map(i => when(col(s"sa.sig_$i") === col(s"sb.sig_$i"), 1)
             .otherwise(0))

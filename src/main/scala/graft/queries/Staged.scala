@@ -59,7 +59,7 @@ object Staged {
         keep
       }
     drop(memo); drop(corpusMemo); drop(centroidMemo)
-    drop(simhashMemo); drop(clusterMemo)
+    drop(simhashMemo); drop(clusterMemo); drop(minhashMemo)
     indexMemo.filterInPlace { case (k, (a, b)) =>
       val keep = k.productElement(0) != s
       if (!keep) { safeUnpersist(a); safeUnpersist(b) }
@@ -137,6 +137,22 @@ object Staged {
     registerCleanup(s)
     simhashMemo.getOrElseUpdate((s, dir, nBits),
       DedupOps.simhash(Tables.documents(s, dir), nBits).cache())
+  }
+
+  private val minhashMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Int, Int), DataFrame]
+
+  /** MinHash signatures over [[shingleIndex]], aggregated once per
+    * session+dir+(k, nHashes); serves the signature query, the LSH band
+    * keys, and both sides of the estimation-error join — one signature
+    * pass instead of one per consumer. */
+  def minhashSigs(s: SparkSession, dir: String, k: Int,
+                  nHashes: Int): DataFrame = {
+    registerCleanup(s)
+    minhashMemo.getOrElseUpdate((s, dir, k, nHashes),
+      DedupOps.minhashSignaturesFromIndex(shingleIndex(s, dir, k)._1, nHashes)
+        .cache())
   }
 
   private val clusterMemo =

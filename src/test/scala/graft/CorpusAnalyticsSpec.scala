@@ -48,6 +48,33 @@ class CorpusAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     spans.unpersist()
   }
 
+  test("chunkSpans property: random corpora tile correctly at chunk boundaries") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val L = 8L
+    val gen = Gen.listOfN(40, for {
+      shard <- Gen.oneOf("s0", "s1", "s2")
+      // token counts hugging the chunk boundary: 1, L-1, L, L+1, 2L, ...
+      n <- Gen.oneOf(1L, 7L, 8L, 9L, 16L, 3L, 20L)
+    } yield (shard, n))
+    val docs = gen.apply(Gen.Parameters.default, Seed(42L)).get
+      .zipWithIndex.map { case ((shard, n), i) =>
+        (i.toLong, "en", shard, Seq.fill(n.toInt)("w").mkString(" "))
+      }.toDF("doc_id", "lang", "source", "text")
+    val spans = CorpusOps.chunkSpans(docs, L)
+      .orderBy("source", "doc_id").collect()
+    spans.groupBy(_.getString(2)).foreach { case (_, shardRows) =>
+      var cum = 0L
+      shardRows.sortBy(_.getLong(0)).foreach { r =>
+        val (n, start, end) = (r.getLong(3), r.getLong(4), r.getLong(5))
+        assert(start == cum / L, s"doc ${r.getLong(0)}: start chunk")
+        assert(end == (cum + n - 1) / L, s"doc ${r.getLong(0)}: end chunk")
+        cum += n
+      }
+    }
+  }
+
   test("bigramProfile: fully repeated doc → one distinct bigram, frac 1.0") {
     import spark.implicits._
     val docs = Seq(
