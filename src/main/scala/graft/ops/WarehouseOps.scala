@@ -61,6 +61,38 @@ object WarehouseOps {
     dim.write.bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .mode(SaveMode.Overwrite).saveAsTable(table)
 
+  /** Per-file row counts of a parquet table via the `_metadata` hidden
+    * column — the health check that decides when compaction runs. Pure
+    * metadata + one count aggregation; no data columns are read. */
+  def fileStats(spark: org.apache.spark.sql.SparkSession,
+                path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("_metadata.file_path").as("file"))
+      .groupBy(col("file"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+
+  /** Small-files compaction: rewrite a partitioned table with one task
+    * per partition value and `maxRecordsPerFile` as the split bound, so
+    * each partition lands as ceil(rows / max) right-sized files. The
+    * streaming-ingest failure mode at 100 TB is thousands of KB-scale
+    * files per partition (one per micro-batch per task) — scan cost
+    * becomes file-open cost. Compaction writes to a NEW location and
+    * leaves the source intact: the swap (rename or metastore location
+    * flip) stays atomic and concurrent readers of the old location
+    * remain valid for their whole scan. */
+  def compactPartitions(spark: org.apache.spark.sql.SparkSession,
+                        srcPath: String, destPath: String,
+                        partitionCol: String = "trade_date",
+                        maxRecordsPerFile: Long = 1000000L): Unit =
+    spark.read.parquet(srcPath)
+      .repartition(col(partitionCol))
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol)
+      .mode(SaveMode.Overwrite)
+      .parquet(destPath)
+
   /** Overwrite only the `partitionCol` values present in `updates`;
     * rows are clustered per partition first (one file per partition —
     * the small-files discipline). */

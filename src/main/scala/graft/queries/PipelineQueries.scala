@@ -180,6 +180,39 @@ object PipelineQueries {
          |FROM events GROUP BY 1
          |ORDER BY trade_date""".stripMargin.replace("\n", " ")),
 
+    // Small-files compaction end-to-end: fragment the tick warehouse the
+    // way micro-batch ingest would (16 task-files per date), compact
+    // with a 1000-row file bound (one task per partition value, new
+    // location, source untouched), and answer the per-date aggregate
+    // FROM the compacted table — so the oracle proves compaction is
+    // content-preserving, while WarehouseSpec pins the file-count/size
+    // bounds. The maintenance pass a streaming-fed warehouse needs
+    // before scan cost turns into file-open cost.
+    Q("compaction_roundtrip",
+      (s, dir) => {
+        val work = freshWorkDir("graft_compact_query", dir)
+        val frag = s"$work/frag"
+        val tidy = s"$work/tidy"
+        graft.ops.TickOps.normalizeEvents(Tables.events(s, dir))
+          .withColumn("trade_date", to_date(col("event_ts")))
+          .repartition(16)
+          .write.partitionBy("trade_date")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(frag)
+        graft.ops.WarehouseOps.compactPartitions(s, frag, tidy,
+          maxRecordsPerFile = 1000L)
+        s.read.parquet(tidy)
+          .groupBy(col("trade_date"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("price")).as("n_priced"),
+            graft.ops.Determinism.exactSum(col("price")).as("sum_price"))
+          .orderBy("trade_date")
+      },
+      s"""SELECT CAST(ts AS DATE) AS trade_date, count(*) AS n_rows,
+         |CAST(count(CAST(value AS DOUBLE)) AS BIGINT) AS n_priced,
+         |${graft.ops.Determinism.sqlExactSum("CAST(value AS DOUBLE)")} AS sum_price
+         |FROM events GROUP BY 1
+         |ORDER BY trade_date""".stripMargin.replace("\n", " ")),
+
     // Catalog-managed warehouse (S8-S11 through the session catalog):
     // create partitioned+bucketed table, land all dates, re-land ONE
     // date with doubled prices via insertInto dynamic partition

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.ops.RelationalOps
 import graft.ops.Determinism.{sqlExactAvg, sqlExactSum}
+import org.apache.spark.sql.functions._
 
 /** Warehouse-analytics queries over the star schema — the engine families
   * the reference pushes into Postgres (E3), widened per SURVEY.md §2.4-2.8.
@@ -66,6 +67,40 @@ object RelationalQueries {
          |count(*) AS n_orders FROM orders GROUP BY o_custkey) a
          |JOIN customer ON o_custkey = c_custkey
          |ORDER BY total_spend DESC, c_custkey ASC LIMIT 10"""
+        .stripMargin.replace("\n", " ")),
+
+    // NTILE decile report over customer spend. The window input is the
+    // per-customer AGGREGATE (|customers| rows, not |orders|) — the same
+    // bounded-relation class as every final orderBy; at 100 TB the exact
+    // ntile swaps for approx_percentile bucket boundaries without
+    // changing the output contract. Unique o_custkey tiebreak keeps the
+    // decile cut deterministic on both engines.
+    Q("customer_deciles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val spend = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(graft.ops.Determinism.exactSum(col("o_totalprice"))
+            .as("total_spend"))
+        val w = Window.orderBy(col("total_spend").desc, col("o_custkey").asc)
+        spend.withColumn("decile", ntile(10).over(w).cast("long"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_customers"),
+            graft.ops.Determinism.exactSum(col("total_spend"))
+              .as("decile_spend"),
+            min(col("total_spend")).as("min_spend"),
+            max(col("total_spend")).as("max_spend"))
+          .orderBy("decile")
+      },
+      s"""WITH spend AS (
+         |  SELECT o_custkey, ${sqlExactSum("o_totalprice")} AS total_spend
+         |  FROM orders GROUP BY o_custkey),
+         |d AS (SELECT *, CAST(ntile(10) OVER (ORDER BY total_spend DESC,
+         |  o_custkey) AS BIGINT) AS decile FROM spend)
+         |SELECT decile, count(*) AS n_customers,
+         |${sqlExactSum("total_spend")} AS decile_spend,
+         |min(total_spend) AS min_spend, max(total_spend) AS max_spend
+         |FROM d GROUP BY decile ORDER BY decile"""
         .stripMargin.replace("\n", " ")),
 
     // Grouping sets: ROLLUP over status × priority.

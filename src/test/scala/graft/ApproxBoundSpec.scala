@@ -38,4 +38,34 @@ class ApproxBoundSpec extends AnyFunSuite with SparkTestBase {
   test("order_stats_approx within 5% of the exact twin at sf0.1") {
     check("/root/testdata/sf0.1")
   }
+
+  // The scale path for quantiles is percentile_approx (single-pass
+  // KLL-style sketch vs exact percentile's full sort+buffer); bound it
+  // against the exact price_quantiles twin the same way.
+  private def checkQuantiles(dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val exact = SparkEntry.queries("price_quantiles")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val t = graft.ops.TickOps.normalizeEvents(Tables.events(spark, dir))
+    val approx = t.groupBy(col("symbol"))
+      .agg(expr("percentile_approx(price, array(0.25, 0.5, 0.95), 10000)")
+        .as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (sym, (p25, p50, p95)) =>
+      Seq(p25, p50, p95).zip(approx(sym)).foreach { case (e, a) =>
+        assert(math.abs(a - e) / math.max(e.abs, 1e-9) <= 0.05,
+          s"$sym: approx quantile $a vs exact $e")
+      }
+    }
+  }
+
+  test("percentile_approx within 5% of exact quantiles at sf0.01") {
+    checkQuantiles("/root/testdata/sf0.01")
+  }
+
+  test("percentile_approx within 5% of exact quantiles at sf0.1") {
+    checkQuantiles("/root/testdata/sf0.1")
+  }
 }

@@ -69,4 +69,41 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(wh).count() == before,
       "an empty refresh must not touch existing partitions")
   }
+
+  test("compaction collapses a fragmented table into right-sized files, row-identical") {
+    val frag = s"${System.getProperty("java.io.tmpdir")}/graft_wh_frag"
+    val tidy = s"${System.getProperty("java.io.tmpdir")}/graft_wh_tidy"
+    deleteRec(frag); deleteRec(tidy)
+    val ticks = TickOps.normalizeEvents(Tables.events(spark, sf))
+      .withColumn("trade_date", to_date(col("event_ts")))
+    // simulate streaming ingest: ~40 task-files per date partition
+    ticks.repartition(40)
+      .write.partitionBy("trade_date").parquet(frag)
+    val fragFiles = WarehouseOps.fileStats(spark, frag).count()
+
+    val maxRows = 500L
+    WarehouseOps.compactPartitions(spark, frag, tidy,
+      maxRecordsPerFile = maxRows)
+
+    // row-identical content (same multiset of rows)
+    val a = spark.read.parquet(frag)
+    val b = spark.read.parquet(tidy).select(a.columns.map(col): _*)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "compaction must not change table content")
+    // every output file respects the size bound, and each partition has
+    // exactly ceil(rows/max) files — no small-files tail
+    val stats = WarehouseOps.fileStats(spark, tidy).collect()
+    assert(stats.forall(_.getLong(1) <= maxRows), "file size bound")
+    val perDate = stats.groupBy(r =>
+      r.getString(0).split("trade_date=")(1).split("/")(0))
+    val rowsPerDate = b.groupBy("trade_date").count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    perDate.foreach { case (d, files) =>
+      val want = (rowsPerDate(d) + maxRows - 1) / maxRows
+      assert(files.length == want,
+        s"partition $d: ${files.length} files, expected $want")
+    }
+    assert(stats.length < fragFiles,
+      "compaction must reduce the file count")
+  }
 }
