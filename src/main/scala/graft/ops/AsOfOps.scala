@@ -76,6 +76,32 @@ object AsOfOps {
       .select(col(key), col(ts), col("asof_value"), col("asof_ts"))
   }
 
+  /** Forward as-of join (merge_asof direction='forward'): each probe
+    * takes the EARLIEST observation at or after its timestamp — the
+    * next-fill convention (e.g. "price at next trade after the quote").
+    * Mirror of [[asofJoin]] with the window run forward: probes sort
+    * before equal-timestamp ticks (side desc), the frame looks
+    * currentRow→following, and first-ignoreNulls picks the next value.
+    * Same single shuffle on the key. */
+  def asofJoinForward(ticks: DataFrame, probes: DataFrame,
+                      key: String, ts: String, value: String): DataFrame = {
+    val t = dropNullTicks(ticks, key, ts, value).select(col(key), col(ts),
+      col(value).as("__v"), col(ts).as("__vts"), lit(0).as("__side"))
+    val p = dropNullProbes(probes, key, ts).select(col(key), col(ts),
+      lit(null).cast(t.schema("__v").dataType).as("__v"),
+      lit(null).cast("timestamp").as("__vts"), lit(1).as("__side"))
+    // ties at equal ts: the probe (side 1) sorts FIRST under side desc,
+    // so a tick exactly at the probe instant IS visible to it (ASOF <=)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    t.unionByName(p)
+      .withColumn("asof_value", first(col("__v"), ignoreNulls = true).over(w))
+      .withColumn("asof_ts", first(col("__vts"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("asof_value").isNotNull)
+      .select(col(key), col(ts), col("asof_value"), col("asof_ts"))
+  }
+
   /** The same as-of join through graft's custom whole-operator plan
     * (graft.plans.AsOfJoinNode → AsOfJoinExec): hash-cluster + in-
     * partition sort on both sides (planner-inserted, like SMJ), then a

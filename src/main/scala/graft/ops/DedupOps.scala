@@ -84,6 +84,30 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Containment screen over the same inverted index: C(A,B) =
+    * |A∩B| / |A| — asymmetric, so a short document pasted inside a long
+    * one scores ~1.0 where Jaccard (÷ the union) dilutes toward 0. This
+    * is the quote/boilerplate/subset detector corpus dedup needs beside
+    * the symmetric near-dup screen. Same equality-keyed join and
+    * per-pair agg as the Jaccard path — never all-pairs. */
+  def containmentPairs(ds: DataFrame, sizes: DataFrame,
+                       threshold: Double): DataFrame = {
+    val common = ds.as("a").join(ds.as("b"),
+        col("a.sh_h") === col("b.sh_h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_common").cast("double") / col("sa.n_sh"), 6)
+          .as("cont_a"),
+        round(col("n_common").cast("double") / col("sb.n_sh"), 6)
+          .as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+  }
+
   /** Stop-shingle variant of the Jaccard screen: shingles appearing in
     * more than `maxDf` documents are dropped BEFORE the pair join — the
     * hot-shingle mitigation for the inverted index's Σ posting² cost

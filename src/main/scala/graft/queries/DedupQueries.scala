@@ -131,6 +131,34 @@ object DedupQueries {
          |FROM (${docShingleHashes(K)}) GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
+    // Asymmetric containment screen: |A∩B|/|A| flags a short doc pasted
+    // inside a long one (~1.0) where symmetric Jaccard dilutes toward 0
+    // — the quote/boilerplate/subset detector that runs beside the
+    // near-dup screen in corpus dedup. Same staged index, same
+    // equality-keyed join shape.
+    Q("dedup_containment",
+      (s, dir) => {
+        val (ds, sizes) = Staged.shingleIndex(s, dir, K)
+        DedupOps.containmentPairs(ds, sizes, 0.8)
+          .orderBy("doc_a", "doc_b")
+      },
+      s"""WITH dsh AS (${docShingleHashes(K)}),
+         |sizes AS (SELECT doc_id, CAST(len(${shingles(toks, K)}) AS BIGINT)
+         |  AS n_sh FROM documents),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM dsh a JOIN dsh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT * FROM (
+         |  SELECT doc_a, doc_b,
+         |  round(n_common::DOUBLE / sa.n_sh, 6) AS cont_a,
+         |  round(n_common::DOUBLE / sb.n_sh, 6) AS cont_b
+         |  FROM common
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id)
+         |WHERE greatest(cont_a, cont_b) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")),
+
     // Sketch-quality evaluation: over every LSH candidate pair, the
     // MinHash collision-rate estimate of Jaccard (matching positions /
     // NH) against the exact shingle-set Jaccard, with the absolute

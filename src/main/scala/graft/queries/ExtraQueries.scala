@@ -259,6 +259,31 @@ object ExtraQueries {
          |ON p.symbol = t.symbol AND p.event_ts >= t.event_ts
          |ORDER BY p.symbol, p.event_ts""".stripMargin.replace("\n", " ")),
 
+    // Forward as-of: each hourly grid point takes the FIRST tick at or
+    // after it (next-fill). DuckDB's ASOF comparator flips to <=.
+    Q("asof_join_forward",
+      (s, dir) => {
+        val ticks = TickOps.normalizeEvents(Tables.events(s, dir))
+          .select(col("symbol"), col("event_ts"), col("price"))
+        val probes = TickOps.ohlcBars(
+            TickOps.normalizeEvents(Tables.events(s, dir)), "1 hour")
+          .select(col("symbol"), col("bar_start").as("event_ts"))
+        AsOfOps.asofJoinForward(ticks, probes, "symbol", "event_ts", "price")
+          .orderBy("symbol", "event_ts")
+      },
+      s"""WITH ticks AS (
+         |  SELECT replace(event_type, '.NSE', '') AS symbol, ts AS event_ts,
+         |  CAST(value AS DOUBLE) AS price FROM events WHERE value IS NOT NULL),
+         |probes AS (
+         |  SELECT DISTINCT symbol,
+         |  make_timestamp((epoch_us(event_ts) // 3600000000) * 3600000000) AS event_ts
+         |  FROM ticks)
+         |SELECT p.symbol, p.event_ts, t.price AS asof_value,
+         |t.event_ts AS asof_ts
+         |FROM probes p ASOF JOIN ticks t
+         |ON p.symbol = t.symbol AND p.event_ts <= t.event_ts
+         |ORDER BY p.symbol, p.event_ts""".stripMargin.replace("\n", " ")),
+
     // As-of with staleness tolerance (merge_asof's tolerance): a grid
     // point whose latest tick is older than 10 minutes gets no row.
     Q("asof_join_tolerance",

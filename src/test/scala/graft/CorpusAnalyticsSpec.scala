@@ -90,6 +90,52 @@ class CorpusAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains(3L), "single-token doc has no bigram")
   }
 
+  test("containment flags a doc pasted inside a larger one; Jaccard misses it") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon"
+    val long = short + " " + Seq.fill(40)("filler word soup here").mkString(" ")
+    val docs = Seq((1L, short), (2L, long), (3L, "unrelated text entirely here"))
+      .toDF("doc_id", "text")
+    val index = DedupOps.docShingleHashes(docs, 3)
+    val sizes = docs.select(col("doc_id"),
+      size(DedupOps.fastShingles(docs, 3, "text")).cast("long").as("n_sh"))
+    val cont = DedupOps.containmentPairs(index, sizes, 0.8).collect()
+    assert(cont.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getDouble(2) == 1.0), "short doc fully contained in long one")
+    // the same pair is invisible to the symmetric Jaccard screen
+    val jac = DedupOps.ngramJaccardPairsFromIndex(index, sizes, 0.5).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "Jaccard dilutes the contained pair below threshold")
+  }
+
+  test("forward as-of takes the NEXT tick, backward the previous") {
+    import spark.implicits._
+    val ticks = Seq(
+      ("A", java.sql.Timestamp.valueOf("2024-01-01 00:00:10"), 1.0),
+      ("A", java.sql.Timestamp.valueOf("2024-01-01 00:01:30"), 2.0)
+    ).toDF("symbol", "event_ts", "price")
+    val probes = Seq(
+      ("A", java.sql.Timestamp.valueOf("2024-01-01 00:01:00")))
+      .toDF("symbol", "event_ts")
+    val fwd = graft.ops.AsOfOps
+      .asofJoinForward(ticks, probes, "symbol", "event_ts", "price")
+      .collect()
+    assert(fwd.length == 1 && fwd.head.getDouble(2) == 2.0,
+      "forward picks the 00:01:30 tick")
+    val bwd = graft.ops.AsOfOps
+      .asofJoin(ticks, probes, "symbol", "event_ts", "price").collect()
+    assert(bwd.length == 1 && bwd.head.getDouble(2) == 1.0,
+      "backward picks the 00:00:10 tick")
+    // tie visibility: a tick exactly at the probe instant matches BOTH
+    val tied = Seq(
+      ("A", java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 9.0))
+      .toDF("symbol", "event_ts", "price")
+    assert(graft.ops.AsOfOps.asofJoinForward(tied, probes,
+      "symbol", "event_ts", "price").collect().head.getDouble(2) == 9.0)
+    assert(graft.ops.AsOfOps.asofJoin(tied, probes,
+      "symbol", "event_ts", "price").collect().head.getDouble(2) == 9.0)
+  }
+
   test("corpus_split is a deterministic 100-bucket hash partition of docs") {
     val out1 = SparkEntry.queries("corpus_split")(spark, sf).collect()
     val out2 = SparkEntry.queries("corpus_split")(spark, sf).collect()

@@ -201,6 +201,30 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(rHash == 1, s"expected 1 symbol shuffle, got $rHash:\n$rPlan")
   }
 
+  test("Q3 shape: filters pushed to scans, dim broadcast, top-k never full-sorts") {
+    val plan = executedPlan(SparkEntry.queries("q3_shipping_priority")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 must not global-sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"filtered customer side must broadcast:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"lineitem date filter must reach the parquet scan:\n$plan")
+  }
+
+  test("compaction writes one shuffle keyed on the partition column") {
+    val frag = s"${System.getProperty("java.io.tmpdir")}/graft_plan_frag"
+    graft.util.Fs.deleteRec(frag)
+    TickOps.normalizeEvents(Tables.events(spark, sf))
+      .withColumn("trade_date", to_date(col("event_ts")))
+      .repartition(8).write.partitionBy("trade_date").parquet(frag)
+    val df = spark.read.parquet(frag)
+      .repartition(col("trade_date"))
+    val plan = df.queryExecution.executedPlan.toString
+    val hash = "Exchange hashpartitioning\\(trade_date".r.findAllIn(plan).length
+    assert(hash == 1,
+      s"expected exactly the partition-key exchange, got $hash:\n$plan")
+  }
+
   test("grouping sets plan as one Expand + one aggregation shuffle") {
     val plan = executedPlan(SparkEntry.queries("sql_grouping_sets")(spark, sf))
     assert(plan.contains("Expand"), s"expected Expand for grouping sets:\n$plan")
