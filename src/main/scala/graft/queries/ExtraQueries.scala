@@ -259,6 +259,45 @@ object ExtraQueries {
          |ON p.symbol = t.symbol AND p.event_ts >= t.event_ts
          |ORDER BY p.symbol, p.event_ts""".stripMargin.replace("\n", " ")),
 
+    // FULL OUTER reconcile: when BOTH sides of a derived-vs-official
+    // compare can be missing rows (a symbol absent from the feed, a date
+    // absent from the official file), inner/anti joins each show one
+    // direction — the full outer shows both in one pass, with a status
+    // column. Sides here are deterministic subsets of the daily bars
+    // (derived drops symbol 'click', official drops 2024-01-02).
+    Q("ohlc_full_outer",
+      (s, dir) => {
+        val daily = TickOps.dailyOhlc(
+          TickOps.normalizeEvents(Tables.events(s, dir)))
+        val derived = daily.filter(col("symbol") =!= "click")
+          .select(col("symbol"), col("trade_date"),
+            col("close").as("derived_close"))
+        val official = daily.filter(col("trade_date") =!= lit("2024-01-02"))
+          .select(col("symbol"), col("trade_date"),
+            col("close").as("official_close"))
+        derived.join(official, Seq("symbol", "trade_date"), "full_outer")
+          .select(col("symbol"), col("trade_date"),
+            col("derived_close"), col("official_close"),
+            when(col("derived_close").isNull, lit("official_only"))
+              .when(col("official_close").isNull, lit("derived_only"))
+              .otherwise(lit("both")).as("status"))
+          .orderBy("symbol", "trade_date")
+      },
+      s"""WITH daily AS (${TickQueries.dailySql}),
+         |derived AS (SELECT symbol, trade_date, close AS derived_close
+         |  FROM daily WHERE symbol <> 'click'),
+         |official AS (SELECT symbol, trade_date, close AS official_close
+         |  FROM daily WHERE trade_date <> DATE '2024-01-02')
+         |SELECT coalesce(d.symbol, o.symbol) AS symbol,
+         |coalesce(d.trade_date, o.trade_date) AS trade_date,
+         |d.derived_close, o.official_close,
+         |CASE WHEN d.derived_close IS NULL THEN 'official_only'
+         |  WHEN o.official_close IS NULL THEN 'derived_only'
+         |  ELSE 'both' END AS status
+         |FROM derived d FULL OUTER JOIN official o
+         |ON d.symbol = o.symbol AND d.trade_date = o.trade_date
+         |ORDER BY symbol, trade_date""".stripMargin.replace("\n", " ")),
+
     // Forward as-of: each hourly grid point takes the FIRST tick at or
     // after it (next-fill). DuckDB's ASOF comparator flips to <=.
     Q("asof_join_forward",
