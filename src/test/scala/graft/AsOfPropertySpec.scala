@@ -65,6 +65,40 @@ class AsOfPropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  /** Forward reference semantics: the EARLIEST tick at-or-after each
+    * probe, per key. */
+  private def refAsofForward(ticks: Seq[(String, Long, Double)],
+                             probes: Seq[(String, Long)]): Set[(String, Long, Double, Long)] =
+    probes.distinct.flatMap { case (k, pt) =>
+      val cands = ticks.filter(t => t._1 == k && t._2 >= pt)
+      if (cands.isEmpty) None
+      else {
+        val best = cands.minBy(_._2)
+        Some((k, pt, best._3, best._2))
+      }
+    }.toSet
+
+  test("property: forward as-of matches reference semantics on random data") {
+    (1L to 12L).foreach { seed =>
+      val ticksRaw = sample(Gen.listOfN(60, tickGen), seed + 5000)
+      val probes = sample(Gen.listOfN(30, probeGen), seed + 6000)
+      val ticks = ticksRaw.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+      val tdf = ticks.toDF("symbol", "us", "price")
+        .selectExpr("symbol", "timestamp_micros(us) AS event_ts", "price")
+      val pdf = probes.distinct.toDF("symbol", "us")
+        .selectExpr("symbol", "timestamp_micros(us) AS event_ts")
+      val got = AsOfOps
+        .asofJoinForward(tdf, pdf, "symbol", "event_ts", "price")
+        .selectExpr("symbol", "unix_micros(event_ts)", "asof_value",
+          "unix_micros(asof_ts)")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      assert(got == refAsofForward(ticks, probes),
+        s"forward diverged at seed $seed")
+    }
+  }
+
   test("null keys/timestamps/values are dropped identically by both forms") {
     // nulls on every column that participates in the merge: a null-key
     // tick and probe, a null-ts tick and probe, and a null-VALUE tick
