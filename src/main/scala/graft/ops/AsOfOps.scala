@@ -79,10 +79,14 @@ object AsOfOps {
   /** Forward as-of join (merge_asof direction='forward'): each probe
     * takes the EARLIEST observation at or after its timestamp — the
     * next-fill convention (e.g. "price at next trade after the quote").
-    * Mirror of [[asofJoin]] with the window run forward: probes sort
-    * before equal-timestamp ticks (side desc), the frame looks
-    * currentRow→following, and first-ignoreNulls picks the next value.
-    * Same single shuffle on the key. */
+    *
+    * Implemented as the backward join's mirror on a DESCENDING sort:
+    * under ts desc the ticks at-or-after a probe all precede it, and the
+    * nearest one (smallest ts ≥ probe) is the latest non-null in the
+    * RUNNING frame — which Spark evaluates incrementally in O(n). The
+    * naive forward frame (currentRow → unboundedFollowing) re-scans the
+    * partition tail for every row — O(n²); at sf0.1 that was measured at
+    * 132 s vs ~1 s for this form. Same single shuffle on the key. */
   def asofJoinForward(ticks: DataFrame, probes: DataFrame,
                       key: String, ts: String, value: String): DataFrame = {
     val t = dropNullTicks(ticks, key, ts, value).select(col(key), col(ts),
@@ -90,14 +94,15 @@ object AsOfOps {
     val p = dropNullProbes(probes, key, ts).select(col(key), col(ts),
       lit(null).cast(t.schema("__v").dataType).as("__v"),
       lit(null).cast("timestamp").as("__vts"), lit(1).as("__side"))
-    // ties at equal ts: the probe (side 1) sorts FIRST under side desc,
-    // so a tick exactly at the probe instant IS visible to it (ASOF <=)
+    // ties at equal ts: under side asc the tick (side 0) still sorts
+    // before the probe, so a tick exactly at the probe instant IS
+    // visible to it (ASOF <=)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts).asc, col("__side").desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col(ts).desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.unionByName(p)
-      .withColumn("asof_value", first(col("__v"), ignoreNulls = true).over(w))
-      .withColumn("asof_ts", first(col("__vts"), ignoreNulls = true).over(w))
+      .withColumn("asof_value", last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn("asof_ts", last(col("__vts"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1 && col("asof_value").isNotNull)
       .select(col(key), col(ts), col("asof_value"), col("asof_ts"))
   }
