@@ -220,6 +220,50 @@ object DedupQueries {
            |FROM est ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
       }),
 
+    // LSH pair recall: of the true Jaccard≥TH pairs (exact inverted-
+    // index screen), what fraction does the banded MinHash screen find?
+    // By construction the LSH path verifies candidates with exact
+    // Jaccard, so its output is a subset of the truth — precision is 1.0
+    // and this one number is the whole quality story for the (NH, band)
+    // setting. Corpus-level eval: one row.
+    Q("dedup_minhash_recall",
+      (s, dir) => {
+        val truth = Staged.ngramPairs(s, dir, K, TH)
+          .select(col("doc_a"), col("doc_b"))
+        val found = DedupOps.minhashLshPairsFromSigs(
+            Staged.minhashSigs(s, dir, K, NH), Tables.documents(s, dir),
+            K, NH, BAND, TH)
+          .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
+        truth.join(found, Seq("doc_a", "doc_b"), "left")
+          .agg(count(lit(1)).as("n_true_pairs"),
+            count(col("hit")).as("n_found"))
+          .select(col("n_true_pairs"), col("n_found"),
+            round(col("n_found") / col("n_true_pairs").cast("double"), 6)
+              .as("recall"))
+      },
+      {
+        val nBands = NH / BAND
+        val bandExprs = (0 until nBands).map { b =>
+          val parts = (0 until BAND).map(r => s"sig_${b * BAND + r}::VARCHAR")
+          s"concat_ws('_', '$b', ${parts.mkString(", ")})"
+        }.mkString("[", ", ", "]")
+        s"""WITH truth AS (${jaccardPairsSql(K, TH)}),
+           |sigs AS (
+           |  SELECT doc_id, ${minhashAggs(NH)}
+           |  FROM (${docShingleHashes(K)}) GROUP BY doc_id),
+           |banded AS (SELECT doc_id, unnest($bandExprs) AS band_key FROM sigs),
+           |cands AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM banded a JOIN banded b
+           |  ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+           |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+           |CAST(count(c.doc_a) AS BIGINT) AS n_found,
+           |round(count(c.doc_a) / CAST(count(*) AS DOUBLE), 6) AS recall
+           |FROM truth t LEFT JOIN cands c
+           |ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b"""
+          .stripMargin.replace("\n", " ")
+      }),
+
     // Duplicate clusters: connected components over the n-gram near-dup
     // pairs (min-label propagation; recursive-CTE closure as the oracle).
     Q("dedup_clusters",

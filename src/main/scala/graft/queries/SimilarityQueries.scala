@@ -63,6 +63,39 @@ object SimilarityQueries {
        |SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rank
        |FROM ranked WHERE rnk <= $K""".stripMargin.replace("\n", " ")
 
+  /** Hyperplane-LSH (16 planes, 4×4 bands) top-k oracle text, same
+    * shape as [[bruteSql]]/[[ivfSql]]. */
+  private val lshSql: String =
+    s"""WITH corpus AS ($normCorpus),
+       |planes AS (
+       |  SELECT vec_id, n_emb AS p_emb,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS p_idx
+       |  FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT 16)),
+       |sigs AS (
+       |  SELECT e.vec_id,
+       |    CAST(SUM(CASE WHEN ${dotCosine("e.n_emb", "p.p_emb")} >= 0
+       |      THEN (CAST(1 AS BIGINT) << p.p_idx) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM corpus e CROSS JOIN planes p GROUP BY e.vec_id),
+       |bands AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS b),
+       |banded AS (
+       |  SELECT vec_id, b, (sig >> (b * 4)) & 15 AS bv
+       |  FROM sigs CROSS JOIN bands),
+       |qb AS (SELECT * FROM banded WHERE vec_id IN $idList),
+       |cands AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM qb q JOIN banded c ON q.b = c.b AND q.bv = c.bv
+       |  WHERE c.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${dotCosine("cq.n_emb", "cn.n_emb")} AS cosine_sim
+       |  FROM cands
+       |  JOIN corpus cq ON query_id = cq.vec_id
+       |  JOIN corpus cn ON neighbor_id = cn.vec_id),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rank
+       |FROM ranked WHERE rnk <= $K""".stripMargin.replace("\n", " ")
+
   val all: Seq[Q] = Seq(
 
     // Brute-force cosine top-k: broadcast query set, one corpus pass.
@@ -120,36 +153,32 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"), col("cosine_sim"),
           col("rank").cast("int").as("rank"))
         .orderBy("query_id", "rank"),
-      s"""WITH corpus AS ($normCorpus),
-         |planes AS (
-         |  SELECT vec_id, n_emb AS p_emb,
-         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS p_idx
-         |  FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT 16)),
-         |sigs AS (
-         |  SELECT e.vec_id,
-         |    CAST(SUM(CASE WHEN ${dotCosine("e.n_emb", "p.p_emb")} >= 0
-         |      THEN (CAST(1 AS BIGINT) << p.p_idx) ELSE 0 END) AS BIGINT) AS sig
-         |  FROM corpus e CROSS JOIN planes p GROUP BY e.vec_id),
-         |bands AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS b),
-         |banded AS (
-         |  SELECT vec_id, b, (sig >> (b * 4)) & 15 AS bv
-         |  FROM sigs CROSS JOIN bands),
-         |qb AS (SELECT * FROM banded WHERE vec_id IN $idList),
-         |cands AS (
-         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-         |  FROM qb q JOIN banded c ON q.b = c.b AND q.bv = c.bv
-         |  WHERE c.vec_id <> q.vec_id),
-         |scored AS (
-         |  SELECT query_id, neighbor_id, ${dotCosine("cq.n_emb", "cn.n_emb")} AS cosine_sim
-         |  FROM cands
-         |  JOIN corpus cq ON query_id = cq.vec_id
-         |  JOIN corpus cn ON neighbor_id = cn.vec_id),
-         |ranked AS (SELECT *, row_number() OVER
-         |  (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
-         |  FROM scored)
-         |SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rank
-         |FROM ranked WHERE rnk <= $K
-         |ORDER BY query_id, rnk""".stripMargin.replace("\n", " ")),
+      s"SELECT * FROM ($lshSql) ORDER BY query_id, rank"),
+
+    // Recall@k of the LSH index vs the exact baseline — the companion
+    // measurement to ann_recall_ivf, so the two approximate indexes are
+    // tunable against each other on the same scale.
+    Q("ann_recall_lsh",
+      (s, dir) => {
+        val brute = SimilarityOps
+          .bruteForceTopKNorm(Staged.normCorpus(s, dir), QueryIds, K)
+          .select(col("query_id"), col("neighbor_id"))
+        val lsh = SimilarityOps
+          .lshTopKNorm(Staged.normCorpus(s, dir), QueryIds, K, 16, 4)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_matched"))
+          .select(col("query_id"), col("n_matched"),
+            round(col("n_matched") / lit(K.toDouble), 6).as("recall_at_k"))
+          .orderBy("query_id")
+      },
+      s"""SELECT b.query_id, CAST(count(i.neighbor_id) AS BIGINT) AS n_matched,
+         |round(count(i.neighbor_id) / ${K.toDouble}, 6) AS recall_at_k
+         |FROM ($bruteSql) b LEFT JOIN ($lshSql) i
+         |ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id"""
+        .stripMargin.replace("\n", " ")),
 
     // Quantized ANN: top-k by integer dot over the int8 codes — the
     // query path that pairs with embedding_quantize (exact integer
