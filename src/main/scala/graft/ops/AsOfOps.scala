@@ -54,20 +54,25 @@ object AsOfOps {
       .filter(col("asof_ts") >=
         col(ts) - expr(s"INTERVAL $toleranceSec SECONDS"))
 
-  /** @param ticks  (key, ts, value) observations
-    * @param probes (key, ts) lookup points
-    * @return (key, probe ts, asof_value, asof_ts) — inner semantics */
-  def asofJoin(ticks: DataFrame, probes: DataFrame,
-               key: String, ts: String, value: String): DataFrame = {
+  /** Shared mechanics of both as-of directions: union the tagged sides,
+    * run ONE O(n) running frame over the chosen ordering, keep probes
+    * that found a value. `descending=false` is the backward join (latest
+    * at-or-before); `descending=true` reverses time so the same running
+    * frame yields the forward join (earliest at-or-after). Ticks (side
+    * 0) sort before equal-timestamp probes under side asc in both
+    * orderings, so a tick exactly at the probe instant is visible to
+    * either direction. */
+  private def asofImpl(ticks: DataFrame, probes: DataFrame,
+                       key: String, ts: String, value: String,
+                       descending: Boolean): DataFrame = {
     val t = dropNullTicks(ticks, key, ts, value).select(col(key), col(ts),
       col(value).as("__v"), col(ts).as("__vts"), lit(0).as("__side"))
     val p = dropNullProbes(probes, key, ts).select(col(key), col(ts),
       lit(null).cast(t.schema("__v").dataType).as("__v"),
       lit(null).cast("timestamp").as("__vts"), lit(1).as("__side"))
-    // ties at equal ts: the tick (side 0) sorts before the probe, so a
-    // tick exactly at the probe instant IS visible to it (ASOF >=)
+    val order = if (descending) col(ts).desc else col(ts).asc
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts).asc, col("__side").asc)
+      .orderBy(order, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.unionByName(p)
       .withColumn("asof_value", last(col("__v"), ignoreNulls = true).over(w))
@@ -75,6 +80,13 @@ object AsOfOps {
       .filter(col("__side") === 1 && col("asof_value").isNotNull)
       .select(col(key), col(ts), col("asof_value"), col("asof_ts"))
   }
+
+  /** @param ticks  (key, ts, value) observations
+    * @param probes (key, ts) lookup points
+    * @return (key, probe ts, asof_value, asof_ts) — inner semantics */
+  def asofJoin(ticks: DataFrame, probes: DataFrame,
+               key: String, ts: String, value: String): DataFrame =
+    asofImpl(ticks, probes, key, ts, value, descending = false)
 
   /** Forward as-of join (merge_asof direction='forward'): each probe
     * takes the EARLIEST observation at or after its timestamp — the
@@ -88,24 +100,8 @@ object AsOfOps {
     * partition tail for every row — O(n²); at sf0.1 that was measured at
     * 132 s vs ~1 s for this form. Same single shuffle on the key. */
   def asofJoinForward(ticks: DataFrame, probes: DataFrame,
-                      key: String, ts: String, value: String): DataFrame = {
-    val t = dropNullTicks(ticks, key, ts, value).select(col(key), col(ts),
-      col(value).as("__v"), col(ts).as("__vts"), lit(0).as("__side"))
-    val p = dropNullProbes(probes, key, ts).select(col(key), col(ts),
-      lit(null).cast(t.schema("__v").dataType).as("__v"),
-      lit(null).cast("timestamp").as("__vts"), lit(1).as("__side"))
-    // ties at equal ts: under side asc the tick (side 0) still sorts
-    // before the probe, so a tick exactly at the probe instant IS
-    // visible to it (ASOF <=)
-    val w = Window.partitionBy(col(key))
-      .orderBy(col(ts).desc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t.unionByName(p)
-      .withColumn("asof_value", last(col("__v"), ignoreNulls = true).over(w))
-      .withColumn("asof_ts", last(col("__vts"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1 && col("asof_value").isNotNull)
-      .select(col(key), col(ts), col("asof_value"), col("asof_ts"))
-  }
+                      key: String, ts: String, value: String): DataFrame =
+    asofImpl(ticks, probes, key, ts, value, descending = true)
 
   /** The same as-of join through graft's custom whole-operator plan
     * (graft.plans.AsOfJoinNode → AsOfJoinExec): hash-cluster + in-

@@ -67,22 +67,30 @@ object DedupOps {
     * (doc_id, n_sh) size table — stage/cache the index once and the
     * shingle+hash pass runs once instead of three times (both self-join
     * sides and the sizes would otherwise each recompute it). */
-  def ngramJaccardPairsFromIndex(ds: DataFrame, sizes: DataFrame,
-                                 threshold: Double): DataFrame = {
-    val common = ds.as("a").join(ds.as("b"),
+  /** (doc_a, doc_b, n_common, n_a, n_b): shared-shingle count per
+    * candidate pair from the inverted-index self-join, with both docs'
+    * set sizes attached — the one performance-critical pair computation
+    * (Σ posting² join rows; see the stop-shingle cap) that every overlap
+    * screen (Jaccard, containment) derives its measure from. */
+  private def commonPairCounts(ds: DataFrame, sizes: DataFrame): DataFrame =
+    ds.as("a").join(ds.as("b"),
         col("a.sh_h") === col("b.sh_h") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(sizes.select(col("doc_id"), col("n_sh").as("n_a")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n_sh").as("n_b")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+
+  def ngramJaccardPairsFromIndex(ds: DataFrame, sizes: DataFrame,
+                                 threshold: Double): DataFrame =
+    commonPairCounts(ds, sizes)
       .select(col("doc_a"), col("doc_b"),
         round(col("n_common").cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - col("n_common")), 6)
+          (col("n_a") + col("n_b") - col("n_common")), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** Containment screen over the same inverted index: C(A,B) =
     * |A∩B| / |A| — asymmetric, so a short document pasted inside a long
@@ -91,22 +99,12 @@ object DedupOps {
     * the symmetric near-dup screen. Same equality-keyed join and
     * per-pair agg as the Jaccard path — never all-pairs. */
   def containmentPairs(ds: DataFrame, sizes: DataFrame,
-                       threshold: Double): DataFrame = {
-    val common = ds.as("a").join(ds.as("b"),
-        col("a.sh_h") === col("b.sh_h") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+                       threshold: Double): DataFrame =
+    commonPairCounts(ds, sizes)
       .select(col("doc_a"), col("doc_b"),
-        round(col("n_common").cast("double") / col("sa.n_sh"), 6)
-          .as("cont_a"),
-        round(col("n_common").cast("double") / col("sb.n_sh"), 6)
-          .as("cont_b"))
+        round(col("n_common").cast("double") / col("n_a"), 6).as("cont_a"),
+        round(col("n_common").cast("double") / col("n_b"), 6).as("cont_b"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
-  }
 
   /** Stop-shingle variant of the Jaccard screen: shingles appearing in
     * more than `maxDf` documents are dropped BEFORE the pair join — the

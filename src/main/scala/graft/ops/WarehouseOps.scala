@@ -81,12 +81,19 @@ object WarehouseOps {
     * leaves the source intact: the swap (rename or metastore location
     * flip) stays atomic and concurrent readers of the old location
     * remain valid for their whole scan. */
+  /** The pre-write frame compaction writes: one task per partition
+    * value. Exposed so the plan-shape test pins the PRODUCTION read+
+    * repartition, not a hand-built lookalike. */
+  def compactionPlan(spark: org.apache.spark.sql.SparkSession,
+                     srcPath: String,
+                     partitionCol: String = "trade_date"): DataFrame =
+    spark.read.parquet(srcPath).repartition(col(partitionCol))
+
   def compactPartitions(spark: org.apache.spark.sql.SparkSession,
                         srcPath: String, destPath: String,
                         partitionCol: String = "trade_date",
                         maxRecordsPerFile: Long = 1000000L): Unit =
-    spark.read.parquet(srcPath)
-      .repartition(col(partitionCol))
+    compactionPlan(spark, srcPath, partitionCol)
       .write
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCol)

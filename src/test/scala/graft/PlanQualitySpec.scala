@@ -217,12 +217,14 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     TickOps.normalizeEvents(Tables.events(spark, sf))
       .withColumn("trade_date", to_date(col("event_ts")))
       .repartition(8).write.partitionBy("trade_date").parquet(frag)
-    val df = spark.read.parquet(frag)
-      .repartition(col("trade_date"))
+    // the op's OWN pre-write frame, not a hand-built lookalike — a
+    // change to compactPartitions' clustering fails here
+    val df = ops.WarehouseOps.compactionPlan(spark, frag)
     val plan = df.queryExecution.executedPlan.toString
     val hash = "Exchange hashpartitioning\\(trade_date".r.findAllIn(plan).length
     assert(hash == 1,
       s"expected exactly the partition-key exchange, got $hash:\n$plan")
+    graft.util.Fs.deleteRec(frag)
   }
 
   test("grouping sets plan as one Expand + one aggregation shuffle") {
