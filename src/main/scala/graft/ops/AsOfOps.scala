@@ -61,7 +61,11 @@ object AsOfOps {
     * frame yields the forward join (earliest at-or-after). Ticks (side
     * 0) sort before equal-timestamp probes under side asc in both
     * orderings, so a tick exactly at the probe instant is visible to
-    * either direction. */
+    * either direction. Among multiple ticks sharing (key, ts) the one
+    * with the GREATEST value wins — `__v` is the third sort key, so the
+    * running `last` lands on it deterministically in both directions
+    * (AsOfJoinExec mirrors the same tie-break in its required tick
+    * ordering). */
   private def asofImpl(ticks: DataFrame, probes: DataFrame,
                        key: String, ts: String, value: String,
                        descending: Boolean): DataFrame = {
@@ -72,7 +76,7 @@ object AsOfOps {
       lit(null).cast("timestamp").as("__vts"), lit(1).as("__side"))
     val order = if (descending) col(ts).desc else col(ts).asc
     val w = Window.partitionBy(col(key))
-      .orderBy(order, col("__side").asc)
+      .orderBy(order, col("__side").asc, col("__v").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.unionByName(p)
       .withColumn("asof_value", last(col("__v"), ignoreNulls = true).over(w))

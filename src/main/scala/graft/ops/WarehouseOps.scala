@@ -72,6 +72,14 @@ object WarehouseOps {
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n_rows"))
 
+  /** The pre-write frame compaction writes: one task per partition
+    * value. Exposed so the plan-shape test pins the PRODUCTION read+
+    * repartition, not a hand-built lookalike. */
+  def compactionPlan(spark: org.apache.spark.sql.SparkSession,
+                     srcPath: String,
+                     partitionCol: String = "trade_date"): DataFrame =
+    spark.read.parquet(srcPath).repartition(col(partitionCol))
+
   /** Small-files compaction: rewrite a partitioned table with one task
     * per partition value and `maxRecordsPerFile` as the split bound, so
     * each partition lands as ceil(rows / max) right-sized files. The
@@ -81,14 +89,6 @@ object WarehouseOps {
     * leaves the source intact: the swap (rename or metastore location
     * flip) stays atomic and concurrent readers of the old location
     * remain valid for their whole scan. */
-  /** The pre-write frame compaction writes: one task per partition
-    * value. Exposed so the plan-shape test pins the PRODUCTION read+
-    * repartition, not a hand-built lookalike. */
-  def compactionPlan(spark: org.apache.spark.sql.SparkSession,
-                     srcPath: String,
-                     partitionCol: String = "trade_date"): DataFrame =
-    spark.read.parquet(srcPath).repartition(col(partitionCol))
-
   def compactPartitions(spark: org.apache.spark.sql.SparkSession,
                         srcPath: String, destPath: String,
                         partitionCol: String = "trade_date",

@@ -66,9 +66,13 @@ case class AsOfJoinExec(pKey: Attribute, pTs: Attribute,
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(Seq(pKey)), ClusteredDistribution(Seq(tKey)))
 
+  // tick value as tertiary sort key: among ticks sharing (key, ts) the
+  // merge's "last absorbed wins" then lands on the greatest value —
+  // the same deterministic tie-break as AsOfOps.asofImpl's window
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(pKey, Ascending), SortOrder(pTs, Ascending)),
-    Seq(SortOrder(tKey, Ascending), SortOrder(tTs, Ascending)))
+    Seq(SortOrder(tKey, Ascending), SortOrder(tTs, Ascending),
+      SortOrder(tVal, Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 

@@ -181,7 +181,8 @@ object AnalyticsQueries {
           .agg(
             n.as("n_days"),
             round(sx / n, 9).as("mean_ret"),
-            round(sqrt((sxx - sx * sx / n) / (n - lit(1))), 9).as("vol"))
+            round(sqrt((sxx - sx * sx / n) /
+              nullif((n - lit(1)).cast("double"), lit(0d))), 9).as("vol"))
           .orderBy("symbol")
       },
       s"""WITH daily AS ($dailySqlLocal),
@@ -196,7 +197,7 @@ object AnalyticsQueries {
          |round(sqrt((CAST(SUM(CAST(ret * ret AS DECIMAL(30,18))) AS DOUBLE)
          |  - CAST(SUM(CAST(ret AS DECIMAL(30,12))) AS DOUBLE)
          |    * CAST(SUM(CAST(ret AS DECIMAL(30,12))) AS DOUBLE) / count(*))
-         |  / (count(*) - 1)), 9) AS vol
+         |  / nullif(count(*) - 1, 0)), 9) AS vol
          |FROM rets GROUP BY symbol
          |ORDER BY symbol""".stripMargin.replace("\n", " ")),
 
@@ -370,10 +371,12 @@ object AnalyticsQueries {
         // on constant symbols; nullif(sd,0) turns a degenerate (constant-
         // price) symbol into null z-scores, which the screen drops — both
         // engines agree, and neither ANSI division nor DuckDB's sqrt of
-        // a negative can throw
+        // a negative can throw. nullif(n-1,0) guards the single-tick
+        // symbol the same way (both engines' greatest ignores the null)
         val stats = t.groupBy(col("symbol"))
           .agg((sx / n).as("mu"),
-            nullif(sqrt(greatest((sxx - sx * sx / n) / (n - lit(1)),
+            nullif(sqrt(greatest((sxx - sx * sx / n) /
+              nullif((n - lit(1)).cast("double"), lit(0d)),
               lit(0d))), lit(0d)).as("sd"))
         t.join(broadcast(stats), Seq("symbol"))
           .filter(abs((col("price") - col("mu")) / col("sd")) > 2.5)
@@ -389,7 +392,7 @@ object AnalyticsQueries {
          |  CAST(SUM(CAST(price * price AS DECIMAL(30,12))) AS DOUBLE) AS sxx
          |  FROM t GROUP BY symbol),
          |st AS (SELECT symbol, sx / n AS mu,
-         |  nullif(sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0)), 0) AS sd
+         |  nullif(sqrt(greatest((sxx - sx * sx / n) / nullif(n - 1, 0), 0)), 0) AS sd
          |  FROM m)
          |SELECT t.symbol, event_ts, event_id, price,
          |round((price - mu) / sd, 6) AS zscore

@@ -238,7 +238,10 @@ object DedupQueries {
           .agg(count(lit(1)).as("n_true_pairs"),
             count(col("hit")).as("n_found"))
           .select(col("n_true_pairs"), col("n_found"),
-            round(col("n_found") / col("n_true_pairs").cast("double"), 6)
+            // nullif: a dup-free corpus (0 true pairs) yields a null
+            // recall row instead of an ANSI 0/0 crash
+            round(col("n_found") /
+              nullif(col("n_true_pairs").cast("double"), lit(0d)), 6)
               .as("recall"))
       },
       {
@@ -258,7 +261,7 @@ object DedupQueries {
            |  ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
            |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
            |CAST(count(c.doc_a) AS BIGINT) AS n_found,
-           |round(count(c.doc_a) / CAST(count(*) AS DOUBLE), 6) AS recall
+           |round(count(c.doc_a) / nullif(CAST(count(*) AS DOUBLE), 0), 6) AS recall
            |FROM truth t LEFT JOIN cands c
            |ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b"""
           .stripMargin.replace("\n", " ")

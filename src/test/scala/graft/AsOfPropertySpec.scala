@@ -27,24 +27,28 @@ class AsOfPropertySpec extends AnyFunSuite with SparkTestBase {
   private val probeGen = for { k <- keyGen; t <- tsGen } yield (k, t)
 
   /** Reference semantics, in-memory: the latest tick at-or-before each
-    * probe, per key. Ticks are deduped to one per (key, ts) so "latest"
-    * is well-defined on both engines. */
+    * probe, per key; among ticks sharing the latest timestamp the
+    * GREATEST value wins (graft's documented deterministic tie-break —
+    * both the window form's third sort key and the exec's required tick
+    * ordering encode it). */
   private def refAsof(ticks: Seq[(String, Long, Double)],
                       probes: Seq[(String, Long)]): Set[(String, Long, Double, Long)] =
     probes.distinct.flatMap { case (k, pt) =>
       val cands = ticks.filter(t => t._1 == k && t._2 <= pt)
       if (cands.isEmpty) None
       else {
-        val best = cands.maxBy(_._2)
+        val best = cands.maxBy(t => (t._2, t._3))
         Some((k, pt, best._3, best._2))
       }
     }.toSet
 
   test("property: native as-of exec matches reference semantics on random data") {
     (1L to 12L).foreach { seed =>
-      val ticksRaw = sample(Gen.listOfN(60, tickGen), seed)
+      // 60 ticks over 4 keys × 51 timestamps: duplicate (key, ts) pairs
+      // with DIFFERENT values occur naturally — the tie-break is under
+      // test, not sidestepped by dedup
+      val ticks = sample(Gen.listOfN(60, tickGen), seed)
       val probes = sample(Gen.listOfN(30, probeGen), seed + 1000)
-      val ticks = ticksRaw.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
       val tdf = ticks.toDF("symbol", "us", "price")
         .selectExpr("symbol", "timestamp_micros(us) AS event_ts", "price")
       val pdf = probes.distinct.toDF("symbol", "us")
@@ -66,23 +70,23 @@ class AsOfPropertySpec extends AnyFunSuite with SparkTestBase {
   }
 
   /** Forward reference semantics: the EARLIEST tick at-or-after each
-    * probe, per key. */
+    * probe, per key; equal-earliest-ts ties break to the GREATEST value
+    * (same direction-independent tie-break as the backward join). */
   private def refAsofForward(ticks: Seq[(String, Long, Double)],
                              probes: Seq[(String, Long)]): Set[(String, Long, Double, Long)] =
     probes.distinct.flatMap { case (k, pt) =>
       val cands = ticks.filter(t => t._1 == k && t._2 >= pt)
       if (cands.isEmpty) None
       else {
-        val best = cands.minBy(_._2)
+        val best = cands.minBy(t => (t._2, -t._3))
         Some((k, pt, best._3, best._2))
       }
     }.toSet
 
   test("property: forward as-of matches reference semantics on random data") {
     (1L to 12L).foreach { seed =>
-      val ticksRaw = sample(Gen.listOfN(60, tickGen), seed + 5000)
+      val ticks = sample(Gen.listOfN(60, tickGen), seed + 5000)
       val probes = sample(Gen.listOfN(30, probeGen), seed + 6000)
-      val ticks = ticksRaw.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
       val tdf = ticks.toDF("symbol", "us", "price")
         .selectExpr("symbol", "timestamp_micros(us) AS event_ts", "price")
       val pdf = probes.distinct.toDF("symbol", "us")

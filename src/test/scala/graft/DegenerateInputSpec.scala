@@ -26,7 +26,13 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
       Seq((100L, ts(1), 1L, "ZERO.NSE", 0.0, """{"k":"1"}"""),
         (101L, ts(2), 1L, "ZERO.NSE", 10.0, """{"k":"1"}""")) ++
       // TIED: all ticks of the day at ONE timestamp -> total duration 0
-      (200L to 204L).map(i => (i, ts(0), i, "TIED.NSE", 7.0 + i, """{"k":"2"}"""))
+      (200L to 204L).map(i => (i, ts(0), i, "TIED.NSE", 7.0 + i, """{"k":"2"}""")) ++
+      // LONE: exactly one priced tick -> n - 1 = 0 in sample-variance
+      Seq((300L, ts(1), 1L, "LONE.NSE", 42.0, """{"k":"1"}""")) ++
+      // TWOD: one tick on each of two days -> exactly ONE daily return
+      // row, so daily_volatility's (n - 1) denominator is 0
+      Seq((400L, ts(1), 1L, "TWOD.NSE", 10.0, """{"k":"1"}"""),
+        (401L, ts(86400), 1L, "TWOD.NSE", 11.0, """{"k":"1"}"""))
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$d/events.parquet")
     d
@@ -36,6 +42,20 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
     val out = SparkEntry.queries("events_anomaly")(spark, dir).collect()
     assert(!out.exists(_.getString(0) == "FLAT"),
       "constant-price symbol must produce no anomalies, not a crash")
+  }
+
+  test("events_anomaly and daily_volatility survive a single-tick symbol (n - 1 = 0)") {
+    val anom = SparkEntry.queries("events_anomaly")(spark, dir).collect()
+    assert(!anom.exists(_.getString(0) == "LONE"),
+      "single-tick symbol must produce no anomalies, not an ANSI divide crash")
+    val vol = SparkEntry.queries("daily_volatility")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // TWOD: two trade dates -> exactly one return row -> n - 1 = 0;
+    // the nullif guard yields a null vol instead of an ANSI crash
+    assert(vol.contains("TWOD"), "single-return symbol still reported")
+    assert(vol("TWOD").getLong(1) == 1L && vol("TWOD").isNullAt(3),
+      "one return row: mean present, vol null")
+    assert(!vol.contains("LONE"), "zero-return symbol has no group")
   }
 
   test("max_drawdown and cum_return survive a 0.0 first/peak price") {
