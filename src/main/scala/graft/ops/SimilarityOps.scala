@@ -296,9 +296,21 @@ object SimilarityOps {
     * and must never run on a full production corpus; the scale path is
     * [[cosineNearDupPairsBlocked]] (IVF-cell candidates, then verify),
     * and the exact-but-tiled middle ground is
-    * [[SimilarityKernel.cosineNearDupPairsKernelNorm]]. */
-  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    * [[SimilarityKernel.cosineNearDupPairsKernelNorm]].
+    *
+    * Guarded: refuses a corpus above `maxExactRows` (the count is one
+    * narrow scan — noise next to the n² join it prevents). Raise the
+    * cap explicitly to accept the quadratic cost on purpose. */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
+                         maxExactRows: Long = 100000L): DataFrame = {
     val e = normalizedCorpus(embeddings)
+    val n = e.count()
+    require(n <= maxExactRows,
+      s"cosineNearDupPairs is the exact O(n²) small-n baseline and the " +
+        s"corpus has $n rows (cap $maxExactRows): use " +
+        "cosineNearDupPairsBlocked (IVF-cell candidates) or " +
+        "SimilarityKernel.cosineNearDupPairsKernel (tiled exact) at scale, " +
+        "or raise maxExactRows deliberately")
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         dotCosine(col("a.n_emb"), col("b.n_emb")).as("cosine_sim"))

@@ -237,10 +237,30 @@ object SimilarityQueries {
          |  i -> pow(embedding[i]::DOUBLE - codes[i] / scale, 2))), 6) AS recon_err
          |FROM c ORDER BY vec_id""".stripMargin.replace("\n", " ")),
 
-    // Embedding near-dup screen: all pairs above a cosine threshold —
-    // via the broadcast block kernel (row materialization of n² vector
-    // pairs dominates the declarative self-join; see SimilarityKernel).
+    // Embedding near-dup screen — the HEADLINE is the scale path:
+    // IVF-cell blocked candidates (each vector in its 2 nearest of 16
+    // cells; pairs must share a cell — an equality-keyed join, never
+    // all-pairs; work is Σ|cell|², bounded), then exact-cosine verify.
+    // This is the operator a 100 TB dedup run invokes; the oracle
+    // implements the identical blocking, so results hash-match. The
+    // exact all-pairs forms survive ONLY as evaluation baselines:
+    // dedup_embedding_exact (tiled kernel) and dedup_embedding_recall
+    // (how much the blocking misses).
     Q("dedup_embedding_cosine",
+      (s, dir) => SimilarityOps
+        .cosineNearDupPairsBlockedNormWith(Staged.normCorpus(s, dir),
+          Staged.ivfCentroids(s, dir, 16), 0.4, 2)
+        .orderBy("vec_a", "vec_b"),
+      s"""$blockedPairsWith
+         |SELECT vec_a, vec_b, cosine_sim FROM blocked
+         |ORDER BY vec_a, vec_b""".stripMargin.replace("\n", " ")),
+
+    // EVAL BASELINE, not a production operator: exact all-pairs cosine
+    // via the tiled block-matrix kernel (Θ(n²) work by definition of
+    // exactness — bounded task memory, but never the headline at 100×;
+    // SimilarityOps.cosineNearDupPairs adds a hard size guard on the
+    // declarative twin). Exists to ground dedup_embedding_recall.
+    Q("dedup_embedding_exact",
       (s, dir) => graft.ops.SimilarityKernel
         .cosineNearDupPairsKernelNorm(Staged.normCorpus(s, dir), 0.4)
         .orderBy("vec_a", "vec_b"),
@@ -251,36 +271,67 @@ object SimilarityQueries {
          |WHERE ${dotCosine("a.n_emb", "b.n_emb")} >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin.replace("\n", " ")),
 
-    // Embedding near-dup at scale: IVF-cell blocked candidates (each
-    // vector in its 2 nearest of 16 cells; pairs must share a cell —
-    // an equality-keyed join, never all-pairs), exact-cosine verify.
-    // This is the operator a 100 TB dedup run invokes; the exact forms
-    // above are the small-n baseline and the tiled middle ground.
-    Q("dedup_embedding_blocked",
-      (s, dir) => SimilarityOps
-        .cosineNearDupPairsBlockedNormWith(Staged.normCorpus(s, dir),
-          Staged.ivfCentroids(s, dir, 16), 0.4, 2)
-        .orderBy("vec_a", "vec_b"),
-      s"""WITH corpus AS ($normCorpus),
-         |cents AS (SELECT * FROM ${OracleFrags.ivfCentroids(16)}),
-         |assigned AS (
-         |  SELECT vec_id, centroid_id AS cell FROM (
-         |    SELECT e.vec_id, c.centroid_id,
-         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |      ${dotCosine("e.n_emb", "c.c_emb")} DESC, c.centroid_id ASC) AS rn
-         |    FROM corpus e CROSS JOIN cents c)
-         |  WHERE rn <= 2),
-         |cands AS (
-         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM assigned a JOIN assigned b
-         |  ON a.cell = b.cell AND a.vec_id < b.vec_id),
-         |scored AS (
-         |  SELECT vec_a, vec_b, ${dotCosine("ca.n_emb", "cb.n_emb")} AS cosine_sim
-         |  FROM cands
-         |  JOIN corpus ca ON vec_a = ca.vec_id
-         |  JOIN corpus cb ON vec_b = cb.vec_id)
-         |SELECT vec_a, vec_b, cosine_sim FROM scored
-         |WHERE cosine_sim >= 0.4
-         |ORDER BY vec_a, vec_b""".stripMargin.replace("\n", " "))
+    // Blocking quality eval: of the true cosine≥0.4 pairs (exact tiled
+    // kernel), what fraction does the IVF-cell blocking find? The
+    // blocked path verifies candidates with the exact dot product, so
+    // found ⊆ truth — precision is 1.0 and this one recall number is
+    // the whole quality story for the (nCells, nprobe) setting. The
+    // number that tunes nprobe before a production run.
+    Q("dedup_embedding_recall",
+      (s, dir) => {
+        val truth = graft.ops.SimilarityKernel
+          .cosineNearDupPairsKernelNorm(Staged.normCorpus(s, dir), 0.4)
+          .select(col("vec_a"), col("vec_b"))
+        val found = SimilarityOps
+          .cosineNearDupPairsBlockedNormWith(Staged.normCorpus(s, dir),
+            Staged.ivfCentroids(s, dir, 16), 0.4, 2)
+          .select(col("vec_a"), col("vec_b"), lit(1).as("hit"))
+        truth.join(found, Seq("vec_a", "vec_b"), "left")
+          .agg(count(lit(1)).as("n_true_pairs"),
+            count(col("hit")).as("n_found"))
+          .select(col("n_true_pairs"), col("n_found"),
+            // nullif: a corpus with no true near-dup pairs yields a
+            // null recall row instead of an ANSI 0/0 crash
+            round(col("n_found") /
+              nullif(col("n_true_pairs").cast("double"), lit(0d)), 6)
+              .as("recall"))
+      },
+      s"""$blockedPairsWith,
+         |truth AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+         |  WHERE ${dotCosine("a.n_emb", "b.n_emb")} >= 0.4)
+         |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+         |CAST(count(f.vec_a) AS BIGINT) AS n_found,
+         |round(count(f.vec_a) / nullif(CAST(count(*) AS DOUBLE), 0), 6) AS recall
+         |FROM truth t LEFT JOIN blocked f
+         |ON t.vec_a = f.vec_a AND t.vec_b = f.vec_b"""
+        .stripMargin.replace("\n", " "))
   )
+
+  /** IVF-cell blocked near-dup pairs (nprobe 2 of 16 cells), as a WITH
+    * prelude ending in the `blocked` relation — shared by the headline
+    * dedup_embedding_cosine and the recall eval so the blocking logic
+    * can't drift between them. */
+  private lazy val blockedPairsWith: String =
+    s"""WITH corpus AS ($normCorpus),
+       |cents AS (SELECT * FROM ${OracleFrags.ivfCentroids(16)}),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id AS cell FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${dotCosine("e.n_emb", "c.c_emb")} DESC, c.centroid_id ASC) AS rn
+       |    FROM corpus e CROSS JOIN cents c)
+       |  WHERE rn <= 2),
+       |cands AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM assigned a JOIN assigned b
+       |  ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT vec_a, vec_b, ${dotCosine("ca.n_emb", "cb.n_emb")} AS cosine_sim
+       |  FROM cands
+       |  JOIN corpus ca ON vec_a = ca.vec_id
+       |  JOIN corpus cb ON vec_b = cb.vec_id),
+       |blocked AS (SELECT * FROM scored WHERE cosine_sim >= 0.4)"""
+      .stripMargin.replace("\n", " ")
 }
