@@ -6,14 +6,22 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, decoded/feature-extracted per partition.
   *
-  * The container has no image/audio codecs, so the decode itself is a
-  * clearly-marked deterministic STUB (md5-derived pseudo-dimensions); the
-  * Spark-side shape is real and tested: binary columns, a typed
-  * `Dataset[MediaRow]`, partition-batched `mapPartitions` (the Scala-native
-  * equivalent of `mapInPandas` — one iterator per partition, amortized
-  * per-batch setup such as loading a codec), and schema-stable output.
-  * At 100 TB this is a narrow, shuffle-free map; payload bytes stream
-  * through executors without driver involvement.
+  * The image path is a REAL codec round-trip on the JVM's own PNG
+  * support (`javax.imageio`): [[encodePngMedia]] renders a deterministic
+  * grayscale image per document and compresses it to PNG bytes inside
+  * executors; [[decodeImage]] parses those bytes back and reports
+  * dimensions plus whole-raster pixel statistics. Because the pixel law
+  * is closed-form in the id, the DuckDB oracle reproduces the decoded
+  * stats arithmetically — the compressed bytes themselves never need to
+  * be portable across engines (and aren't exposed: PNG encoder output
+  * can differ across JDKs even when the decoded raster is identical).
+  *
+  * The Spark-side shape is the one a production pipeline needs: binary
+  * columns, typed `Dataset`s, partition-batched `mapPartitions` (the
+  * Scala-native equivalent of `mapInPandas` — one iterator per
+  * partition, per-partition codec setup amortized across rows), and
+  * schema-stable output. At 100 TB this is a narrow, shuffle-free map;
+  * payload bytes stream through executors without driver involvement.
   */
 object MultimodalOps {
 
@@ -21,18 +29,11 @@ object MultimodalOps {
   final case class MediaRow(media_id: Long, media_type: String,
                             payload: Array[Byte])
 
-  /** Decoded metadata (what a real image decode would yield). */
-  final case class MediaMeta(media_id: Long, media_type: String,
-                             n_bytes: Long, width: Long, height: Long,
-                             n_frames: Long)
-
-  /** Deterministic 60-bit hash of bytes — md5 hex prefix, identical to
-    * functions.Hashing.md5Long over the same bytes. */
-  private[ops] def md5Long(bytes: Array[Byte]): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-    val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
-    java.lang.Long.parseLong(hex, 16)
-  }
+  /** Really-decoded image facts: dimensions + whole-raster statistics.
+    * Every field is derivable by the oracle from the generation law;
+    * compressed size deliberately is NOT exposed (encoder-dependent). */
+  final case class ImageMeta(media_id: Long, width: Int, height: Int,
+                             px_sum: Long, px_min: Int, px_max: Int)
 
   /** Documents → media table: text payload as the opaque binary stand-in
     * (schema shape is what matters; bytes are bytes). */
@@ -43,25 +44,71 @@ object MultimodalOps {
         .as("media_type"),
       encode(col("text"), "UTF-8").as("payload"))
 
-  /** STUB decode: real pipelines would call an image codec here. The fake
-    * is deterministic from the payload bytes so the DuckDB oracle can
-    * reproduce it. Runs as partition-batched iterator transform —
-    * per-partition setup happens once (where a codec would be loaded). */
-  def decodeMedia(media: DataFrame): Dataset[MediaMeta] = {
+  /** Deterministic image law: doc d is a (16 + d%32) × (8 + d%16)
+    * grayscale gradient with pixel(x, y) = (x + y + d) mod 256. Small
+    * enough that the oracle can re-derive whole-raster statistics by
+    * brute force, structured enough that a decode bug (wrong stride,
+    * swapped axes, dropped rows) shifts the sum/min/max. */
+  private[ops] def lawWidth(id: Long): Int = (16 + id % 32).toInt
+  private[ops] def lawHeight(id: Long): Int = (8 + id % 16).toInt
+  private[ops] def lawPixel(id: Long, x: Int, y: Int): Int =
+    ((x + y + id) % 256).toInt
+
+  /** Documents → PNG media table: one real PNG per doc_id, rendered and
+    * compressed INSIDE executors (distributed encode — the driver never
+    * sees payload bytes). */
+  def encodePngMedia(docs: DataFrame): DataFrame = {
+    val spark: SparkSession = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      // per-partition codec setup: keep ImageIO off its temp-file cache
+      javax.imageio.ImageIO.setUseCache(false)
+      ids.map { id =>
+        val w = lawWidth(id); val h = lawHeight(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, lawPixel(id, x, y)); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, "image/png", bos.toByteArray)
+      }
+    }.toDF("media_id", "media_type", "payload")
+  }
+
+  /** REAL image decode: parse the PNG payload with `javax.imageio` and
+    * compute dimensions + whole-raster pixel statistics. Partition-
+    * batched iterator transform; narrow, shuffle-free. A corrupt or
+    * non-image payload fails loudly rather than fabricating metadata. */
+  def decodeImage(media: DataFrame): Dataset[ImageMeta] = {
     val spark: SparkSession = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // per-partition setup would go here (codec init, model load, ...)
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec setup
       rows.map { m =>
-        val h = md5Long(m.payload) % graft.functions.Hashing.Mersenne31
-        val nb = m.payload.length.toLong
-        MediaMeta(
-          media_id = m.media_id,
-          media_type = m.media_type,
-          n_bytes = nb,
-          width = h % 640 + 1,
-          height = (h / 640) % 480 + 1,
-          n_frames = if (m.media_type == "video") nb / 10 else 1L)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        require(img != null,
+          s"media ${m.media_id}: payload is not a decodable image")
+        val raster = img.getRaster
+        val w = img.getWidth; val h = img.getHeight
+        var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = raster.getSample(x, y, 0)
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            x += 1
+          }
+          y += 1
+        }
+        ImageMeta(m.media_id, w, h, sum, mn, mx)
       }
     }
   }

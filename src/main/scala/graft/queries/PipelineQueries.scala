@@ -24,21 +24,27 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
 
-    // Multimodal decode: binary payload → typed metadata via a
-    // partition-batched typed Dataset (decode stub is md5-deterministic,
-    // so the oracle reproduces it from the source text).
+    // Multimodal decode — a REAL codec round-trip: deterministic
+    // grayscale PNGs are rendered + compressed in executors
+    // (encodePngMedia), then actually parsed back by javax.imageio and
+    // reduced to dimensions + whole-raster pixel stats (decodeImage).
+    // The pixel law is closed-form in doc_id, so the oracle re-derives
+    // the decoded stats arithmetically without ever seeing the bytes;
+    // compressed size is deliberately not exposed (encoder-dependent).
     Q("multimodal_decode",
-      (s, dir) => MultimodalOps.decodeMedia(
-          MultimodalOps.asMediaTable(Tables.documents(s, dir)))
+      (s, dir) => MultimodalOps.decodeImage(
+          MultimodalOps.encodePngMedia(Tables.documents(s, dir)))
         .toDF().orderBy("media_id"),
-      s"""SELECT doc_id AS media_id,
-         |CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS media_type,
-         |CAST(length(text) AS BIGINT) AS n_bytes,
-         |h % 640 + 1 AS width,
-         |(h // 640) % 480 + 1 AS height,
-         |CASE WHEN doc_id % 2 = 0 THEN 1
-         |  ELSE CAST(length(text) // 10 AS BIGINT) END AS n_frames
-         |FROM (SELECT doc_id, text, ${OracleFrags.h31("text")} AS h FROM documents)
+      s"""WITH w AS (SELECT doc_id, 16 + doc_id % 32 AS wd, 8 + doc_id % 16 AS ht
+         |  FROM documents),
+         |xs AS (SELECT doc_id, wd, ht, unnest(range(0, wd)) AS x FROM w),
+         |xy AS (SELECT doc_id, wd, ht, x, unnest(range(0, ht)) AS y FROM xs)
+         |SELECT doc_id AS media_id,
+         |CAST(wd AS INT) AS width, CAST(ht AS INT) AS height,
+         |CAST(sum((x + y + doc_id) % 256) AS BIGINT) AS px_sum,
+         |CAST(min((x + y + doc_id) % 256) AS INT) AS px_min,
+         |CAST(max((x + y + doc_id) % 256) AS INT) AS px_max
+         |FROM xy GROUP BY doc_id, wd, ht
          |ORDER BY media_id""".stripMargin.replace("\n", " ")),
 
     // Frame sampling: binary chunking, one scalar row per frame so the

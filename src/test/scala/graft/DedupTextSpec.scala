@@ -243,17 +243,38 @@ class DedupTextSpec extends AnyFunSuite with SparkTestBase {
     both.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
-  test("multimodal decode stub is deterministic and shape-correct") {
-    val meta = MultimodalOps.decodeMedia(MultimodalOps.asMediaTable(docs))
+  test("multimodal decode really parses PNG bytes back to the generated raster") {
+    val media = MultimodalOps.encodePngMedia(docs)
+    // the payloads are genuine PNGs (magic bytes), not a stand-in
+    media.collect().foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      assert(bytes.length > 8 &&
+        (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
+        bytes(3) == 'G', "payload is not a PNG")
+    }
+    val meta = MultimodalOps.decodeImage(media)
       .collect().map(m => m.media_id -> m).toMap
     assert(meta.size == 5)
-    assert(meta(0L).n_bytes == 43L)
-    assert(meta(0L).width >= 1 && meta(0L).width <= 640)
-    assert(meta(0L).height >= 1 && meta(0L).height <= 480)
-    // identical payloads decode identically (0 and 1 share text)
-    assert(meta(0L).width == meta(1L).width && meta(0L).height == meta(1L).height)
-    // image vs video frame semantics
-    assert(meta(0L).n_frames == 1L)       // doc 0 even → image
-    assert(meta(1L).n_frames == 43L / 10) // doc 1 odd → video
+    // decoded facts match the generation law, computed independently here
+    meta.values.foreach { m =>
+      val id = m.media_id
+      val w = (16 + id % 32).toInt; val h = (8 + id % 16).toInt
+      val px = for { x <- 0 until w; y <- 0 until h }
+        yield ((x + y + id) % 256).toInt
+      assert(m.width == w && m.height == h, s"dims of $id")
+      assert(m.px_sum == px.map(_.toLong).sum, s"px_sum of $id")
+      assert(m.px_min == px.min && m.px_max == px.max, s"px range of $id")
+    }
+  }
+
+  test("decodeImage fails loudly on a non-image payload") {
+    import org.apache.spark.sql.functions.{col, encode, lit}
+    val junk = docs.select(col("doc_id").as("media_id"),
+      lit("image/png").as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+    val e = intercept[Exception] {
+      MultimodalOps.decodeImage(junk).collect()
+    }
+    assert(e.getMessage != null)
   }
 }
