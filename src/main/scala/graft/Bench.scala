@@ -10,6 +10,15 @@ import org.apache.spark.sql.SparkSession
   * under-report). Order is sorted for run-to-run comparability, with a
   * small warmup so the first measured query doesn't pay JVM/codegen
   * startup.
+  *
+  * Each query runs REPS times (default 3; SPARK_GRAFT_BENCH_REPS
+  * overrides) and reports the MEDIAN; `value` is the sum of medians.
+  * Container timing variance is ±10-20% with occasional 2× spikes on a
+  * single run — single-shot numbers produced phantom regressions two
+  * rounds straight (hourly_ohlc_mv, orders_rollup burned round 3's
+  * comparison). The extra `spread` map records per-query (max - min)
+  * across reps so a noisy measurement is visible at comparison time
+  * instead of masquerading as a code regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -60,11 +69,17 @@ object Bench {
       spark.sql("DROP TABLE IF EXISTS graft_bench_warmup")
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> force(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+      val times = Seq.fill(reps)(force(n)).sorted
+      (n, times(times.length / 2), times.last - times.head)
+    }
+    def jmap(f: ((String, Double, Double)) => Double) = results
+      .map { r => "\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
+    val qs = jmap(_._2)
+    val spread = jmap(r => math.rint(r._3 * 1000) / 1000)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

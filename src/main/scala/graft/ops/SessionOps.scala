@@ -56,8 +56,10 @@ object SessionOps {
     * session's last_us and can split/fabricate sessions relative to the
     * batch twin. This holds for the replay fixture (one AvailableNow
     * batch) and for any source that partitions by key and preserves
-    * per-key order; for genuinely out-of-order sources, buffer within a
-    * watermark and emit on EventTimeTimeout instead. */
+    * per-key order; for genuinely out-of-order sources use
+    * [[sessionizeStreamWatermarked]], which buffers within a watermark
+    * and emits on EventTimeTimeout (OutOfOrderSessionSpec proves it
+    * equal to the batch twin under cross-batch disorder). */
   def sessionizeStream(events: Dataset[Ev], gapMinutes: Int): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -85,6 +87,89 @@ object SessionOps {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(fn)
+  }
+
+  /** State of the watermarked sessionizer: the open session plus events
+    * not yet provably complete (ts above the watermark). */
+  final case class WmBuf(open: Option[OpenSession], pending: Seq[Long])
+
+  /** Watermarked sessionization for OUT-OF-ORDER sources — closes the
+    * in-order assumption [[sessionizeStream]] documents.
+    *
+    * Events buffer in per-key state until the watermark passes them;
+    * only then are they folded into sessions, in event-time order — so
+    * cross-batch disorder within the watermark delay cannot split or
+    * fabricate sessions. A session is emitted once the watermark
+    * exceeds `last event + gap` (no future event can extend it — every
+    * later event must start a new session), including via
+    * EventTimeTimeout when a key receives no further batches. Per-key
+    * state is bounded by the arrival rate × the watermark delay
+    * (`pending`) plus one open session — the buffer drains every time
+    * the watermark advances, so state does not grow with stream length.
+    *
+    * @param events     streaming frame carrying `user` and `ts` columns
+    * @param gapMinutes session gap (same semantics as [[sessionize]])
+    * @param delayMinutes watermark delay: max tolerated disorder
+    */
+  def sessionizeStreamWatermarked(events: DataFrame, gapMinutes: Int,
+                                  delayMinutes: Int,
+                                  user: String = "user_id",
+                                  ts: String = "event_ts"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def fn(userId: Long, batch: Iterator[(Long, Long, java.sql.Timestamp)],
+           state: GroupState[WmBuf]): Iterator[Session] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val st = state.getOption.getOrElse(WmBuf(None, Nil))
+      // events older than the current watermark are DROPPED, the same
+      // policy a watermarked aggregation applies — folding them in would
+      // misfile them behind sessions already proven closed
+      val incoming = batch.map(_._2).filter(_ >= wmUs).toSeq
+      val (settled, pending) =
+        (st.pending ++ incoming).sorted.partition(_ <= wmUs)
+      var open = st.open
+      val closed = Seq.newBuilder[Session]
+      settled.foreach { t =>
+        open = open match {
+          case None => Some(OpenSession(t, t, 1))
+          case Some(s) if t - s.last_us <= gapUs =>
+            Some(s.copy(last_us = t, n = s.n + 1))
+          case Some(s) =>
+            closed += Session(userId, s.start_us, s.last_us, s.n)
+            Some(OpenSession(t, t, 1))
+        }
+      }
+      // the watermark itself can prove the open session over: nothing
+      // arriving later (ts > wm > last + gap) can be within the gap
+      open = open match {
+        case Some(s) if wmUs > s.last_us + gapUs =>
+          closed += Session(userId, s.start_us, s.last_us, s.n)
+          None
+        case o => o
+      }
+      if (open.isEmpty && pending.isEmpty) state.remove()
+      else {
+        state.update(WmBuf(open, pending))
+        // wake when the watermark can next prove progress: the open
+        // session's close instant, or the first pending event settling
+        val nextUs = (open.map(_.last_us + gapUs) ++ pending.headOption).min
+        state.setTimeoutTimestamp(
+          math.max(state.getCurrentWatermarkMs() + 1, nextUs / 1000L + 1))
+      }
+      closed.result().iterator
+    }
+
+    events
+      .select(col(user).cast("long").as("user_id"), col(ts).as("event_ts"))
+      .withWatermark("event_ts", s"$delayMinutes minutes")
+      .select(col("user_id"), unix_micros(col("event_ts")).as("ts_us"),
+        col("event_ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
   /** Run the streaming sessionizer to completion over a parquet glob and
