@@ -151,6 +151,19 @@ object DedupOps {
         }: _*)
   }
 
+  /** (doc_id, band_key) banding of a signature frame — the equality key
+    * the LSH candidate join buckets on. Exposed so the skew spec pins
+    * the PRODUCTION band-key construction, not a lookalike. */
+  def bandedSignatures(sigs: DataFrame, nHashes: Int,
+                       bandSize: Int): DataFrame = {
+    val nBands = nHashes / bandSize
+    val bandKeys = (0 until nBands).map { b =>
+      val parts = (0 until bandSize).map(r => col(s"sig_${b * bandSize + r}"))
+      concat_ws("_", (lit(b.toString) +: parts): _*)
+    }
+    sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
+  }
+
   /** LSH candidate pairs from banded MinHash signatures (bandSize rows
     * per band), verified with exact n-gram Jaccard. Join is on the band
     * key — never all-pairs. */
@@ -169,17 +182,33 @@ object DedupOps {
       k, nHashes, bandSize, threshold, text)
 
   /** Same, over precomputed (possibly session-staged) signatures — the
-    * signature aggregation is the pass worth sharing across consumers. */
+    * signature aggregation is the pass worth sharing across consumers.
+    *
+    * `maxBandDf` is the LSH twin of the shingle index's `maxDf` stop-
+    * shingle cap: the band self-join's work is Σ|band|², so ONE band key
+    * shared by a large fraction of the corpus (mass-identical documents
+    * — empty bodies, boilerplate) contributes |band|² candidate rows
+    * regardless of AQE (skew-split bounds task INPUT, not a quadratic
+    * output). Capped bands are dropped before the join, bounding any
+    * key's contribution at maxBandDf²; a pair losing one band can still
+    * collide in its other bands, and mass-identical payloads are exact-
+    * dedup's job (cheaper and complete) before LSH ever runs. Default
+    * off: the registered fixture queries are uncapped (no hot band at
+    * fixture scale), same split as dedup_ngram_jaccard vs
+    * dedup_ngram_stopshingle. */
   def minhashLshPairsFromSigs(sigs: DataFrame, docs: DataFrame, k: Int,
                               nHashes: Int, bandSize: Int, threshold: Double,
-                              text: String = "text"): DataFrame = {
-    val nBands = nHashes / bandSize
-    val bandKeys = (0 until nBands).map { b =>
-      val parts = (0 until bandSize).map(r => col(s"sig_${b * bandSize + r}"))
-      concat_ws("_", (lit(b.toString) +: parts): _*)
-    }
-    val banded = sigs.select(col("doc_id"),
-      explode(array(bandKeys: _*)).as("band_key"))
+                              text: String = "text",
+                              maxBandDf: Long = Long.MaxValue): DataFrame = {
+    val bandedAll = bandedSignatures(sigs, nHashes, bandSize)
+    val banded =
+      if (maxBandDf == Long.MaxValue) bandedAll
+      else {
+        val bandFreq = bandedAll.groupBy(col("band_key"))
+          .agg(count(lit(1)).as("band_df"))
+        bandedAll.join(bandFreq.filter(col("band_df") <= maxBandDf)
+          .select(col("band_key")), Seq("band_key"))
+      }
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))

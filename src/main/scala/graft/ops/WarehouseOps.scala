@@ -53,6 +53,25 @@ object WarehouseOps {
     }
   }
 
+  /** Literal external-warehouse sink — the reference's SQLAlchemy
+    * `to_sql(..., if_exists='append')` (data_platform_final.py:249-250)
+    * as a JDBC append. The managed-table path above is the in-engine
+    * mapping of S8; this is the code path for a user pointing the
+    * engine at an actual external database.
+    *
+    * Scale discipline: each partition opens one connection and streams
+    * batched INSERTs, so the upstream frame is coalesced to
+    * `maxConnections` first — the external DB's connection pool, not
+    * the cluster's task count, is the constraint a 1000-executor job
+    * must respect. Append-only (the reference's if_exists='append'):
+    * idempotence belongs to the caller's keys, same as the managed
+    * twin's append-mode spec. */
+  def appendJdbc(df: DataFrame, url: String, table: String,
+                 properties: java.util.Properties = new java.util.Properties(),
+                 maxConnections: Int = 8): Unit =
+    df.coalesce(maxConnections).write.mode(SaveMode.Append)
+      .jdbc(url, table, properties)
+
   /** Small bucketed dimension table (co-bucketed with the tick
     * warehouse on `bucketCol` so joins stay exchange-free). */
   def saveBucketedDim(dim: DataFrame, table: String,

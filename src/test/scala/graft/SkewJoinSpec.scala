@@ -100,4 +100,61 @@ class SkewJoinSpec extends AnyFunSuite with SparkTestBase {
         "capped screen lost the planted verbatim duplicate")
     } finally { ds.unpersist(); () }
   }
+
+  test("planted hot band key (constant signature block): maxBandDf bounds the LSH join") {
+    // 90% of the corpus becomes byte-identical boilerplate -> identical
+    // MinHash signatures -> every band key of that mass is shared by
+    // ~450 documents. The band self-join's work is sum(|band|^2), so
+    // the hot band alone would contribute ~450^2 candidate rows — and
+    // AQE can't help: skew-split bounds task INPUT, not the quadratic
+    // OUTPUT a single degenerate key produces.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 =!= 0,
+          lit("identical boilerplate body repeated across the corpus"))
+          .otherwise(col("text")).as("text"))
+    // ...plus a verbatim copy of one UNIQUE doc: the true near-dup the
+    // capped screen must still find (its bands have df = 2)
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val n = planted.count()
+    val (nh, band) = (12, 3)
+    val sigs = ops.DedupOps.minhashSignatures(planted, 3, nh).cache()
+    try {
+      val banded = ops.DedupOps.bandedSignatures(sigs, nh, band)
+      val bandDf = banded.groupBy(col("band_key"))
+        .agg(count(lit(1)).as("band_df")).cache()
+      val hottest = bandDf.agg(max(col("band_df"))).first().getLong(0)
+      assert(hottest >= n * 8 / 10, s"planted band not hot: $hottest of $n")
+
+      // data-level bound, same shape as the shingle maxDf test: after
+      // the cap no band's posting list exceeds maxBandDf, so no join
+      // key can contribute more than maxBandDf^2 rows at ANY corpus size
+      val maxBandDf = 50L
+      val keptMax = banded.join(
+          bandDf.filter(col("band_df") <= maxBandDf).select("band_key"),
+          Seq("band_key"))
+        .groupBy(col("band_key")).count()
+        .agg(max(col("count"))).first().getLong(0)
+      assert(keptMax <= maxBandDf, s"cap leaked a band of $keptMax")
+      val work = bandDf.agg(
+        sum(col("band_df") * col("band_df")).as("uncapped"),
+        sum(when(col("band_df") <= maxBandDf, col("band_df") * col("band_df"))
+          .otherwise(0L)).as("capped")).first()
+      assert(work.getLong(1) < work.getLong(0) / 10,
+        s"capped work ${work.getLong(1)} not << uncapped ${work.getLong(0)}")
+
+      // the capped screen still finds the real near-dup...
+      val pairs = ops.DedupOps.minhashLshPairsFromSigs(
+        sigs, planted, 3, nh, band, 0.5, maxBandDf = maxBandDf)
+      assert(pairs.filter(col("doc_a") === 0 &&
+        col("doc_b") === 1000000L).count() == 1,
+        "capped LSH lost the planted verbatim duplicate")
+      // ...and drops the degenerate mass (exact dedup's job, which is
+      // both cheaper and complete for byte-identical payloads)
+      assert(pairs.filter(col("doc_a") % 10 =!= 0).count() == 0,
+        "hot-band mass leaked through the cap")
+    } finally { sigs.unpersist(); () }
+  }
 }
