@@ -358,6 +358,24 @@ object SimilarityOps {
     cosineNearDupPairsBlockedNormWith(corpus,
       ivfCentroidsNorm(corpus, nCells), threshold, nprobe)
 
+  /** Blocked near-dup with the cell count FOLLOWING the corpus:
+    * nCells = max(16, n / targetCellSize), so candidate work
+    * Σ|cell|² ≈ nprobe²·targetCellSize·n stays LINEAR in n at fixed
+    * cell occupancy. A fixed nCells is quadratic in disguise —
+    * measured on the 20k-vector sf1 fixture: 16 cells = 95 s of
+    * candidate work, 256 cells (≈ n/78) = 3.3 s (BASELINE.md round-4
+    * scaling table). Recall tunes with nprobe/targetCellSize; the
+    * fixture-registered queries pin nCells=16 so the DuckDB oracle can
+    * mirror the blocking verbatim at fixture scale. */
+  def cosineNearDupPairsBlockedAuto(embeddings: DataFrame,
+                                    threshold: Double,
+                                    targetCellSize: Int = 128,
+                                    nprobe: Int = 2): DataFrame = {
+    val corpus = normalizedCorpus(embeddings)
+    val nCells = math.max(16L, corpus.count() / targetCellSize).toInt
+    cosineNearDupPairsBlockedNorm(corpus, threshold, nCells, nprobe)
+  }
+
   def cosineNearDupPairsBlockedNormWith(corpus: DataFrame,
                                         centroids: DataFrame,
                                         threshold: Double,

@@ -61,6 +61,30 @@ object PipelineQueries {
         |  FROM documents)
         |ORDER BY media_id, frame_idx""".stripMargin.replace("\n", " ")),
 
+    // S8 LITERAL: the daily OHLC report lands in an external JDBC
+    // warehouse (in-process in-memory Derby — the engine the session
+    // catalog's metastore already embeds) via appendJdbc, then is read
+    // BACK through the JDBC scan. The oracle recomputes the same report
+    // from the raw events, so a type mangled by the external database
+    // round-trip (DATE, VARCHAR, DOUBLE, BIGINT) breaks the hash. The
+    // table is dropped up front: every invocation re-lands the report,
+    // exercising create-on-append each time.
+    Q("jdbc_roundtrip",
+      (s, dir) => {
+        val url = "jdbc:derby:memory:graft_rt;create=true"
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          try conn.createStatement().execute("DROP TABLE daily_ohlc")
+          catch { case _: java.sql.SQLException => () } // first run: absent
+        } finally conn.close()
+        val daily = graft.ops.TickOps.dailyOhlc(
+          graft.ops.TickOps.normalizeEvents(Tables.events(s, dir)))
+        graft.ops.WarehouseOps.appendJdbc(daily, url, "daily_ohlc")
+        s.read.jdbc(url, "daily_ohlc", new java.util.Properties())
+          .orderBy("trade_date", "symbol")
+      },
+      s"SELECT * FROM (${TickQueries.dailySql}) ORDER BY trade_date, symbol"),
+
     // Structured-Streaming twin of ohlc_hourly (AvailableNow over the
     // same fixtures — identical result, incremental execution).
     Q("streaming_ohlc_hourly",

@@ -238,19 +238,27 @@ object SimilarityQueries {
          |FROM c ORDER BY vec_id""".stripMargin.replace("\n", " ")),
 
     // Embedding near-dup screen — the HEADLINE is the scale path:
-    // IVF-cell blocked candidates (each vector in its 2 nearest of 16
-    // cells; pairs must share a cell — an equality-keyed join, never
-    // all-pairs; work is Σ|cell|², bounded), then exact-cosine verify.
-    // This is the operator a 100 TB dedup run invokes; the oracle
-    // implements the identical blocking, so results hash-match. The
-    // exact all-pairs forms survive ONLY as evaluation baselines:
+    // IVF-cell blocked candidates (pairs must share one of their 2
+    // nearest cells — an equality-keyed join, never all-pairs), then
+    // exact-cosine verify. The cell count FOLLOWS the corpus
+    // (max(16, n/128), staged per (dir, nCells)): the sf1 scaling run
+    // measured a FIXED 16 cells at 40× on 10× data (Σ|cell|² is
+    // quadratic at fixed nCells) while scaled cells stay linear —
+    // BASELINE.md round 4. At both oracle scales (500 and 2000
+    // vectors) the knob clamps to the 16-cell floor, so the oracle
+    // mirrors the blocking verbatim and results hash-match. The exact
+    // all-pairs forms survive ONLY as evaluation baselines:
     // dedup_embedding_exact (tiled kernel) and dedup_embedding_recall
     // (how much the blocking misses).
     Q("dedup_embedding_cosine",
-      (s, dir) => SimilarityOps
-        .cosineNearDupPairsBlockedNormWith(Staged.normCorpus(s, dir),
-          Staged.ivfCentroids(s, dir, 16), 0.4, 2)
-        .orderBy("vec_a", "vec_b"),
+      (s, dir) => {
+        val corpus = Staged.normCorpus(s, dir)
+        val nCells = math.max(16L, corpus.count() / 128L).toInt
+        SimilarityOps
+          .cosineNearDupPairsBlockedNormWith(corpus,
+            Staged.ivfCentroids(s, dir, nCells), 0.4, 2)
+          .orderBy("vec_a", "vec_b")
+      },
       s"""$blockedPairsWith
          |SELECT vec_a, vec_b, cosine_sim FROM blocked
          |ORDER BY vec_a, vec_b""".stripMargin.replace("\n", " ")),

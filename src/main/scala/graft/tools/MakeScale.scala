@@ -1,0 +1,91 @@
+package graft.tools
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-fixture synthesizer: replicate a source fixture N× with
+  * deterministic perturbations, preserving each table's schema and the
+  * SHAPE a real scale-up has — fact tables grow, dimension tables don't,
+  * key cardinality grows with the facts, and replicated payloads are
+  * decorrelated so pair-producing operators (dedup, ANN) don't see an
+  * artificial quadratic explosion of cross-copy near-duplicates:
+  *
+  *  - events: ids/users shifted per copy (10× keys, same symbols —
+  *    more rows per symbol, the real 100 TB shape); ts written back as
+  *    INT64 nanos, the source fixture's physical type
+  *  - lineitem/orders: order keys shifted IN LOCKSTEP (join consistency);
+  *    customer/part/supplier references unchanged (dims are fixed, so
+  *    per-dim load grows — exactly what breaks naive plans at scale)
+  *  - documents: every word suffixed per copy — shingles/minhash/simhash
+  *    all decorrelate, so near-dup structure stays per-copy
+  *  - embeddings: deterministic per-copy sign-flip pattern (measured
+  *    ~50% flip agreement between copies → expected cross-copy cosine
+  *    ≈ 0), preserving norms exactly
+  *  - dims (customer/supplier/part/nation/region): copied verbatim
+  *
+  *   sbt "runMain graft.tools.MakeScale /root/testdata/sf0.1 /tmp/graft_sf1 10"
+  */
+object MakeScale {
+  def main(args: Array[String]): Unit = {
+    val (src, dest, copies) = (args(0), args(1), args(2).toInt)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def out(name: String)(df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$dest/$name.parquet")
+      println(s"[makescale] $name: ${spark.read.parquet(s"$dest/$name.parquet").count()} rows")
+    }
+    def replicate(base: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map(c => f(base, c)).reduce(_ unionByName _)
+
+    Seq("customer", "supplier", "part", "nation", "region").foreach { t =>
+      out(t)(Tables.load(spark, src, t))
+    }
+
+    out("events")(replicate(Tables.events(spark, src)) { (d, c) =>
+      d.select(
+        (col("event_id") + lit(c.toLong * 1000000000L)).as("event_id"),
+        (unix_micros(col("ts")) * 1000L).as("ts"),
+        (col("user_id") + lit(c.toLong * 1000000L)).as("user_id"),
+        col("event_type"),
+        (col("value") * (lit(1.0) + lit(c.toDouble) * 0.0001)).as("value"),
+        col("props"))
+    })
+
+    out("lineitem")(replicate(Tables.lineitem(spark, src)) { (d, c) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(c.toLong * 100000000L))
+    })
+    out("orders")(replicate(Tables.orders(spark, src)) { (d, c) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(c.toLong * 100000000L))
+    })
+
+    out("documents")(replicate(Tables.documents(spark, src)) { (d, c) =>
+      val t =
+        if (c == 0) col("text")
+        else array_join(
+          transform(split(col("text"), " "), w => concat(w, lit(s"_$c"))), " ")
+      d.select(
+        (col("doc_id") + lit(c.toLong * 1000000L)).as("doc_id"),
+        t.as("text"), col("lang"), col("source"),
+        length(t).cast("long").as("n_chars"))
+    })
+
+    out("embeddings")(replicate(Tables.embeddings(spark, src)) { (d, c) =>
+      val e =
+        if (c == 0) col("embedding")
+        else transform(col("embedding"), (x, i) =>
+          x * when(shiftright((i + 1).cast("long") *
+              lit(2654435761L + c.toLong * 1046527L), 16) % 2 === 0,
+            lit(1.0f)).otherwise(lit(-1.0f)))
+      d.select(
+        (col("vec_id") + lit(c.toLong * 1000000L)).as("vec_id"),
+        e.as("embedding"), col("label"))
+    })
+
+    spark.stop()
+  }
+}

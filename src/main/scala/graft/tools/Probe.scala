@@ -4,9 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scratch probe for plan/stage timing investigations (runMain).
-  * Current question: does approx_count_distinct at rsd 0.03 still meet
-  * the ≤5% per-group bound order_stats_approx is graded on, and what
-  * does it cost relative to the pinned rsd 0.02? */
+  * Current question: the sf1 scaling run showed the blocked embedding
+  * dedup super-linear at FIXED nCells=16 (Σ|cell|² ~ nprobe²·n²/nCells).
+  * Measure how the nCells knob restores scaling at sf1 (20k vectors) —
+  * the number SCALE.md's "nCells scales with the corpus" claim owes. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -14,28 +15,24 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (sf <- Seq("sf0.01", "sf0.1")) {
-      val dir = s"/root/testdata/$sf"
-      val li = graft.Tables.load(spark, dir, "lineitem").cache()
-      li.count()
-      val exact = li.groupBy("l_returnflag")
-        .agg(countDistinct(col("l_orderkey")).as("o"),
-          countDistinct(col("l_partkey")).as("p"))
-        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-      for (rsd <- Seq(0.02, 0.03, 0.05)) {
-        val t0 = System.nanoTime()
-        val approx = li.groupBy("l_returnflag")
-          .agg(approx_count_distinct(col("l_orderkey"), rsd).as("o"),
-            approx_count_distinct(col("l_partkey"), rsd).as("p"))
-          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-        val dt = (System.nanoTime() - t0) / 1e9
-        val errs = exact.flatMap { case (k, (eo, ep)) =>
-          val (ao, ap) = approx(k)
-          Seq(math.abs(ao - eo).toDouble / eo, math.abs(ap - ep).toDouble / ep)
-        }
-        println(f"[probe] $sf rsd=$rsd%.2f worstErr=${errs.max * 100}%.2f%% time=$dt%.2fs")
-      }
-      li.unpersist()
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf1")
+    val corpus = graft.ops.SimilarityOps
+      .normalizedCorpus(graft.Tables.embeddings(spark, dir)).cache()
+    val n = corpus.count()
+    println(s"[probe] corpus $dir n=$n")
+    for (nCells <- Seq(16, 64, 128, 256)) {
+      val t0 = System.nanoTime()
+      val cents = graft.ops.SimilarityOps.ivfCentroidsNorm(corpus, nCells)
+        .cache()
+      cents.count()
+      val tTrain = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val pairs = graft.ops.SimilarityOps
+        .cosineNearDupPairsBlockedNormWith(corpus, cents, 0.4, 2)
+      val nPairs = pairs.count()
+      val tPairs = (System.nanoTime() - t1) / 1e9
+      println(f"[probe] nCells=$nCells%4d train=$tTrain%6.2fs pairs=$tPairs%7.2fs found=$nPairs")
+      cents.unpersist()
     }
     spark.stop()
   }

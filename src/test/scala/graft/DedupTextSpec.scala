@@ -267,6 +267,19 @@ class DedupTextSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("auto-scaled blocked embedding dedup matches the fixed form at fixture scale") {
+    // 500 vectors / targetCellSize 128 -> clamped to the 16-cell floor,
+    // so the auto knob must reproduce the registered fixed-(16,2) result
+    // exactly; at corpus scale the same knob keeps cell occupancy (and
+    // therefore candidate work per row) constant instead of quadratic
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val auto = SimilarityOps.cosineNearDupPairsBlockedAuto(e, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = SimilarityOps.cosineNearDupPairsBlocked(e, 0.4, 16, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == fixed)
+  }
+
   test("decodeImage fails loudly on a non-image payload") {
     import org.apache.spark.sql.functions.{col, encode, lit}
     val junk = docs.select(col("doc_id").as("media_id"),
