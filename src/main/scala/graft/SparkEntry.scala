@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, CorpusQueries, DedupQueries, ExtraQueries, PipelineQueries, RelationalQueries, SimilarityQueries, SourceQueries, TextQueries, TickQueries}
+import graft.queries.{AnalyticsQueries, BehaviorQueries, CorpusQueries, DedupQueries, ExtraQueries, LinkageQueries, PipelineQueries, RelationalQueries, SimilarityQueries, SourceQueries, TextQueries, TickQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,9 @@ object SparkEntry {
     PipelineQueries.all ++
     ExtraQueries.all ++
     AnalyticsQueries.all ++
-    SourceQueries.all
+    SourceQueries.all ++
+    BehaviorQueries.all ++
+    LinkageQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Hourly OHLC bars over the normalized tick stream — the reference's

@@ -162,7 +162,9 @@ object GraftFunctions {
     "graft_md5long60" -> (es => Md5Long60(es.head)),
     "graft_shingles" -> (es => Shingles.fromArgs(es)),
     "graft_minhash" -> (es => MinHashAgg.fromArgs(es)),
-    "graft_simhash" -> (es => SimHashExpr.fromArgs(es)))
+    "graft_simhash" -> (es => SimHashExpr.fromArgs(es)),
+    "graft_bloom_agg" -> (es => BloomFunctions.bloomAgg(es)),
+    "graft_bloom_contains" -> (es => BloomFunctions.bloomContains(es)))
 
   /** Idempotent per-session registration (works under any driver-created
     * session — same pattern as Tables.events' runtime conf). */
@@ -202,6 +204,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
       (es: Seq[Expression]) => SimHashExpr.fromArgs(es)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFunctions.type].getName, "graft_bloom_agg"),
+      (es: Seq[Expression]) => BloomFunctions.bloomAgg(es)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomFunctions.type].getName, "graft_bloom_contains"),
+      (es: Seq[Expression]) => BloomFunctions.bloomContains(es)))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }

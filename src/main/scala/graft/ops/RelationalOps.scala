@@ -147,4 +147,33 @@ object RelationalOps {
         upper(date_format(col("o_orderdate"), "MMM")).as("o_mon_name"),
         date_trunc("month", col("o_orderdate")).as("o_month_start"),
         concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"))
+
+  /** Bloom-filter runtime-filtered semi-join: reduce `fact` to rows whose
+    * `factKey` appears in `dim`'s `dimKey` set, pruning the fact scan
+    * with an O(bits) bloom sketch BEFORE the exact semi-join kills the
+    * bloom's false positives — Spark's InjectRuntimeFilter shape as an
+    * explicit operator (functions.BloomFunctions).
+    *
+    * The sketch is one binary blob aggregated from the dim side and
+    * embedded as a literal — the only driver-held state, a few hundred
+    * KB regardless of data scale (the same thing Spark's injected
+    * runtime filters ship in a scalar subquery). At 100 TB the win is
+    * that most fact partitions drop to near-empty before the shuffle
+    * for the exact semi-join; the bloom probe itself is a codegen'd
+    * narrow filter with zero shuffle. Results are EXACT — the final
+    * semi-join verifies every candidate. */
+  def bloomSemiJoin(fact: DataFrame, factKey: String,
+                    dim: DataFrame, dimKey: String,
+                    estimatedNumItems: Long = 1000000L): DataFrame = {
+    val spark = fact.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val sketch = dim.agg(
+      call_function("graft_bloom_agg", col(dimKey), lit(estimatedNumItems))
+        .as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    fact
+      .filter(call_function("graft_bloom_contains", lit(sketch), col(factKey)))
+      .join(dim.select(col(dimKey)).distinct(),
+        col(factKey) === col(dimKey), "left_semi")
+  }
 }

@@ -120,4 +120,32 @@ object TextOps {
         min(col("sh_h")).as("fp_min"),
         max(col("sh_h")).as("fp_max"),
         count(lit(1)).as("n_shingles"))
+
+  /** Per-document average unigram log-probability under the corpus's own
+    * unigram LM — the classic cheap fluency/repetitiveness signal for
+    * corpus filtering (low avg log-prob ⇒ rare-token soup; high ⇒
+    * boilerplate). Two hash-aggregates (vocabulary counts + per-doc
+    * score) and one token→vocab equi-join; the vocabulary relation is
+    * unbounded so no broadcast hint — AQE decides.
+    *
+    * Determinism: each token's log-prob is rounded to 9 dp (cnt/total is
+    * a single IEEE-exact division; ln agrees across engines at that
+    * precision — same discipline as tfidf_top_terms) and the per-doc sum
+    * runs in exact decimals, so partial-agg order can't skew the float
+    * result. */
+  def unigramLogProb(docs: DataFrame, text: String = "text"): DataFrame = {
+    val tokens = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col(text))).as("token"))
+    val total = tokens.agg(count(lit(1)).cast("double").as("n_total"))
+    val lp = tokens.groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(total)
+      .select(col("token"),
+        round(log(col("cnt").cast("double") / col("n_total")), 9).as("lp"))
+    tokens.join(lp, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lp").cast("decimal(30,9)")).cast("double") /
+          count(lit(1)), 6).as("avg_logprob"))
+  }
 }

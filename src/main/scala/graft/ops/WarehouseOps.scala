@@ -138,4 +138,40 @@ object WarehouseOps {
       case None    => spark.conf.unset(key)
     }
   }
+
+  /** MERGE-style upsert as a relational transform: `updates` rows win on
+    * key collision, base rows without a matching update survive, update
+    * rows without a base match insert. This is the engine-side MERGE
+    * INTO emulation for plain-parquet warehouses (no transactional table
+    * format in scope): compute the merged state, then swap it in with
+    * [[refreshPartitions]]'s atomic-location discipline.
+    *
+    * One shuffle on the key (full outer join); at scale the join is
+    * key-partitioned on both sides, and when the base table is bucketed
+    * on the key ([[refreshCatalogTable]]) the base side's exchange
+    * disappears. Every non-key column resolves as
+    * `coalesce(update, base)`; `__src` reports kept/updated/inserted for
+    * audit queries. null-safe: a null non-key update value on a matched
+    * key falls back to base (MERGE WHEN MATCHED THEN UPDATE SET col =
+    * coalesce semantics, documented). */
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    require(base.columns.sameElements(updates.columns),
+      s"upsert requires identical schemas, got ${base.columns.toSeq} vs " +
+        s"${updates.columns.toSeq}")
+    val dataCols = base.columns.filter(_ != key).toSeq
+    val b = base.select(col(key).as("__bk") +:
+      dataCols.map(c => col(c).as(s"__b_$c")): _*)
+    val u = updates.select(col(key).as("__uk") +:
+      dataCols.map(c => col(c).as(s"__u_$c")): _*)
+    b.join(u, col("__bk") === col("__uk"), "full_outer")
+      .select(
+        org.apache.spark.sql.functions.coalesce(col("__bk"), col("__uk"))
+          .as(key) +:
+        (dataCols.map(c =>
+          org.apache.spark.sql.functions.coalesce(
+            col(s"__u_$c"), col(s"__b_$c")).as(c)) :+
+          org.apache.spark.sql.functions.when(col("__bk").isNull, "inserted")
+            .when(col("__uk").isNull, "kept")
+            .otherwise("updated").as("__src")): _*)
+  }
 }

@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.ops.BehaviorOps
+import org.apache.spark.sql.functions._
+
+/** User-behavior analytics over the events stream (ops.BehaviorOps):
+  * cohort retention and strictly-ordered funnel conversion — the
+  * user-axis extension of the reference's per-instrument rollups.
+  */
+object BehaviorQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Cohort retention matrix: users cohorted by first-active day;
+    // per (cohort day, day offset) active-user counts and rates. The
+    // stream reduces to distinct (user, day) FIRST; cohort and size
+    // relations are |users|/|days| rows and broadcast.
+    Q("cohort_retention",
+      (s, dir) => BehaviorOps.cohortRetention(Tables.events(s, dir))
+        .orderBy("cohort_date", "day_offset"),
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date
+        |  FROM events),
+        |coh AS (SELECT user_id, min(active_date) AS cohort_date
+        |  FROM act GROUP BY 1),
+        |sizes AS (SELECT cohort_date, count(*) AS n_cohort
+        |  FROM coh GROUP BY 1),
+        |cells AS (SELECT c.cohort_date,
+        |  CAST(date_diff('day', c.cohort_date, a.active_date) AS INT) AS day_offset,
+        |  count(*) AS n_active
+        |  FROM act a JOIN coh c ON a.user_id = c.user_id GROUP BY 1, 2)
+        |SELECT cells.cohort_date, day_offset, n_active, n_cohort,
+        |round(n_active::DOUBLE / n_cohort, 6) AS retention
+        |FROM cells JOIN sizes ON cells.cohort_date = sizes.cohort_date
+        |ORDER BY cells.cohort_date, day_offset"""
+        .stripMargin.replace("\n", " ")),
+
+    // Strict funnel view → click → purchase: step i counts users with a
+    // step-i event strictly after their step-(i-1) conversion time.
+    // One filtered hash-agg per step; per-user step times broadcast
+    // forward — no window or per-user event collection.
+    Q("funnel_conversion",
+      (s, dir) => BehaviorOps.funnel(Tables.events(s, dir),
+          Seq("view", "click", "purchase"))
+        .orderBy("step"),
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |c AS (
+        |  SELECT CAST(1 AS INT) AS step, 'view' AS event_type,
+        |    count(*) AS n_users FROM s1
+        |  UNION ALL SELECT CAST(2 AS INT), 'click', count(*) FROM s2
+        |  UNION ALL SELECT CAST(3 AS INT), 'purchase', count(*) FROM s3),
+        |b AS (SELECT n_users AS n_base FROM c WHERE step = 1)
+        |SELECT step, event_type, n_users,
+        |round(n_users::DOUBLE / nullif(n_base::DOUBLE, 0), 6) AS conversion
+        |FROM c CROSS JOIN b ORDER BY step"""
+        .stripMargin.replace("\n", " "))
+  )
+}

@@ -223,6 +223,25 @@ object TextQueries {
          |FROM ranked WHERE rnk <= 3
          |ORDER BY doc_id, rnk""".stripMargin.replace("\n", " ")),
 
+    // Unigram-LM fluency scoring: corpus token frequencies → per-doc
+    // average token log-probability (low = rare-token soup, high =
+    // boilerplate). Token log-probs rounded to 9 dp (ln agrees across
+    // engines at that precision — tfidf precedent), per-doc sums in
+    // exact decimals so partial-agg order can't skew the float.
+    Q("doc_logprob",
+      (s, dir) => graft.ops.TextOps.unigramLogProb(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      s"""WITH tokens AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |tot AS (SELECT count(*)::DOUBLE AS n_total FROM tokens),
+         |lp AS (SELECT token, round(ln(count(*)::DOUBLE / any_value(n_total)), 9) AS lp
+         |  FROM tokens CROSS JOIN tot GROUP BY token)
+         |SELECT t.doc_id, count(*) AS n_tokens,
+         |round(CAST(SUM(CAST(lp AS DECIMAL(30,9))) AS DOUBLE) / count(*), 6)
+         |  AS avg_logprob
+         |FROM tokens t JOIN lp ON t.token = lp.token
+         |GROUP BY t.doc_id ORDER BY t.doc_id"""
+        .stripMargin.replace("\n", " ")),
+
     // Document fingerprinting: min/max/count over the shingle-hash set.
     Q("doc_fingerprint",
       (s, dir) => TextOps.fingerprints(Tables.documents(s, dir), 3)

@@ -1,0 +1,145 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.{BehaviorOps, LinkageOps, RelationalOps, WarehouseOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral analytics (cohort/funnel), record linkage, upsert, and the
+  * bloom runtime-filter: semantics the DuckDB oracle can't probe —
+  * strict funnel ordering, block-cap recall trades, null-update
+  * fallback, and the bloom actually pruning before the exact verify.
+  */
+class BehaviorLinkageSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("cohortRetention: offsets count only the cohort's own actives") {
+    // u1 first seen d1, active d1+d2; u2 first seen d1, active d1 only
+    // (two events same day collapse); u3 first seen d2, active d2+d3.
+    val events = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "view"),
+      (1L, ts("2024-01-02 09:00:00"), "view"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 23:00:00"), "click"),
+      (3L, ts("2024-01-02 08:00:00"), "view"),
+      (3L, ts("2024-01-03 08:00:00"), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val got = BehaviorOps.cohortRetention(events)
+      .orderBy("cohort_date", "day_offset")
+      .select(col("cohort_date").cast("string"), col("day_offset"),
+        col("n_active"), col("n_cohort"), col("retention"))
+      .as[(String, Int, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0, 2L, 2L, 1.0),
+      ("2024-01-01", 1, 1L, 2L, 0.5),
+      ("2024-01-02", 0, 1L, 1L, 1.0),
+      ("2024-01-02", 1, 1L, 1L, 1.0)))
+  }
+
+  test("funnel: strictly-after ordering, not mere presence") {
+    val events = Seq(
+      // u1 converts fully in order
+      (1L, ts("2024-01-01 09:00:00"), "view"),
+      (1L, ts("2024-01-01 09:05:00"), "click"),
+      (1L, ts("2024-01-01 09:10:00"), "purchase"),
+      // u2 purchased BEFORE clicking — must stop at click
+      (2L, ts("2024-01-01 09:00:00"), "view"),
+      (2L, ts("2024-01-01 09:01:00"), "purchase"),
+      (2L, ts("2024-01-01 09:02:00"), "click"),
+      // u3 clicked at EXACTLY the view time — strict > excludes it
+      (3L, ts("2024-01-01 09:00:00"), "view"),
+      (3L, ts("2024-01-01 09:00:00"), "click"),
+      // u4 never viewed — not even step 1
+      (4L, ts("2024-01-01 09:00:00"), "click"),
+      (4L, ts("2024-01-01 09:01:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = BehaviorOps.funnel(events, Seq("view", "click", "purchase"))
+      .orderBy("step")
+      .select(col("step"), col("n_users"), col("conversion"))
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got == Seq((1, 3L, 1.0), (2, 2L, 0.666667), (3, 1L, 0.333333)))
+  }
+
+  test("funnel: a later in-order event still converts after a false start") {
+    // purchase → click → purchase: the second purchase (after the click)
+    // converts — earliest event strictly after the previous step wins.
+    val events = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "view"),
+      (1L, ts("2024-01-01 09:01:00"), "purchase"),
+      (1L, ts("2024-01-01 09:02:00"), "click"),
+      (1L, ts("2024-01-01 09:03:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = BehaviorOps.funnel(events, Seq("view", "click", "purchase"))
+      .orderBy("step").select(col("n_users")).as[Long].collect().toSeq
+    assert(got == Seq(1L, 1L, 1L))
+  }
+
+  test("fuzzySelfJoin: verifies distance inside blocks and caps hot blocks") {
+    val rel = (
+      Seq(("a1", "red bolt", "bolt"), ("a2", "hot bolt", "bolt"),
+        ("a3", "red plate", "plate"), ("a4", "red plates", "plate"),
+        ("a5", "cold anvil", "anvil")) ++
+        // planted hot block: 50 members > maxBlock=10 — dropped whole
+        (1 to 50).map(i => (f"h$i%02d", s"gear $i", "gear"))
+      ).toDF("id", "name", "block")
+    val got = LinkageOps.fuzzySelfJoin(rel, maxDist = 3, maxBlock = 10)
+      .orderBy("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .as[(String, String, Int)].collect().toSeq
+    // bolt pair dist 3 kept; plate pair dist 1 kept; anvil alone; the
+    // gear block (50 names, many within distance) contributes NOTHING.
+    assert(got == Seq(("a1", "a2", 3), ("a3", "a4", 1)))
+  }
+
+  test("upsert: updates win, inserts land, untouched rows survive, " +
+    "null update values fall back to base") {
+    val base = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0))
+      .toDF("k", "status", "price")
+    val updates = Seq((2L, "U", 99.0), (4L, "N", 40.0),
+        (3L, null.asInstanceOf[String], 33.0))
+      .toDF("k", "status", "price")
+    val got = WarehouseOps.upsert(base, updates, "k")
+      .orderBy("k")
+      .select(col("k"), col("status"), col("price"), col("__src"))
+      .as[(Long, String, Double, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "A", 10.0, "kept"),
+      (2L, "U", 99.0, "updated"),
+      (3L, "C", 33.0, "updated"), // null status fell back to base's C
+      (4L, "N", 40.0, "inserted")))
+  }
+
+  test("upsert rejects mismatched schemas") {
+    val base = Seq((1L, "A")).toDF("k", "status")
+    val bad = Seq((1L, 2.0)).toDF("k", "price")
+    assertThrows[IllegalArgumentException] {
+      WarehouseOps.upsert(base, bad, "k")
+    }
+  }
+
+  test("bloomSemiJoin: exact result, and the bloom prunes before the join") {
+    val fact = spark.range(10000)
+      .select(col("id").as("fk"), (col("id") % 7).as("v"))
+    val dim = spark.range(100).select((col("id") * 100).as("dk"))
+    val got = RelationalOps.bloomSemiJoin(fact, "fk", dim, "dk", 1000L)
+    // exact: identical to the plain semi-join
+    val expect = fact.join(dim, col("fk") === col("dk"), "left_semi")
+    assert(got.orderBy("fk").collect().toSeq ==
+      expect.orderBy("fk").collect().toSeq)
+    // the bloom probe is in the plan, BEFORE the exact semi join
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom probe missing:\n$plan")
+    // and it actually prunes: candidates passing the bloom are far fewer
+    // than the fact rows (fpp ~3% at these sizes)
+    functions.GraftFunctions.register(spark)
+    val sketch = dim.agg(call_function("graft_bloom_agg", col("dk"),
+      lit(1000L)).as("bf")).head().getAs[Array[Byte]]("bf")
+    val candidates = fact.filter(
+      call_function("graft_bloom_contains", lit(sketch), col("fk"))).count()
+    assert(candidates >= 100, s"bloom lost true keys: $candidates")
+    assert(candidates < 1000, s"bloom pruned nothing: $candidates of 10000")
+  }
+}

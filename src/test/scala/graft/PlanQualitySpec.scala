@@ -35,7 +35,9 @@ class PlanQualitySpec extends AnyFunSuite {
     "ann_recall_ivf" -> "contains ann_topk_brute (eval baseline) + centroids",
     "ann_recall_lsh" -> "contains ann_topk_brute (eval baseline)",
     "dedup_embedding_cosine" -> "16-row centroid table, broadcast (cell assignment)",
-    "dedup_embedding_recall" -> "16-row centroid table, broadcast (cell assignment)")
+    "dedup_embedding_recall" -> "16-row centroid table, broadcast (cell assignment)",
+    "funnel_conversion" -> "1-row step-1 count scalar, broadcast",
+    "doc_logprob" -> "1-row corpus-token-count scalar, broadcast")
 
   private def sections: Seq[(String, String)] = {
     val parts = plans.split("\n## ").toSeq.drop(1)
