@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** User-behavior analytics over the event stream: cohort retention and
   * ordered funnel conversion.
@@ -20,7 +21,7 @@ import org.apache.spark.sql.functions._
   *    |users| rows, broadcast back for the strict-ordering filter. No
   *    window over the full stream, no event-list collection per user.
   */
-object BehaviorOps {
+object BehaviorOps extends Serializable {
 
   /** Cohort retention matrix. Users are cohorted by the calendar day of
     * their first event; for every (cohort day, day offset) cell we report
@@ -89,5 +90,155 @@ object BehaviorOps {
         round(col("n_users").cast("double") /
           nullif(col("n_base").cast("double"), lit(0d)), 6)
           .as("conversion"))
+  }
+
+  /** One emitted funnel advance: `user_id` reached `step` at `conv_us`. */
+  final case class StepConv(user_id: Long, step: Int, conv_us: Long)
+
+  /** Per-user machine state: next step index awaited + the previous
+    * step's conversion time (MinValue before step 1 — the uniform
+    * strict-after guard). */
+  final case class FunnelSt(step: Int, last_us: Long)
+
+  /** Watermark-buffered state: machine position + not-yet-settled
+    * events (ts_us, stepIdx). */
+  final case class FunnelBuf(step: Int, last_us: Long,
+                             pending: Seq[(Long, Int)])
+
+  private def advance(userId: Long, st: FunnelSt, nSteps: Int,
+                      evs: Seq[(Long, Int)],
+                      out: collection.mutable.Builder[StepConv, Seq[StepConv]]): FunnelSt = {
+    var s = st
+    evs.foreach { case (ts, idx) =>
+      if (s.step < nSteps && idx == s.step && ts > s.last_us) {
+        s = FunnelSt(s.step + 1, ts)
+        out += StepConv(userId, s.step, ts)
+      }
+    }
+    s
+  }
+
+  /** Streaming funnel: the [[funnel]] state machine per user in
+    * `flatMapGroupsWithState` — a conversion row is emitted the moment a
+    * user advances a step. Identical semantics to the batch form
+    * (earliest event strictly after the previous step's conversion
+    * wins): greedily advancing over events in event-time order IS the
+    * batch min-chain, and the strict-inequality guard makes same-ts ties
+    * order-insensitive.
+    *
+    * ORDERING ASSUMPTION (same contract as
+    * [[SessionOps.sessionizeStream]]): per-user event-time order must
+    * hold ACROSS micro-batches (within a batch events are sorted here);
+    * for genuinely out-of-order sources use
+    * [[funnelStreamWatermarked]]. Per-user state is two scalars —
+    * bounded regardless of stream length.
+    *
+    * `events` carries (user_id, ts_us, step_idx), pre-mapped so only
+    * funnel-relevant events reach the state machine. */
+  def funnelStream(events: Dataset[(Long, Long, Int)],
+                   nSteps: Int): Dataset[StepConv] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def fn(userId: Long, batch: Iterator[(Long, Long, Int)],
+           state: GroupState[FunnelSt]): Iterator[StepConv] = {
+      val st = state.getOption.getOrElse(FunnelSt(0, Long.MinValue))
+      val out = Seq.newBuilder[StepConv]
+      val next = advance(userId, st, nSteps,
+        batch.map(e => (e._2, e._3)).toSeq.sortBy(_._1), out)
+      // state persists even when fully converted: dropping it would let
+      // a later batch re-run the machine from step 0 and re-emit
+      state.update(next)
+      out.result().iterator
+    }
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fn)
+  }
+
+  /** Out-of-order-tolerant streaming funnel: events buffer in state
+    * until the watermark proves nothing earlier can still arrive, then
+    * fold through the machine in event-time order — cross-batch
+    * disorder within the delay cannot reorder conversions (the same
+    * buffer-and-settle skeleton as
+    * [[SessionOps.sessionizeStreamWatermarked]]). Events later than the
+    * watermark allows are dropped, matching watermarked-aggregation
+    * policy. Per-user state is the two machine scalars plus the pending
+    * buffer, which drains on every watermark advance — bounded by
+    * arrival rate × delay.
+    *
+    * `events` carries (user_id, ts_us, step_idx, event_ts); the
+    * timestamp column must already carry the stream's watermark. */
+  def funnelStreamWatermarked(events: Dataset[(Long, Long, Int, java.sql.Timestamp)],
+                              nSteps: Int): Dataset[StepConv] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def fn(userId: Long, batch: Iterator[(Long, Long, Int, java.sql.Timestamp)],
+           state: GroupState[FunnelBuf]): Iterator[StepConv] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val st = state.getOption.getOrElse(FunnelBuf(0, Long.MinValue, Nil))
+      val incoming = batch.map(e => (e._2, e._3)).filter(_._1 >= wmUs).toSeq
+      val (settled, pending) =
+        (st.pending ++ incoming).sortBy(_._1).partition(_._1 <= wmUs)
+      val out = Seq.newBuilder[StepConv]
+      val next = advance(userId, FunnelSt(st.step, st.last_us), nSteps,
+        settled, out)
+      if (pending.isEmpty && next.step == nSteps) state.remove()
+      else {
+        state.update(FunnelBuf(next.step, next.last_us, pending))
+        pending.headOption.foreach { case (firstUs, _) =>
+          state.setTimeoutTimestamp(
+            math.max(state.getCurrentWatermarkMs() + 1, firstUs / 1000L + 1))
+        }
+      }
+      out.result().iterator
+    }
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
+  /** Map raw events to the funnel-stream input: only `steps` types
+    * survive, as (user_id, ts_us, step_idx). Shared by the streaming
+    * entry points and specs so the mapping can't drift. */
+  def toStepEvents(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val idx = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(col("event_type") === s, lit(i)).otherwise(acc) }
+    events
+      .withColumn("step_idx", idx)
+      .filter(col("step_idx") >= 0)
+  }
+
+  /** Run the in-order streaming funnel to completion over the events
+    * parquet (AvailableNow, memory sink) and return the conversion rows. */
+  def funnelStreamAvailableNow(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, steps: Seq[String],
+                               queryName: String = "stream_funnel"): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(s"$dir/events.parque*")
+    val stepEvents = toStepEvents(raw, steps)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("step_idx"))
+      .as[(Long, Long, Int)]
+    graft.streaming.StreamingConf.withStatePartitions(spark) {
+      val q = funnelStream(stepEvents, steps.length)
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(queryName)
   }
 }

@@ -51,10 +51,38 @@ object LinkageOps {
     */
   def fuzzyPartNames(part: DataFrame, maxDist: Int = 3,
                      maxBlock: Int = 1000): DataFrame = {
-    val vocab = part.select(col("p_name").as("name")).distinct()
+    fuzzySelfJoin(partNameVocab(part), maxDist, maxBlock)
+      .select(col("name_a"), col("name_b"), col("dist"))
+  }
+
+  /** The distinct part-name vocabulary with its blocking key (last
+    * whitespace token). */
+  def partNameVocab(part: DataFrame): DataFrame =
+    part.select(col("p_name").as("name")).distinct()
       .select(col("name"), col("name").as("id"),
         element_at(split(col("name"), "\\s+"), -1).as("block"))
-    fuzzySelfJoin(vocab, maxDist, maxBlock)
-      .select(col("name_a"), col("name_b"), col("dist"))
+
+  /** Blocking recall of [[fuzzyPartNames]] vs the exact all-pairs
+    * edit-distance screen — the number that tunes the blocking key, the
+    * same eval-baseline discipline as `ann_recall_*`. The exact side is
+    * an all-pairs join over the DISTINCT NAME VOCABULARY only: bounded
+    * by the name-generator's vocabulary (sublinear in corpus rows),
+    * never run against the full table. */
+  def fuzzyBlockRecall(part: DataFrame, maxDist: Int = 3,
+                       maxBlock: Int = 1000): DataFrame = {
+    val vocab = partNameVocab(part)
+    val a = vocab.select(col("name").as("name_a"))
+    val b = vocab.select(col("name").as("name_b"))
+    val truePairs = a.crossJoin(b)
+      .filter(col("name_a") < col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= maxDist)
+      .agg(count(lit(1)).as("n_true_pairs"))
+    val blockedPairs = fuzzyPartNames(part, maxDist, maxBlock)
+      .agg(count(lit(1)).as("n_blocked_pairs"))
+    truePairs.crossJoin(blockedPairs)
+      .select(col("n_true_pairs"), col("n_blocked_pairs"),
+        round(col("n_blocked_pairs").cast("double") /
+          nullif(col("n_true_pairs").cast("double"), lit(0d)), 6)
+          .as("recall"))
   }
 }

@@ -60,6 +60,50 @@ object BehaviorQueries {
         |SELECT step, event_type, n_users,
         |round(n_users::DOUBLE / nullif(n_base::DOUBLE, 0), 6) AS conversion
         |FROM c CROSS JOIN b ORDER BY step"""
+        .stripMargin.replace("\n", " ")),
+
+    // §2.9 uplift of the funnel: the same state machine as a
+    // flatMapGroupsWithState stream — per-user state is two scalars,
+    // conversions append the moment a user advances. Single-batch
+    // fixture ⇒ equals the batch funnel exactly (oracle identical);
+    // the out-of-order-tolerant variant is spec-proven
+    // (StreamingFunnelSpec).
+    Q("streaming_funnel",
+      (s, dir) => {
+        val steps = Seq("view", "click", "purchase")
+        val conv = BehaviorOps.funnelStreamAvailableNow(s, dir, steps,
+          queryName = "stream_funnel_driver")
+        val counts = conv.groupBy(col("step"))
+          .agg(count(lit(1)).as("n_users"))
+        val name = steps.zipWithIndex.foldLeft(lit(null).cast("string")) {
+          case (acc, (st, i)) =>
+            when(col("step") === i + 1, lit(st)).otherwise(acc) }
+        val base = counts.filter(col("step") === 1)
+          .select(col("n_users").as("n_base"))
+        counts.crossJoin(broadcast(base))
+          .select(col("step"), name.as("event_type"), col("n_users"),
+            round(col("n_users").cast("double") /
+              nullif(col("n_base").cast("double"), lit(0d)), 6)
+              .as("conversion"))
+          .orderBy("step")
+      },
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |c AS (
+        |  SELECT CAST(1 AS INT) AS step, 'view' AS event_type,
+        |    count(*) AS n_users FROM s1
+        |  UNION ALL SELECT CAST(2 AS INT), 'click', count(*) FROM s2
+        |  UNION ALL SELECT CAST(3 AS INT), 'purchase', count(*) FROM s3),
+        |b AS (SELECT n_users AS n_base FROM c WHERE step = 1)
+        |SELECT step, event_type, n_users,
+        |round(n_users::DOUBLE / nullif(n_base::DOUBLE, 0), 6) AS conversion
+        |FROM c CROSS JOIN b ORDER BY step"""
         .stripMargin.replace("\n", " "))
   )
 }

@@ -163,6 +163,36 @@ object ExtraQueries {
          |    / count(*), 6) FROM orders)
          |ORDER BY o_orderkey""".stripMargin.replace("\n", " ")),
 
+    // Correlated-subquery shape, decorrelated: orders above their OWN
+    // customer's mean order value. The textbook correlated scalar
+    // subquery (the oracle SQL keeps that form) decorrelates to a
+    // per-customer aggregate joined back on the key — one hash-agg and
+    // one shuffle join on o_custkey, instead of a per-row subquery
+    // execution. The threshold is decimal-exact then rounded, so the
+    // comparison is bit-identical in both engines.
+    Q("orders_above_cust_avg",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val avgs = o.groupBy(col("o_custkey"))
+          .agg(round(Determinism.exactSum(col("o_totalprice"))
+            / count(lit(1)), 6).as("cust_avg"))
+        o.join(avgs, Seq("o_custkey"))
+          .filter(col("o_totalprice") > col("cust_avg"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("cust_avg"))
+          .orderBy("o_orderkey")
+      },
+      s"""SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+         |(SELECT round(CAST(SUM(CAST(i.o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         |   / count(*), 6)
+         | FROM orders i WHERE i.o_custkey = o.o_custkey) AS cust_avg
+         |FROM orders o
+         |WHERE o.o_totalprice > (
+         |  SELECT round(CAST(SUM(CAST(i.o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+         |    / count(*), 6)
+         |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+         |ORDER BY o_orderkey""".stripMargin.replace("\n", " ")),
+
     // Grouping sets: CUBE over status × priority.
     Q("orders_cube",
       (s, dir) => Tables.orders(s, dir)

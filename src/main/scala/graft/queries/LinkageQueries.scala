@@ -32,6 +32,31 @@ object LinkageQueries {
         |WHERE levenshtein(a.name, b.name) <= 3
         |ORDER BY name_a, name_b""".stripMargin.replace("\n", " ")),
 
+    // Evaluation twin of the blocked fuzzy join: recall of the
+    // noun-block candidate set vs the exact all-pairs edit-distance
+    // screen — the number that tunes the blocking key (same discipline
+    // as ann_recall_*). The exact side crossJoins only the DISTINCT
+    // name vocabulary (bounded by the generator's vocabulary, sublinear
+    // in corpus rows) — whitelisted as an eval baseline.
+    Q("fuzzy_block_recall",
+      (s, dir) => LinkageOps.fuzzyBlockRecall(Tables.part(s, dir), 3),
+      """WITH vocab AS (SELECT DISTINCT p_name AS name FROM part),
+        |tp AS (SELECT count(*) AS n_true_pairs FROM vocab a
+        |  JOIN vocab b ON a.name < b.name
+        |  WHERE levenshtein(a.name, b.name) <= 3),
+        |v AS (SELECT name,
+        |  (regexp_split_to_array(name, '\s+'))[-1] AS block FROM vocab),
+        |keep AS (SELECT block FROM
+        |  (SELECT block, count(*) AS c FROM v GROUP BY 1) WHERE c <= 1000),
+        |k AS (SELECT v.name, v.block FROM v JOIN keep ON v.block = keep.block),
+        |bp AS (SELECT count(*) AS n_blocked_pairs
+        |  FROM k a JOIN k b ON a.block = b.block AND a.name < b.name
+        |  WHERE levenshtein(a.name, b.name) <= 3)
+        |SELECT n_true_pairs, n_blocked_pairs,
+        |round(n_blocked_pairs::DOUBLE / nullif(n_true_pairs::DOUBLE, 0), 6)
+        |  AS recall
+        |FROM tp CROSS JOIN bp""".stripMargin.replace("\n", " ")),
+
     // Bloom-filter runtime-filtered semi-join: lineitems of URGENT
     // orders. The fact scan is pre-pruned by an O(bits) bloom sketch of
     // the dim keys (Spark's own BloomFilterAggregate/MightContain as

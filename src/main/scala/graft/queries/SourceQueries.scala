@@ -200,6 +200,45 @@ object SourceQueries {
          |GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replace("\n", " ")),
 
+    // Schema-evolution read (the landing-zone reality at 100 TB: the
+    // producer added a column mid-history and old files stay as
+    // written): two parquet generations — v1 (event_id, value) and v2
+    // (+ category) — unified by mergeSchema; v1 rows surface a NULL
+    // category. The oracle recomputes the union from the original rows,
+    // proving both the merge and the null back-fill. mergeSchema costs a
+    // footer read per file at planning; for a stable production schema,
+    // pin the merged schema explicitly instead.
+    Q("parquet_schema_merge",
+      (s, dir) => {
+        val root = graft.util.Fs.workDir("graft_schevo", dir).toString
+        val (v1, v2) = (s"$root/v1", s"$root/v2")
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$v2/_SUCCESS"))) {
+          graft.util.Fs.deleteRec(v1); graft.util.Fs.deleteRec(v2)
+          val ev = Tables.events(s, dir).filter(col("event_id") < 1000)
+          ev.filter(col("event_id") < 500)
+            .select(col("event_id"), col("value")).write.parquet(v1)
+          ev.filter(col("event_id") >= 500)
+            .select(col("event_id"), col("value"),
+              col("event_type").as("category")).write.parquet(v2)
+        }
+        s.read.option("mergeSchema", "true").parquet(v1, v2)
+          .groupBy(col("category"))
+          .agg(count(lit(1)).as("n_rows"),
+            Determinism.exactSum(col("value")).as("sum_value"),
+            min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"))
+          .orderBy("category")
+      },
+      s"""SELECT CASE WHEN event_id < 500 THEN NULL ELSE event_type END
+         |  AS category,
+         |count(*) AS n_rows,
+         |${Determinism.sqlExactSum("value")} AS sum_value,
+         |min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM events WHERE event_id < 1000
+         |GROUP BY 1 ORDER BY category NULLS FIRST"""
+        .stripMargin.replace("\n", " ")),
+
     // S3 end-to-end: tick-derived daily OHLC reconciled against a
     // genuinely SEPARATE source — a bhavcopy-shaped official CSV read
     // through the explicit-schema CSV scan (the reference's

@@ -37,6 +37,10 @@ class PlanQualitySpec extends AnyFunSuite {
     "dedup_embedding_cosine" -> "16-row centroid table, broadcast (cell assignment)",
     "dedup_embedding_recall" -> "16-row centroid table, broadcast (cell assignment)",
     "funnel_conversion" -> "1-row step-1 count scalar, broadcast",
+    "streaming_funnel" -> "1-row step-1 count scalar, broadcast",
+    "fuzzy_block_recall" -> ("distinct-name vocabulary all-pairs EVAL " +
+      "BASELINE (bounded by generator vocabulary, not corpus rows) + " +
+      "1-row count scalars"),
     "doc_logprob" -> "1-row corpus-token-count scalar, broadcast")
 
   private def sections: Seq[(String, String)] = {
