@@ -70,18 +70,24 @@ object BehaviorQueries {
     // (StreamingFunnelSpec).
     Q("streaming_funnel",
       (s, dir) => {
+        import s.implicits._
         val steps = Seq("view", "click", "purchase")
         val conv = BehaviorOps.funnelStreamAvailableNow(s, dir, steps,
           queryName = "stream_funnel_driver")
-        val counts = conv.groupBy(col("step"))
-          .agg(count(lit(1)).as("n_users"))
-        val name = steps.zipWithIndex.foldLeft(lit(null).cast("string")) {
-          case (acc, (st, i)) =>
-            when(col("step") === i + 1, lit(st)).otherwise(acc) }
+        // static step frame left-joined so a step no user reached still
+        // reports n_users = 0 — the batch twin's shape (its per-step
+        // global aggregates always emit a row)
+        val stepDf = steps.zipWithIndex
+          .map { case (n, i) => (i + 1, n) }.toDF("step", "event_type")
+        val counts = stepDf.join(
+            conv.groupBy(col("step")).agg(count(lit(1)).as("n_conv")),
+            Seq("step"), "left")
+          .select(col("step"), col("event_type"),
+            coalesce(col("n_conv"), lit(0L)).as("n_users"))
         val base = counts.filter(col("step") === 1)
           .select(col("n_users").as("n_base"))
         counts.crossJoin(broadcast(base))
-          .select(col("step"), name.as("event_type"), col("n_users"),
+          .select(col("step"), col("event_type"), col("n_users"),
             round(col("n_users").cast("double") /
               nullif(col("n_base").cast("double"), lit(0d)), 6)
               .as("conversion"))

@@ -120,6 +120,37 @@ class BehaviorLinkageSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("funnel survives zero step-1 users: rows stay, conversion is null") {
+    // clicks only — nobody enters the funnel; the per-step rows must
+    // still exist and the 0/0 rate must be null, not an ANSI throw
+    val events = Seq((1L, ts("2024-01-01 09:00:00"), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = BehaviorOps.funnel(events, Seq("view", "click", "purchase"))
+      .orderBy("step")
+      .select(col("step"), col("n_users"), col("conversion"))
+      .collect().toSeq.map(r => (r.getInt(0), r.getLong(1), r.isNullAt(2)))
+    assert(got == Seq((1, 0L, true), (2, 0L, true), (3, 0L, true)))
+  }
+
+  test("upsert degenerate sides: empty updates keep all; empty base inserts all") {
+    val base = Seq((1L, "A", 10.0)).toDF("k", "status", "price")
+    val empty = base.filter(lit(false))
+    val kept = WarehouseOps.upsert(base, empty, "k")
+      .select(col("k"), col("__src")).as[(Long, String)].collect().toSeq
+    assert(kept == Seq((1L, "kept")))
+    val inserted = WarehouseOps.upsert(empty, base, "k")
+      .select(col("k"), col("__src")).as[(Long, String)].collect().toSeq
+    assert(inserted == Seq((1L, "inserted")))
+  }
+
+  test("bloomSemiJoin with an empty dim returns empty without crashing") {
+    val fact = spark.range(100).select(col("id").as("fk"))
+    val dim = spark.range(10).select(col("id").as("dk"))
+      .filter(lit(false))
+    assert(RelationalOps.bloomSemiJoin(fact, "fk", dim, "dk", 100L)
+      .count() == 0L)
+  }
+
   test("bloomSemiJoin: exact result, and the bloom prunes before the join") {
     val fact = spark.range(10000)
       .select(col("id").as("fk"), (col("id") % 7).as("v"))
