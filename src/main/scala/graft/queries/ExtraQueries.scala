@@ -143,6 +143,44 @@ object ExtraQueries {
          |    count(DISTINCT trader_id) FROM t)
          |ORDER BY col_name""".stripMargin.replace("\n", " ")),
 
+    // First-class melt: daily OHLC wide→long through Dataset.unpivot
+    // (stack()'s typed twin — profile_events covers the expression
+    // form). A narrow map: no shuffle, output = 4 rows per input row.
+    Q("unpivot_daily_ohlc",
+      (s, dir) => TickOps.dailyOhlc(
+          TickOps.normalizeEvents(Tables.events(s, dir)))
+        .unpivot(
+          Array(col("symbol"), col("trade_date")),
+          Array(col("open"), col("high"), col("low"), col("close")),
+          "field", "value")
+        .orderBy("symbol", "trade_date", "field"),
+      s"""WITH daily AS (${TickQueries.dailySql})
+         |SELECT symbol, trade_date, field, value FROM (
+         |  SELECT symbol, trade_date, 'open' AS field, open AS value FROM daily
+         |  UNION ALL SELECT symbol, trade_date, 'high', high FROM daily
+         |  UNION ALL SELECT symbol, trade_date, 'low', low FROM daily
+         |  UNION ALL SELECT symbol, trade_date, 'close', close FROM daily)
+         |ORDER BY symbol, trade_date, field"""
+        .stripMargin.replace("\n", " ")),
+
+    // Z-order (Morton) clustering key: bit-interleave of two bucketed
+    // dimensions — the multi-dimensional layout key that gives min/max
+    // file pruning on EITHER column (ZOrderSpec measures the written
+    // layout; this query pins the key computation itself to the
+    // oracle). Pure bitwise column expressions, one narrow map.
+    Q("zorder_key",
+      (s, dir) => {
+        val ub = pmod(col("user_id"), lit(256L))
+        val vb = pmod(col("event_id"), lit(256L))
+        Tables.events(s, dir)
+          .select(col("event_id"), ub.as("ub"), vb.as("vb"),
+            graft.ops.LayoutOps.zValue(ub, vb, 8).as("zval"))
+          .orderBy("event_id")
+      },
+      s"""SELECT event_id, user_id % 256 AS ub, event_id % 256 AS vb,
+         |${graft.ops.LayoutOps.sqlZValue("user_id % 256", "event_id % 256", 8)} AS zval
+         |FROM events ORDER BY event_id""".stripMargin.replace("\n", " ")),
+
     // Scalar-subquery rewrite: orders above the global mean price —
     // Catalyst turns the scalar aggregate into a broadcast join against
     // one row. The mean is computed decimal-exact then rounded, so the

@@ -49,6 +49,24 @@ object StreamingJoin {
     spark.table(queryName)
   }
 
+  /** Time-bounded LEFT OUTER stream-stream join over arbitrary streaming
+    * frames (spec entry point): matches emit like the inner join; an
+    * unmatched left row emits null-padded ONLY once the right-side
+    * watermark passes `a_ts + window` — the engine's proof that no
+    * partner can still arrive. Same state bound as the inner form; the
+    * null-emission delay is the watermark, the price of correctness on
+    * an unbounded stream (LeftOuterStreamJoinSpec exercises both
+    * arms). */
+  def followersLeftOuter(a: DataFrame, b: DataFrame,
+                         windowSec: Int): DataFrame =
+    a.join(b,
+      col("symbol") === col("symbol_b") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+      "leftOuter")
+      .select(col("symbol"), col("a_id"), col("b_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+
   /** The time-bounded follow-on join plan, shared by both sinks. */
   private def followersPlan(spark: SparkSession, dir: String,
                             threshold: Double, windowSec: Int,
