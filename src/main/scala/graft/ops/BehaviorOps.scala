@@ -14,12 +14,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   *  - Retention reduces the stream to distinct (user, day) activity
   *    first — the widest shuffle is |users| × |days|, orders of magnitude
-  *    below |events| — then joins the per-user cohort date, a relation of
-  *    |users| rows that stays broadcast-sized into the billions.
-  *  - The funnel computes one hash-aggregate per step over a filtered
-  *    slice of the stream; each step's per-user timestamp relation is
-  *    |users| rows, broadcast back for the strict-ordering filter. No
-  *    window over the full stream, no event-list collection per user.
+  *    below |events| — then joins the per-user cohort date on the user
+  *    key. The |users|-row relations are NOT hint-broadcast (Spark caps
+  *    broadcasts at 8 GB; billions of users must hash-join on the key,
+  *    and AQE broadcasts them automatically when actually small); only
+  *    the per-cohort-day size table, bounded by calendar days, carries
+  *    a broadcast hint.
+  *  - The funnel folds one filtered hash-aggregate per step into a
+  *    single |users|-keyed lineage. No window over the full stream, no
+  *    event-list collection per user, no forced broadcast.
   */
 object BehaviorOps extends Serializable {
 
@@ -36,7 +39,7 @@ object BehaviorOps extends Serializable {
       .agg(min(col("active_date")).as("cohort_date"))
     val sizes = cohorts.groupBy(col("cohort_date"))
       .agg(count(lit(1)).as("n_cohort"))
-    activity.join(broadcast(cohorts), Seq("user_id"))
+    activity.join(cohorts, Seq("user_id"))
       .groupBy(col("cohort_date"),
         datediff(col("active_date"), col("cohort_date")).as("day_offset"))
       .agg(count(lit(1)).as("n_active"))
@@ -53,44 +56,48 @@ object BehaviorOps extends Serializable {
     * such event wins). Returns one row per step with the converted user
     * count and the rate vs step 1.
     *
-    * Each step is one filtered hash-aggregate producing a |users|-row
-    * relation that is broadcast into the next step's filter — the
-    * event stream is scanned once per step and never windowed or
-    * collected per user.
-    */
+    * ONE lineage: a per-user frame accumulates a conversion-time column
+    * per step (null = never converted), each stage a |users|-keyed
+    * left join + hash-agg over that step's filtered slice, then a single
+    * global aggregate counts every step's non-null column at once and
+    * `stack` unpivots it to step rows. The event stream is scanned once
+    * per step TOTAL — the per-step union form re-evaluated each prefix
+    * chain, scanning events O(S²) times. Joins stay key-partitioned
+    * (AQE broadcasts small sides at fixture scale; at billions of users
+    * no side is broadcast-able and a forced hint would fail). */
   def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val e = events.select(col("user_id"), col("ts"), col("event_type"))
-    // per-step per-user conversion times, built left to right
-    val stepTimes: Seq[DataFrame] = steps.zipWithIndex
-      .foldLeft(List.empty[DataFrame]) { case (acc, (step, i)) =>
-        val slice = e.filter(col("event_type") === step)
-        val t = acc match {
-          case Nil =>
-            slice.groupBy(col("user_id")).agg(min(col("ts")).as("conv_ts"))
-          case prev :: _ =>
-            slice.join(broadcast(prev.select(col("user_id"),
-                col("conv_ts").as("prev_ts"))), Seq("user_id"))
-              .filter(col("ts") > col("prev_ts"))
-              .groupBy(col("user_id")).agg(min(col("ts")).as("conv_ts"))
-        }
-        t :: acc
-      }.reverse
-    val counts = steps.zip(stepTimes).zipWithIndex.map {
-      case ((step, t), i) =>
-        t.agg(count(lit(1)).as("n_users"))
-          .select(lit(i + 1).as("step"), lit(step).as("event_type"),
-            col("n_users"))
-    }
-    val all = counts.reduce(_ unionByName _)
-    val base = all.filter(col("step") === 1)
-      .select(col("n_users").as("n_base"))
-    all.crossJoin(broadcast(base))
-      .select(col("step"), col("event_type"), col("n_users"),
-        round(col("n_users").cast("double") /
-          nullif(col("n_base").cast("double"), lit(0d)), 6)
-          .as("conversion"))
+    val conv = steps.zipWithIndex.foldLeft(Option.empty[DataFrame]) {
+      case (None, (step, i)) =>
+        Some(e.filter(col("event_type") === step)
+          .groupBy(col("user_id")).agg(min(col("ts")).as(s"__t$i")))
+      case (Some(acc), (step, i)) =>
+        val carried = col("user_id") +: (0 until i).map(j => col(s"__t$j"))
+        Some(acc.join(e.filter(col("event_type") === step),
+            Seq("user_id"), "left")
+          .groupBy(carried: _*)
+          .agg(min(when(col("ts") > col(s"__t${i - 1}"), col("ts")))
+            .as(s"__t$i")))
+    }.get
+    val perStep = steps.indices.map(i => count(col(s"__t$i")).as(s"__n$i"))
+    val stackArgs = steps.zipWithIndex.map { case (step, i) =>
+      s"${i + 1}, '${step.replace("'", "\\'")}', __n$i" }.mkString(", ")
+    val counts = conv.agg(perStep.head, perStep.tail: _*)
+      .selectExpr(
+        s"stack(${steps.length}, $stackArgs) AS (step, event_type, n_users)",
+        "__n0 AS n_base")
+    conversionRates(counts)
   }
+
+  /** Final conversion-rate projection over (step, event_type, n_users,
+    * n_base): one place owns the null-guard and 6-dp rounding policy for
+    * every funnel variant (batch and streaming). */
+  def conversionRates(countsWithBase: DataFrame): DataFrame =
+    countsWithBase.select(col("step"), col("event_type"), col("n_users"),
+      round(col("n_users").cast("double") /
+        nullif(col("n_base").cast("double"), lit(0d)), 6)
+        .as("conversion"))
 
   /** One emitted funnel advance: `user_id` reached `step` at `conv_us`. */
   final case class StepConv(user_id: Long, step: Int, conv_us: Long)
@@ -144,7 +151,7 @@ object BehaviorOps extends Serializable {
       val st = state.getOption.getOrElse(FunnelSt(0, Long.MinValue))
       val out = Seq.newBuilder[StepConv]
       val next = advance(userId, st, nSteps,
-        batch.map(e => (e._2, e._3)).toSeq.sortBy(_._1), out)
+        batch.map(e => (e._2, e._3)).toSeq.sortBy(e => (e._1, e._2)), out)
       // state persists even when fully converted: dropping it would let
       // a later batch re-run the machine from step 0 and re-emit
       state.update(next)
@@ -178,12 +185,19 @@ object BehaviorOps extends Serializable {
       val st = state.getOption.getOrElse(FunnelBuf(0, Long.MinValue, Nil))
       val incoming = batch.map(e => (e._2, e._3)).filter(_._1 >= wmUs).toSeq
       val (settled, pending) =
-        (st.pending ++ incoming).sortBy(_._1).partition(_._1 <= wmUs)
+        (st.pending ++ incoming).sortBy(e => (e._1, e._2))
+          .partition(_._1 <= wmUs)
       val out = Seq.newBuilder[StepConv]
       val next = advance(userId, FunnelSt(st.step, st.last_us), nSteps,
         settled, out)
-      if (pending.isEmpty && next.step == nSteps) state.remove()
-      else {
+      if (next.step == nSteps) {
+        // fully converted: the terminal state persists (pending events
+        // can no longer advance anything and are dropped) — removing it
+        // would let a later batch re-run the machine from step 0 and
+        // re-emit conversions, the exact bug the in-order sibling's
+        // state-keep comment guards against. Two scalars + Nil: bounded.
+        state.update(FunnelBuf(next.step, next.last_us, Nil))
+      } else {
         state.update(FunnelBuf(next.step, next.last_us, pending))
         pending.headOption.foreach { case (firstUs, _) =>
           state.setTimeoutTimestamp(
@@ -198,15 +212,18 @@ object BehaviorOps extends Serializable {
   }
 
   /** Map raw events to the funnel-stream input: only `steps` types
-    * survive, as (user_id, ts_us, step_idx). Shared by the streaming
-    * entry points and specs so the mapping can't drift. */
+    * survive, as (user_id, ts_us, step_idx). An event whose type appears
+    * at SEVERAL step positions (steps = view, click, view) emits one row
+    * per matching index — the machine advances on whichever index it is
+    * currently awaiting, so repeated step types match batch semantics
+    * instead of silently mapping to a single position. Shared by the
+    * streaming entry points and specs so the mapping can't drift. */
   def toStepEvents(events: DataFrame, steps: Seq[String]): DataFrame = {
-    val idx = steps.zipWithIndex
-      .foldLeft(lit(-1)) { case (acc, (s, i)) =>
-        when(col("event_type") === s, lit(i)).otherwise(acc) }
+    val matches = array(steps.zipWithIndex.map { case (s, i) =>
+      when(col("event_type") === s, lit(i)) }: _*)
     events
-      .withColumn("step_idx", idx)
-      .filter(col("step_idx") >= 0)
+      .withColumn("step_idx",
+        explode(filter(matches, c => c.isNotNull)))
   }
 
   /** Run the in-order streaming funnel to completion over the events

@@ -367,12 +367,19 @@ object SimilarityOps {
     * scaling table). Recall tunes with nprobe/targetCellSize; the
     * fixture-registered queries pin nCells=16 so the DuckDB oracle can
     * mirror the blocking verbatim at fixture scale. */
+  /** The corpus-following cell-count formula — the ONE source of the
+    * 16-cell floor / 128-per-cell occupancy constants, shared by
+    * [[cosineNearDupPairsBlockedAuto]] and the registered headline query
+    * (which needs the number separately to key its staged centroids). */
+  def autoCellCount(n: Long, targetCellSize: Int = 128): Int =
+    math.max(16L, n / targetCellSize).toInt
+
   def cosineNearDupPairsBlockedAuto(embeddings: DataFrame,
                                     threshold: Double,
                                     targetCellSize: Int = 128,
                                     nprobe: Int = 2): DataFrame = {
     val corpus = normalizedCorpus(embeddings)
-    val nCells = math.max(16L, corpus.count() / targetCellSize).toInt
+    val nCells = autoCellCount(corpus.count(), targetCellSize)
     cosineNearDupPairsBlockedNorm(corpus, threshold, nCells, nprobe)
   }
 

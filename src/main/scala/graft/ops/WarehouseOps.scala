@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, max, struct}
 
 /** Partitioned-warehouse maintenance: the incremental write path for the
   * reference's daily cadence (`data_platform_final.py:49` `@daily`) on a
@@ -153,7 +153,18 @@ object WarehouseOps {
     * `coalesce(update, base)`; `__src` reports kept/updated/inserted for
     * audit queries. null-safe: a null non-key update value on a matched
     * key falls back to base (MERGE WHEN MATCHED THEN UPDATE SET col =
-    * coalesce semantics, documented). */
+    * coalesce semantics, documented).
+    *
+    * Duplicate keys in `updates`: SQL MERGE raises on multiple source
+    * matches; raising from a distributed plan would cost an extra
+    * counting action, so instead the update side is deterministically
+    * collapsed to one row per key — greatest (field-by-field) non-key
+    * tuple wins — BEFORE the join. Without this a duplicated key fans
+    * out through the full-outer join into duplicate output rows
+    * (silently, and order-nondeterministically). The collapse rides the
+    * same key exchange the join needs on that side, so it adds a
+    * hash-agg but no extra shuffle; it requires non-key columns to be
+    * orderable types (true of any columnar warehouse schema). */
   def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
     require(base.columns.sameElements(updates.columns),
       s"upsert requires identical schemas, got ${base.columns.toSeq} vs " +
@@ -162,7 +173,12 @@ object WarehouseOps {
     val b = base.select(col(key).as("__bk") +:
       dataCols.map(c => col(c).as(s"__b_$c")): _*)
     val u = updates.select(col(key).as("__uk") +:
-      dataCols.map(c => col(c).as(s"__u_$c")): _*)
+        dataCols.map(c => col(c).as(s"__u_$c")): _*)
+      .groupBy(col("__uk"))
+      .agg(max(struct(dataCols.map(c => col(s"__u_$c")): _*)).as("__urow"))
+      .select(col("__uk") +:
+        dataCols.map(c => col("__urow").getField(s"__u_$c")
+          .as(s"__u_$c")): _*)
     b.join(u, col("__bk") === col("__uk"), "full_outer")
       .select(
         org.apache.spark.sql.functions.coalesce(col("__bk"), col("__uk"))

@@ -37,8 +37,9 @@ object BehaviorQueries {
 
     // Strict funnel view → click → purchase: step i counts users with a
     // step-i event strictly after their step-(i-1) conversion time.
-    // One filtered hash-agg per step; per-user step times broadcast
-    // forward — no window or per-user event collection.
+    // One filtered hash-agg per step folded into a SINGLE |users|-keyed
+    // lineage (events scanned once per step total, not O(S²)); no
+    // window or per-user event collection.
     Q("funnel_conversion",
       (s, dir) => BehaviorOps.funnel(Tables.events(s, dir),
           Seq("view", "click", "purchase"))
@@ -86,11 +87,9 @@ object BehaviorQueries {
             coalesce(col("n_conv"), lit(0L)).as("n_users"))
         val base = counts.filter(col("step") === 1)
           .select(col("n_users").as("n_base"))
-        counts.crossJoin(broadcast(base))
-          .select(col("step"), col("event_type"), col("n_users"),
-            round(col("n_users").cast("double") /
-              nullif(col("n_base").cast("double"), lit(0d)), 6)
-              .as("conversion"))
+        // rate policy (null guard + rounding) is owned by the op —
+        // shared with the batch funnel so the two can't drift
+        BehaviorOps.conversionRates(counts.crossJoin(broadcast(base)))
           .orderBy("step")
       },
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events

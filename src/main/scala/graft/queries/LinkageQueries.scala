@@ -87,7 +87,12 @@ object LinkageQueries {
     // update/insert set derived from the base table itself — keys
     // divisible by 10 get a status/price update, and re-keyed copies
     // insert as new rows. Updates win, unmatched base rows survive,
-    // `src` audits kept/updated/inserted.
+    // `src` audits kept/updated/inserted. Insert keys are -k-1:
+    // strictly negative, so disjoint from every base orderkey (>= 0)
+    // at ANY scale — an additive offset collided with MakeScale's
+    // per-copy +1e8 shift on the synthesized sf1 fixture, making copy
+    // c's inserts alias copy c+1's update keys (and bare negation
+    // collides on key 0, which the fixture contains).
     Q("warehouse_upsert",
       (s, dir) => {
         val base = Tables.orders(s, dir)
@@ -97,7 +102,7 @@ object LinkageQueries {
           lit("U").as("o_orderstatus"),
           (col("o_totalprice") + lit(100.0)).as("o_totalprice"))
         val inserted = hit.select(
-          (col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+          (-col("o_orderkey") - lit(1L)).as("o_orderkey"),
           lit("N").as("o_orderstatus"), lit(0.0).as("o_totalprice"))
         WarehouseOps.upsert(base, updated.unionByName(inserted), "o_orderkey")
           .withColumnRenamed("__src", "src")
@@ -110,7 +115,7 @@ object LinkageQueries {
         |    o_totalprice + 100.0 AS o_totalprice
         |  FROM base WHERE o_orderkey % 10 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 100000000, 'N', 0.0
+        |  SELECT -o_orderkey - 1, 'N', 0.0
         |  FROM base WHERE o_orderkey % 10 = 0)
         |SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
         |coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,

@@ -253,7 +253,7 @@ object SimilarityQueries {
     Q("dedup_embedding_cosine",
       (s, dir) => {
         val corpus = Staged.normCorpus(s, dir)
-        val nCells = math.max(16L, corpus.count() / 128L).toInt
+        val nCells = SimilarityOps.autoCellCount(corpus.count())
         SimilarityOps
           .cosineNearDupPairsBlockedNormWith(corpus,
             Staged.ivfCentroids(s, dir, nCells), 0.4, 2)

@@ -112,6 +112,28 @@ class BehaviorLinkageSpec extends AnyFunSuite with SparkTestBase {
       (4L, "N", 40.0, "inserted")))
   }
 
+  test("upsert collapses duplicate update keys deterministically " +
+    "(greatest non-key tuple wins, no row fan-out)") {
+    // real MERGE errors on multiple source matches; our documented
+    // policy collapses them BEFORE the full-outer join — without it
+    // each duplicate fans out into duplicate output rows (hit at the
+    // sf1 MakeScale fixture, where +1e8 insert keys aliased the next
+    // copy's update keys)
+    val base = Seq((1L, "A", 10.0), (2L, "B", 20.0))
+      .toDF("k", "status", "price")
+    val updates = Seq((2L, "U", 50.0), (2L, "U", 99.0), (2L, "T", 999.0),
+        (5L, "N", 1.0), (5L, "N", 2.0))
+      .toDF("k", "status", "price")
+    val got = WarehouseOps.upsert(base, updates, "k")
+      .orderBy("k")
+      .select(col("k"), col("status"), col("price"), col("__src"))
+      .as[(Long, String, Double, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "A", 10.0, "kept"),
+      (2L, "U", 99.0, "updated"), // ("U",99) > ("U",50); ("T",…) loses on field 1
+      (5L, "N", 2.0, "inserted")))
+  }
+
   test("upsert rejects mismatched schemas") {
     val base = Seq((1L, "A")).toDF("k", "status")
     val bad = Seq((1L, 2.0)).toDF("k", "price")

@@ -1,0 +1,242 @@
+package graft
+
+import graft.ops.{QualityOps, TickOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LIVE plan-quality assertions: lock in the physical properties the
+  * 100 TB design depends on by compiling the actual current plans, so a
+  * refactor that silently adds a shuffle or loses a broadcast/pushdown
+  * fails CI immediately — not only after someone re-runs ExplainAudit.
+  * Complements [[PlanQualitySpec]], which lints the checked-in PLANS.md
+  * artifact registry-wide (some registry entries execute side work on
+  * construction, so the artifact grep is the only way to cover ALL of
+  * them; this spec covers the critical shapes live).
+  */
+class LivePlanSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save() // finalize AQE plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("OHLC bars = exactly one hash exchange (map-side partial agg)") {
+    val bars = TickOps.ohlcBars(
+      TickOps.normalizeEvents(Tables.events(spark, sf)), "1 hour")
+    val plan = executedPlan(bars)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n$plan")
+    assert(plan.contains("partial_min_by") || plan.contains("HashAggregate"),
+      "expected partial aggregation before the exchange")
+  }
+
+  test("reconciliation joins broadcast the small official side") {
+    val t = TickOps.normalizeEvents(Tables.events(spark, sf))
+    val daily = TickOps.dailyOhlc(t)
+    val recon = QualityOps.reconcile(daily, daily, Seq("trade_date", "symbol"))
+    val plan = executedPlan(recon)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("filters and projections reach the parquet scan") {
+    val df = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,100)]"),
+      s"expected pushed filter:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"expected pruned read schema:\n$plan")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, never a full global sort") {
+    val top = ops.RelationalOps.topCustomers(
+      Tables.orders(spark, sf), Tables.customer(spark, sf), 10)
+    val plan = executedPlan(top)
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+  }
+
+  test("key filter pushes through the custom as-of node to both scans") {
+    val t = TickOps.normalizeEvents(Tables.events(spark, sf))
+      .select(col("symbol"), col("event_ts"), col("price"))
+    val probes = TickOps.ohlcBars(
+        TickOps.normalizeEvents(Tables.events(spark, sf)), "1 hour")
+      .select(col("symbol"), col("bar_start").as("event_ts"))
+    val joined = ops.AsOfOps.asofJoinNative(t, probes, "symbol", "event_ts", "price")
+    val filtered = joined.filter(col("symbol") === "click")
+    val optimized = filtered.queryExecution.optimizedPlan.toString
+    // the Filter must sit BELOW AsOfJoinNode after optimization
+    val nodeIdx = optimized.indexOf("AsOfJoinNode")
+    val filtIdx = optimized.indexOf("Filter (symbol")
+    assert(nodeIdx >= 0)
+    assert(!optimized.substring(0, math.max(nodeIdx, 0)).contains("= click"),
+      s"filter not pushed below the as-of node:\n$optimized")
+    assert(optimized.indexOf("= click", nodeIdx) > 0,
+      s"pushed filter missing under the node:\n$optimized")
+    // and results match the unpushed semantics
+    val expected = ops.AsOfOps.asofJoin(t, probes, "symbol", "event_ts", "price")
+      .filter(col("symbol") === "click")
+    assert(filtered.except(expected).isEmpty && expected.except(filtered).isEmpty)
+    assert(filtered.count() > 0)
+  }
+
+  test("parameterized bar filters push to the warehouse scan") {
+    // the warehouse shape (Pipeline E1): normalized ticks as parquet with
+    // a real timestamp column — the fixture's nanos-long shim is gone, so
+    // the dag_run-style time-range + symbol predicates must reach the scan
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_plan_wh"
+    TickOps.normalizeEvents(Tables.events(spark, sf))
+      .write.mode("overwrite").parquet(wh)
+    val bars = TickOps.ohlcBarsFiltered(spark.read.parquet(wh), "15 minutes",
+      Seq("click", "view"), "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+    val plan = executedPlan(bars)
+    assert(plan.contains("GreaterThanOrEqual(event_ts"),
+      s"expected pushed lower time bound:\n$plan")
+    assert(plan.contains("LessThan(event_ts"),
+      s"expected pushed upper time bound:\n$plan")
+    assert(plan.contains("In(symbol"),
+      s"expected pushed symbol set:\n$plan")
+  }
+
+  test("banded screens never go all-pairs (no cartesian product)") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = ops.DedupOps.simhashHammingPairs(docs, 32, 4, 3)
+    val pairsPlan = executedPlan(pairs)
+    assert(!pairsPlan.contains("CartesianProduct"),
+      s"simhash pair screen degenerated to all-pairs:\n$pairsPlan")
+
+    val lsh = ops.SimilarityOps.lshTopK(
+      Tables.embeddings(spark, sf), Seq(0L, 1L), 5, 16, 4)
+    val lshPlan = executedPlan(lsh)
+    assert(!lshPlan.contains("CartesianProduct"),
+      s"LSH candidate join degenerated to all-pairs:\n$lshPlan")
+    // the only nested-loop join allowed is the broadcast of the tiny
+    // plane/centroid set; the candidate join itself must be hash-keyed
+    assert(lshPlan.contains("BroadcastHashJoin") ||
+      lshPlan.contains("ShuffledHashJoin") || lshPlan.contains("SortMergeJoin"),
+      s"expected an equality-keyed candidate join:\n$lshPlan")
+
+    // the blocked embedding near-dup: candidate generation must be
+    // equality-keyed on the cell id — the only non-equi join allowed is
+    // the broadcast of the 16-row centroid set
+    val blocked = ops.SimilarityOps.cosineNearDupPairsBlocked(
+      Tables.embeddings(spark, sf), 0.4, 16, 2)
+    val bPlan = executedPlan(blocked)
+    assert(!bPlan.contains("CartesianProduct"),
+      s"blocked near-dup degenerated to all-pairs:\n$bPlan")
+    assert(bPlan.contains("BroadcastHashJoin") ||
+      bPlan.contains("ShuffledHashJoin") || bPlan.contains("SortMergeJoin"),
+      s"expected an equality-keyed candidate join:\n$bPlan")
+  }
+
+  test("catalog warehouse query: bucketed layout keeps agg + join exchange-free") {
+    // warehouse_catalog aggregates the bucketed tick table by
+    // (symbol, trade_date) and joins the co-bucketed daily dim on the
+    // same keys: with HashPartitioning(symbol) satisfying both
+    // clusterings, the ONLY exchange allowed is the final orderBy's
+    // range partitioning — a hash exchange means the bucketed layout
+    // (the reference's index equivalent) stopped being used
+    val df = SparkEntry.queries("warehouse_catalog")(spark, sf)
+    val plan = executedPlan(df)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed warehouse plan re-shuffled:\n$plan")
+    // the fact-table scan must actually USE the bucketed layout (it
+    // feeds the (symbol, trade_date) aggregate with no exchange); the
+    // dim side may legitimately broadcast instead of SMJ — both are
+    // exchange-free on the fact table
+    assert(plan.contains("Bucketed: true"),
+      s"expected the bucketed tick scan in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"),
+      s"expected a join operator in:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS graft_wh_ticks")
+    spark.sql("DROP TABLE IF EXISTS graft_wh_daily")
+  }
+
+  test("per-group top-N rank filter plans as WindowGroupLimit, not filter-after-full-window") {
+    val mix = SparkEntry.queries("corpus_mix")(spark, sf)
+    val plan = executedPlan(mix)
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected the rank<=N filter pushed into a per-group limit:\n$plan")
+  }
+
+  test("quantization is a narrow map; profiling is one scan") {
+    // int8 quantization must not shuffle — codes are per-row
+    val quant = ops.SimilarityOps.quantizeInt8(Tables.embeddings(spark, sf))
+    val qPlan = executedPlan(quant)
+    assert(!qPlan.contains("Exchange"),
+      s"quantization should be shuffle-free:\n$qPlan")
+    // profile_events computes all columns' stats from ONE scan of the
+    // events table (the stack() unpivot must not multiply the source)
+    val prof = SparkEntry.queries("profile_events")(spark, sf)
+    val pPlan = executedPlan(prof)
+    val scans = "Scan parquet".r.findAllIn(pPlan).length
+    assert(scans == 1, s"expected one events scan, got $scans:\n$pPlan")
+  }
+
+  test("whole-stage codegen covers the normalize pipeline") {
+    val t = TickOps.normalizeEvents(Tables.events(spark, sf))
+    val plan = executedPlan(t)
+    // codegen'd stages print as "*(n) Operator" in the plan string
+    assert(plan.contains("*(1)"), s"expected codegen span:\n$plan")
+  }
+
+  test("decontamination broadcasts the benchmark side; corpus never all-pairs") {
+    val plan = executedPlan(
+      SparkEntry.queries("decontaminate_ngram")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark shingle set must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"the corpus side must stream through a broadcast hash join:\n$plan")
+    graft.queries.Staged.clearSession(spark)
+  }
+
+  test("chunking/RSI shuffle once on their shard key before the output sort") {
+    // corpus_chunks: one hash exchange (the shard window) + the final
+    // range exchange for orderBy — nothing else
+    val cPlan = executedPlan(SparkEntry.queries("corpus_chunks")(spark, sf))
+    val cHash = "Exchange hashpartitioning".r.findAllIn(cPlan).length
+    assert(cHash == 1, s"expected 1 shard shuffle, got $cHash:\n$cPlan")
+    // rsi_14: both window passes share the (symbol) partitioning — one
+    // hash exchange total, the second WindowExec rides the same sort
+    val rPlan = executedPlan(SparkEntry.queries("rsi_14")(spark, sf))
+    val rHash = "Exchange hashpartitioning".r.findAllIn(rPlan).length
+    assert(rHash == 1, s"expected 1 symbol shuffle, got $rHash:\n$rPlan")
+  }
+
+  test("Q3 shape: filters pushed to scans, dim broadcast, top-k never full-sorts") {
+    val plan = executedPlan(SparkEntry.queries("q3_shipping_priority")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 must not global-sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"filtered customer side must broadcast:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"lineitem date filter must reach the parquet scan:\n$plan")
+  }
+
+  test("compaction writes one shuffle keyed on the partition column") {
+    val frag = s"${System.getProperty("java.io.tmpdir")}/graft_plan_frag"
+    graft.util.Fs.deleteRec(frag)
+    TickOps.normalizeEvents(Tables.events(spark, sf))
+      .withColumn("trade_date", to_date(col("event_ts")))
+      .repartition(8).write.partitionBy("trade_date").parquet(frag)
+    // the op's OWN pre-write frame, not a hand-built lookalike — a
+    // change to compactPartitions' clustering fails here
+    val df = ops.WarehouseOps.compactionPlan(spark, frag)
+    val plan = df.queryExecution.executedPlan.toString
+    val hash = "Exchange hashpartitioning\\(trade_date".r.findAllIn(plan).length
+    assert(hash == 1,
+      s"expected exactly the partition-key exchange, got $hash:\n$plan")
+    graft.util.Fs.deleteRec(frag)
+  }
+
+  test("grouping sets plan as one Expand + one aggregation shuffle") {
+    val plan = executedPlan(SparkEntry.queries("sql_grouping_sets")(spark, sf))
+    assert(plan.contains("Expand"), s"expected Expand for grouping sets:\n$plan")
+    val hash = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hash == 1,
+      s"all grouping-set granularities must share one shuffle, got $hash:\n$plan")
+  }
+}

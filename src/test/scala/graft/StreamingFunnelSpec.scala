@@ -91,6 +91,75 @@ class StreamingFunnelSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("watermarked stream keeps terminal state: a fully-converted user's " +
+    "later activity never re-runs the machine") {
+    graft.streaming.StreamingConf.withStatePartitions(spark) {
+      val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val stepEvents = BehaviorOps.toStepEvents(
+          input.toDF().toDF("user_id", "event_ts", "event_type"), steps)
+        .withWatermark("event_ts", "60 minutes")
+        .select(col("user_id"), unix_micros(col("event_ts")).as("ts_us"),
+          col("step_idx"), col("event_ts"))
+        .as[(Long, Long, Int, java.sql.Timestamp)]
+      val q = BehaviorOps.funnelStreamWatermarked(stepEvents, steps.length)
+        .writeStream.format("memory").queryName("funnel_wm_terminal")
+        .outputMode("append").start()
+      try {
+        // full conversion, then watermark far past it so all three
+        // conversions settle and the state goes terminal
+        input.addData((1L, tsOf(0), "view"), (1L, tsOf(5), "click"),
+          (1L, tsOf(10), "purchase"))
+        q.processAllAvailable()
+        input.addData((99L, tsOf(60 * 24), "view"))
+        q.processAllAvailable()
+        input.addData((99L, tsOf(60 * 24 + 5), "view"))
+        q.processAllAvailable()
+        // a SECOND full chain from the converted user, settled by
+        // pushing the watermark again — state.remove() here would
+        // restart the machine from step 0 and double-count every step
+        input.addData((1L, tsOf(60 * 24 + 10), "view"),
+          (1L, tsOf(60 * 24 + 15), "click"),
+          (1L, tsOf(60 * 24 + 20), "purchase"))
+        q.processAllAvailable()
+        input.addData((99L, tsOf(60 * 24 * 3), "view"))
+        q.processAllAvailable()
+        input.addData((99L, tsOf(60 * 24 * 3 + 5), "view"))
+        q.processAllAvailable()
+        val got = spark.table("funnel_wm_terminal")
+          .as[BehaviorOps.StepConv].collect().toSeq
+          .filter(_.user_id == 1L)
+        assert(got.sortBy(_.step) == Seq(
+          BehaviorOps.StepConv(1L, 1, usOf(0)),
+          BehaviorOps.StepConv(1L, 2, usOf(5)),
+          BehaviorOps.StepConv(1L, 3, usOf(10))),
+          s"terminal state re-emitted: $got")
+      } finally q.stop()
+    }
+  }
+
+  test("repeated step types: stream replay equals the batch funnel " +
+    "(view -> click -> view)") {
+    // 'view' sits at steps 1 AND 3: toStepEvents must emit one row per
+    // matching index, else the machine waits forever on an index no
+    // event carries while the batch form (independent per-step filters)
+    // converts users normally
+    val repeated = Seq("view", "click", "view")
+    val dir = "/root/testdata/sf0.001"
+    val conv = BehaviorOps.funnelStreamAvailableNow(spark, dir, repeated,
+      queryName = "funnel_replay_repeated")
+    val got = conv.groupBy(col("step"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("step")
+      .as[(Int, Long)].collect().toSeq
+    val expected = BehaviorOps.funnel(Tables.events(spark, dir), repeated)
+      .orderBy("step")
+      .select(col("step"), col("n_users"))
+      .as[(Int, Long)].collect().toSeq
+    assert(got == expected.filter(_._2 > 0),
+      s"repeated-type stream diverged: got=$got exp=$expected")
+    assert(expected.head._2 > 0, "fixture should convert step 1")
+  }
+
   test("AvailableNow replay equals the batch funnel on the fixture") {
     val dir = "/root/testdata/sf0.001"
     val conv = BehaviorOps.funnelStreamAvailableNow(spark, dir, steps,
