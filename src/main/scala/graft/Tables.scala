@@ -21,10 +21,25 @@ object Tables {
     * timestamps match exactly. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(spark, dir, "events")
+    normalizeTs(load(spark, dir, "events"))
+  }
+
+  /** ns→µs shim shared by the batch and streaming events readers: if `ts`
+    * arrived as a nanos long (nanosAsLong), truncate to a microsecond
+    * timestamp; if the fixture ever switches to a native timestamp this
+    * is a no-op, and both readers follow automatically. */
+  def normalizeTs(df: DataFrame): DataFrame =
     if (df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
+
+  /** The events fixture's on-disk schema, read from the parquet footer —
+    * the ONE source of truth for streaming readers (which must pass an
+    * explicit schema; hard-coding it would silently yield nulls if the
+    * fixture schema drifted). */
+  def eventsOnDiskSchema(spark: SparkSession, dir: String): org.apache.spark.sql.types.StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parque*").schema
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")

@@ -74,6 +74,18 @@ case class GraftBloomProbe(sketch: Array[Byte], child: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a bigint key, got ${child.dataType.catalogString}")
 
+  // Case-class equality on Array[Byte] is reference identity, which
+  // would make two probes over identical sketches compare unequal and
+  // defeat plan canonicalization (exchange/subquery reuse). Compare the
+  // sketch by content instead.
+  override def equals(other: Any): Boolean = other match {
+    case p: GraftBloomProbe =>
+      java.util.Arrays.equals(sketch, p.sketch) && child == p.child
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * java.util.Arrays.hashCode(sketch) + child.hashCode()
+
   @transient private lazy val bloom: BloomFilter =
     BloomFilter.readFrom(new ByteArrayInputStream(sketch))
 

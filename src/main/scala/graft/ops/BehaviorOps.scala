@@ -57,32 +57,70 @@ object BehaviorOps extends Serializable {
     * count and the rate vs step 1.
     *
     * ONE lineage: a per-user frame accumulates a conversion-time column
-    * per step (null = never converted), each stage a |users|-keyed
-    * left join + hash-agg over that step's filtered slice, then a single
-    * global aggregate counts every step's non-null column at once and
-    * `stack` unpivots it to step rows. The event stream is scanned once
-    * per step TOTAL — the per-step union form re-evaluated each prefix
-    * chain, scanning events O(S²) times. Joins stay key-partitioned
-    * (AQE broadcasts small sides at fixture scale; at billions of users
-    * no side is broadcast-able and a forced hint would fail). */
-  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    * per step (null = never converted), then a single global aggregate
+    * counts every step's non-null column at once and `stack` unpivots it
+    * to step rows. The event stream is scanned once per step TOTAL — the
+    * per-step union form re-evaluates each prefix chain, scanning events
+    * O(S²) times.
+    *
+    * Each stage's event contact is an INNER join of the (user, prev-time)
+    * projection against that step's filtered slice, min-aggregated, then
+    * left-joined back onto the |users| frame (the inner-join-then-join-
+    * back shape also keeps the heavy side append-only: no left-outer
+    * against the raw events). The join back is |users|×|users|,
+    * key-partitioned (AQE broadcasts it at small scale; at billions of
+    * users no side is broadcast-able and a forced hint would fail).
+    *
+    * HOT-KEY (Zipf) POSTURE — `salts`: with a hot user owning a large
+    * share of events, the user-keyed join serializes that user's whole
+    * event mass through ONE task, and AQE cannot help (its skew split
+    * only matches joins whose children are raw shuffle stages; these
+    * children are aggregates reusing the join's partitioning, with or
+    * without forceOptimizeSkewedJoin). `salts > 1` spreads each user's
+    * events over `salts` deterministic sub-keys (xxhash64 of the event
+    * time) and replicates the |users|-row probe side per salt: per-task
+    * work drops to |hot events|/salts, at the cost of one extra
+    * |users|-row exchange per step (the post-join min regroups by bare
+    * user). Results are bit-identical for any salts value —
+    * HotKeySpec pins both the spread and the equality. */
+  def funnel(events: DataFrame, steps: Seq[String],
+             salts: Int = 1): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     val e = events.select(col("user_id"), col("ts"), col("event_type"))
     val conv = steps.zipWithIndex.foldLeft(Option.empty[DataFrame]) {
       case (None, (step, i)) =>
         Some(e.filter(col("event_type") === step)
           .groupBy(col("user_id")).agg(min(col("ts")).as(s"__t$i")))
       case (Some(acc), (step, i)) =>
-        val carried = col("user_id") +: (0 until i).map(j => col(s"__t$j"))
-        Some(acc.join(e.filter(col("event_type") === step),
-            Seq("user_id"), "left")
-          .groupBy(carried: _*)
-          .agg(min(when(col("ts") > col(s"__t${i - 1}"), col("ts")))
-            .as(s"__t$i")))
+        val prev = s"__t${i - 1}"
+        val stepMin =
+          if (salts == 1)
+            acc.select(col("user_id"), col(prev))
+              .join(e.filter(col("event_type") === step), Seq("user_id"))
+              .filter(col("ts") > col(prev))
+              .groupBy(col("user_id"))
+              .agg(min(col("ts")).as(s"__t$i"))
+          else {
+            val probes = acc.select(col("user_id"), col(prev))
+              .withColumn("__salt",
+                explode(lit((0 until salts).toArray)))
+            val salted = e.filter(col("event_type") === step)
+              .withColumn("__salt",
+                pmod(xxhash64(col("ts")), lit(salts.toLong)).cast("int"))
+            probes.join(salted, Seq("user_id", "__salt"))
+              .filter(col("ts") > col(prev))
+              .groupBy(col("user_id"))
+              .agg(min(col("ts")).as(s"__t$i"))
+          }
+        Some(acc.join(stepMin, Seq("user_id"), "left"))
     }.get
     val perStep = steps.indices.map(i => count(col(s"__t$i")).as(s"__n$i"))
+    // backslashes must be escaped BEFORE quotes, or a step name ending in
+    // a backslash swallows the closing quote of the SQL string literal
     val stackArgs = steps.zipWithIndex.map { case (step, i) =>
-      s"${i + 1}, '${step.replace("'", "\\'")}', __n$i" }.mkString(", ")
+      s"${i + 1}, '${step.replace("\\", "\\\\").replace("'", "\\'")}', __n$i"
+    }.mkString(", ")
     val counts = conv.agg(perStep.head, perStep.tail: _*)
       .selectExpr(
         s"stack(${steps.length}, $stackArgs) AS (step, event_type, n_users)",
@@ -232,20 +270,11 @@ object BehaviorOps extends Serializable {
                                dir: String, steps: Seq[String],
                                queryName: String = "stream_funnel"): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ts",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type",
-          org.apache.spark.sql.types.StringType))))
-      .parquet(s"$dir/events.parque*")
+    // schema comes from the shared footer-derived stream (Tables'
+    // single source of truth), not a hard-coded copy that could drift
+    val raw = graft.streaming.StreamingOhlc.rawEventStream(spark, dir)
     val stepEvents = toStepEvents(raw, steps)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("step_idx"))
       .as[(Long, Long, Int)]
     graft.streaming.StreamingConf.withStatePartitions(spark) {

@@ -67,10 +67,21 @@ object LinkageOps {
     * same eval-baseline discipline as `ann_recall_*`. The exact side is
     * an all-pairs join over the DISTINCT NAME VOCABULARY only: bounded
     * by the name-generator's vocabulary (sublinear in corpus rows),
-    * never run against the full table. */
+    * never run against the full table.
+    *
+    * Guarded like [[SimilarityOps.cosineNearDupPairs]]: refuses a
+    * vocabulary above `maxExactNames` (the count is one narrow
+    * distinct-scan — noise next to the n² join it prevents). Raise the
+    * cap explicitly to accept the quadratic cost on purpose. */
   def fuzzyBlockRecall(part: DataFrame, maxDist: Int = 3,
-                       maxBlock: Int = 1000): DataFrame = {
+                       maxBlock: Int = 1000,
+                       maxExactNames: Long = 100000L): DataFrame = {
     val vocab = partNameVocab(part)
+    val nVocab = vocab.count()
+    require(nVocab <= maxExactNames,
+      s"fuzzyBlockRecall's exact side is an all-pairs O(n²) baseline and " +
+        s"the name vocabulary has $nVocab rows (cap $maxExactNames): " +
+        "evaluate recall on a sample, or raise maxExactNames deliberately")
     val a = vocab.select(col("name").as("name_a"))
     val b = vocab.select(col("name").as("name_b"))
     val truePairs = a.crossJoin(b)

@@ -161,7 +161,17 @@ object RelationalOps {
     * that most fact partitions drop to near-empty before the shuffle
     * for the exact semi-join; the bloom probe itself is a codegen'd
     * narrow filter with zero shuffle. Results are EXACT — the final
-    * semi-join verifies every candidate. */
+    * semi-join verifies every candidate.
+    *
+    * STATIC-INPUT ASSUMPTION: the sketch is collected in its own job
+    * before the semi-join job runs, so `dim` must evaluate to the same
+    * rows in both (true for batch file sources like parquet). A
+    * non-static dim (a view over changing data, rand()-dependent plan)
+    * could grow keys between the jobs and the stale sketch would then
+    * wrongly drop matching fact rows BEFORE the verifying join — a
+    * false negative, not just a lost optimization. For such inputs,
+    * `dim.cache()` (or checkpoint) first so both jobs see one
+    * snapshot. */
   def bloomSemiJoin(fact: DataFrame, factKey: String,
                     dim: DataFrame, dimKey: String,
                     estimatedNumItems: Long = 1000000L): DataFrame = {

@@ -178,17 +178,10 @@ object SessionOps {
                                    gapMinutes: Int,
                                    queryName: String = "stream_sessions"): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ts",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType))))
-      .parquet(s"$dir/events.parque*")
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+    // schema comes from the shared footer-derived stream (Tables'
+    // single source of truth), not a hard-coded copy that could drift
+    val raw = graft.streaming.StreamingOhlc.rawEventStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .as[Ev]
     graft.streaming.StreamingConf.withStatePartitions(spark) {
       val q = sessionizeStream(raw, gapMinutes)

@@ -165,6 +165,44 @@ object WarehouseOps {
     * same key exchange the join needs on that side, so it adds a
     * hash-agg but no extra shuffle; it requires non-key columns to be
     * orderable types (true of any columnar warehouse schema). */
+  /** SCD Type-2 dimension history from a change log: one row per
+    * (key, attribute-run) with `[effective_from, effective_to)` validity
+    * and an `is_current` flag — the warehouse op a user reaches for
+    * right after [[upsert]] when the dimension's history must survive
+    * (the reference's warehouse is append-only,
+    * data_platform_final.py:249-250; this is the versioned-dimension
+    * uplift).
+    *
+    * PRECONDITION: `changes` has at most one row per (key, ts) — dedupe
+    * upstream (e.g. max_by on a change-sequence column) so run-collapse
+    * is deterministic. Within a key, consecutive rows with identical
+    * `attrs` collapse into the earlier row's run (null-safe struct
+    * compare); `effective_to` is the NEXT change's timestamp (half-open
+    * interval, the standard as-of-probe-friendly encoding), null on the
+    * current row.
+    *
+    * Scale shape: one shuffle on the key; the run-collapse lag and the
+    * validity lead share the same (key, ts) sort order, so Catalyst
+    * reuses one exchange for both window passes — cost is a sort within
+    * key partitions, never a join. */
+  def scd2FromChangeLog(changes: DataFrame, key: String, ts: String,
+                        attrs: Seq[String]): DataFrame = {
+    require(attrs.nonEmpty, "scd2FromChangeLog needs tracked attributes")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{lag, lead, not, struct => fstruct}
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    val attrStruct = fstruct(attrs.map(col): _*)
+    changes
+      .select((col(key) +: col(ts) +: attrs.map(col)): _*)
+      .withColumn("__prev", lag(attrStruct, 1).over(w))
+      .filter(col("__prev").isNull || not(col("__prev") <=> attrStruct))
+      .drop("__prev")
+      .withColumn("effective_from", col(ts))
+      .withColumn("effective_to", lead(col(ts), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+      .drop(ts)
+  }
+
   def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
     require(base.columns.sameElements(updates.columns),
       s"upsert requires identical schemas, got ${base.columns.toSeq} vs " +

@@ -181,6 +181,27 @@ object ExtraQueries {
          |${graft.ops.LayoutOps.sqlZValue("user_id % 256", "event_id % 256", 8)} AS zval
          |FROM events ORDER BY event_id""".stripMargin.replace("\n", " ")),
 
+    // Three-dimensional Morton key: user bucket × event bucket × hour of
+    // day — the layout for a warehouse serving three predicate axes
+    // (18 key bits = 3 dims × 6; nDims*bits <= 63 guard enforced).
+    // ZOrderSpec measures the written 3-D layout's per-file pruning;
+    // this pins the key arithmetic itself to the oracle.
+    Q("zorder_key3",
+      (s, dir) => {
+        val ub = pmod(col("user_id"), lit(64L))
+        val vb = pmod(col("event_id"), lit(64L))
+        val hb = hour(col("ts"))
+        Tables.events(s, dir)
+          .select(col("event_id"), ub.as("ub"), vb.as("vb"), hb.as("hb"),
+            graft.ops.LayoutOps.zValueN(Seq(ub, vb, hb), 6).as("zval"))
+          .orderBy("event_id")
+      },
+      s"""SELECT event_id, user_id % 64 AS ub, event_id % 64 AS vb,
+         |CAST(hour(ts) AS INT) AS hb,
+         |${graft.ops.LayoutOps.sqlZValueN(
+            Seq("user_id % 64", "event_id % 64", "hour(ts)"), 6)} AS zval
+         |FROM events ORDER BY event_id""".stripMargin.replace("\n", " ")),
+
     // Scalar-subquery rewrite: orders above the global mean price —
     // Catalyst turns the scalar aggregate into a broadcast join against
     // one row. The mean is computed decimal-exact then rounded, so the

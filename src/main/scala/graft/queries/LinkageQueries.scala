@@ -124,6 +124,43 @@ object LinkageQueries {
         |  WHEN u.o_orderkey IS NULL THEN 'kept'
         |  ELSE 'updated' END AS src
         |FROM base b FULL JOIN upd u ON b.o_orderkey = u.o_orderkey
-        |ORDER BY o_orderkey""".stripMargin.replace("\n", " "))
+        |ORDER BY o_orderkey""".stripMargin.replace("\n", " ")),
+
+    // SCD Type-2 dimension history (ops.WarehouseOps.scd2FromChangeLog):
+    // the customer's order-status timeline as a versioned dimension —
+    // per-(custkey, day) change log (max_by(orderkey) dedupes same-day
+    // changes deterministically), consecutive identical statuses
+    // collapse into one run, and each run carries half-open
+    // [effective_from, effective_to) validity + is_current. One shuffle
+    // on the key; both window passes share the (key, ts) sort.
+    Q("scd2_dim",
+      (s, dir) => {
+        val log = Tables.orders(s, dir)
+          .groupBy(col("o_custkey").as("custkey"),
+            col("o_orderdate").as("change_date"))
+          .agg(max_by(col("o_orderstatus"), col("o_orderkey")).as("status"))
+        WarehouseOps.scd2FromChangeLog(log, "custkey", "change_date",
+            Seq("status"))
+          .orderBy("custkey", "effective_from")
+      },
+      """WITH log AS (
+        |  SELECT o_custkey AS custkey, o_orderdate AS change_date,
+        |    arg_max(o_orderstatus, o_orderkey) AS status
+        |  FROM orders GROUP BY 1, 2),
+        |runs AS (
+        |  SELECT custkey, change_date, status,
+        |    lag(status) OVER (PARTITION BY custkey ORDER BY change_date)
+        |      AS prev
+        |  FROM log),
+        |hist AS (
+        |  SELECT custkey, change_date, status FROM runs
+        |  WHERE prev IS NULL OR prev IS DISTINCT FROM status)
+        |SELECT custkey, status, change_date AS effective_from,
+        |  lead(change_date) OVER (PARTITION BY custkey ORDER BY change_date)
+        |    AS effective_to,
+        |  lead(change_date) OVER (PARTITION BY custkey ORDER BY change_date)
+        |    IS NULL AS is_current
+        |FROM hist ORDER BY custkey, effective_from"""
+        .stripMargin.replace("\n", " "))
   )
 }

@@ -19,31 +19,21 @@ import org.apache.spark.sql.types._
   */
 object StreamingOhlc {
 
-  /** The events fixture schema as stored (ts = parquet TIMESTAMP(NANOS),
-    * surfaced as long under nanosAsLong). */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** The raw events table as a file stream (shared by every streaming
-    * operator in this package): explicit schema, ns→µs shim — the
-    * streaming twin of Tables.events. `maxFilesPerTrigger` bounds each
-    * micro-batch (multi-file fixtures then exercise real cross-batch
-    * watermark advancement instead of one catch-all batch). */
+    * operator, including the sessionizer and funnel entry points): the
+    * explicit schema streaming requires is read from the parquet footer
+    * via [[graft.Tables.eventsOnDiskSchema]] — one source of truth with
+    * the batch reader, so a fixture schema change cannot silently null
+    * out columns here — plus the shared ns→µs shim. `maxFilesPerTrigger`
+    * bounds each micro-batch (multi-file fixtures then exercise real
+    * cross-batch watermark advancement instead of one catch-all batch). */
   private[graft] def rawEventStream(spark: SparkSession, dir: String,
                                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file-stream source wants a directory or glob, not a bare file —
     // a glob that matches exactly the events table keeps it happy
-    val reader = spark.readStream.schema(eventsSchema)
+    val reader = spark.readStream.schema(graft.Tables.eventsOnDiskSchema(spark, dir))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader
-      .parquet(s"$dir/events.parque*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeTs(reader.parquet(s"$dir/events.parque*"))
   }
 
   /** The incremental hourly-bars plan (shared by every sink): watermarked

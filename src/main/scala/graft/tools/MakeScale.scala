@@ -24,11 +24,30 @@ import org.apache.spark.sql.functions._
   *    ≈ 0), preserving norms exactly
   *  - dims (customer/supplier/part/nation/region): copied verbatim
   *
+  * HOT-KEY MODE (4th arg `hot`): same tables, but with planted Zipf-style
+  * hot keys — the skew shape MakeScale's uniform mode deliberately lacks
+  * ("more keys, not hotter keys"). 20% of events collapse onto ONE
+  * user_id (behavioral joins/aggs), a DIFFERENT 20% onto ONE symbol
+  * (tick aggs and symbol windows), and 20% of orders onto ONE o_custkey
+  * (customer-keyed joins). Masks key off event_id/o_orderkey pmod 5, so
+  * they are deterministic, disjoint per axis, and spread evenly over
+  * copies/dates — the hot key is hot EVERYWHERE, the worst case for a
+  * static partitioning.
+  *
   *   sbt "runMain graft.tools.MakeScale /root/testdata/sf0.1 /tmp/graft_sf1 10"
+  *   sbt "runMain graft.tools.MakeScale /root/testdata/sf0.1 /tmp/graft_sf1_hot 10 hot"
   */
 object MakeScale {
+  /** One hot user (~20% of events), disjoint from shifted real ids. */
+  val HotUser  = 777777777L
+  /** One hot symbol (~20% of events; suffix-stripped to "HOT"). */
+  val HotSym   = "HOT.NSE"
+  /** One hot customer (~20% of orders). */
+  val HotCust  = 777777777L
+
   def main(args: Array[String]): Unit = {
     val (src, dest, copies) = (args(0), args(1), args(2).toInt)
+    val hot = args.length > 3 && args(3) == "hot"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -47,11 +66,16 @@ object MakeScale {
     }
 
     out("events")(replicate(Tables.events(spark, src)) { (d, c) =>
+      val eid = col("event_id") + lit(c.toLong * 1000000000L)
+      val user = col("user_id") + lit(c.toLong * 1000000L)
       d.select(
-        (col("event_id") + lit(c.toLong * 1000000000L)).as("event_id"),
+        eid.as("event_id"),
         (unix_micros(col("ts")) * 1000L).as("ts"),
-        (col("user_id") + lit(c.toLong * 1000000L)).as("user_id"),
-        col("event_type"),
+        (if (hot) when(pmod(eid, lit(5L)) === 0, lit(HotUser)).otherwise(user)
+         else user).as("user_id"),
+        (if (hot) when(pmod(eid, lit(5L)) === 1, lit(HotSym))
+            .otherwise(col("event_type"))
+         else col("event_type")).as("event_type"),
         (col("value") * (lit(1.0) + lit(c.toDouble) * 0.0001)).as("value"),
         col("props"))
     })
@@ -60,7 +84,12 @@ object MakeScale {
       d.withColumn("l_orderkey", col("l_orderkey") + lit(c.toLong * 100000000L))
     })
     out("orders")(replicate(Tables.orders(spark, src)) { (d, c) =>
-      d.withColumn("o_orderkey", col("o_orderkey") + lit(c.toLong * 100000000L))
+      val shifted = d.withColumn("o_orderkey",
+        col("o_orderkey") + lit(c.toLong * 100000000L))
+      if (hot) shifted.withColumn("o_custkey",
+        when(pmod(col("o_orderkey"), lit(5L)) === 0, lit(HotCust))
+          .otherwise(col("o_custkey")))
+      else shifted
     })
 
     out("documents")(replicate(Tables.documents(spark, src)) { (d, c) =>

@@ -134,6 +134,31 @@ class BehaviorLinkageSpec extends AnyFunSuite with SparkTestBase {
       (5L, "N", 2.0, "inserted")))
   }
 
+  test("scd2FromChangeLog collapses runs and emits half-open validity") {
+    val log = Seq(
+      // k1: A, A (collapse), B, A again (NEW run — not merged with row 1)
+      (1L, java.sql.Date.valueOf("2024-01-01"), "A"),
+      (1L, java.sql.Date.valueOf("2024-01-05"), "A"),
+      (1L, java.sql.Date.valueOf("2024-02-01"), "B"),
+      (1L, java.sql.Date.valueOf("2024-03-01"), "A"),
+      // k2: single version, current from day one
+      (2L, java.sql.Date.valueOf("2024-01-10"), "X")
+    ).toDF("k", "d", "status")
+    val got = graft.ops.WarehouseOps
+      .scd2FromChangeLog(log, "k", "d", Seq("status"))
+      .orderBy("k", "effective_from")
+      .select(col("k"), col("status"), col("effective_from").cast("string"),
+        col("effective_to").cast("string"), col("is_current"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3), r.getBoolean(4)))
+    assert(got == Seq(
+      (1L, "A", "2024-01-01", "2024-02-01", false),
+      (1L, "B", "2024-02-01", "2024-03-01", false),
+      (1L, "A", "2024-03-01", null, true),
+      (2L, "X", "2024-01-10", null, true)))
+  }
+
   test("upsert rejects mismatched schemas") {
     val base = Seq((1L, "A")).toDF("k", "status")
     val bad = Seq((1L, 2.0)).toDF("k", "price")
@@ -163,6 +188,35 @@ class BehaviorLinkageSpec extends AnyFunSuite with SparkTestBase {
     val inserted = WarehouseOps.upsert(empty, base, "k")
       .select(col("k"), col("__src")).as[(Long, String)].collect().toSeq
     assert(inserted == Seq((1L, "inserted")))
+  }
+
+  test("fuzzyBlockRecall refuses an oversized name vocabulary, fast") {
+    // 2001 distinct names > cap 2000: the guard must trip BEFORE the
+    // all-pairs crossJoin (which at a real vocab size would never finish)
+    val big = (1 to 2001).map(i => f"name $i%05d").toDF("p_name")
+    val err = intercept[IllegalArgumentException] {
+      LinkageOps.fuzzyBlockRecall(big, maxDist = 1, maxExactNames = 2000L)
+    }
+    assert(err.getMessage.contains("2001"))
+    // and the same fixture under the cap still evaluates
+    val small = (1 to 50).map(i => f"name $i%05d").toDF("p_name")
+    val ok = LinkageOps.fuzzyBlockRecall(small, maxDist = 1,
+      maxExactNames = 2000L).collect()
+    assert(ok.length == 1)
+  }
+
+  test("GraftBloomProbe compares sketches by content (plan canonicalization)") {
+    functions.GraftFunctions.register(spark)
+    val dim = spark.range(100).select(col("id").as("dk"))
+    val sketch = dim.agg(call_function("graft_bloom_agg", col("dk"),
+      lit(100L)).as("bf")).head().getAs[Array[Byte]]("bf")
+    val key = org.apache.spark.sql.catalyst.expressions.Literal(42L)
+    val p1 = functions.GraftBloomProbe(sketch.clone(), key)
+    val p2 = functions.GraftBloomProbe(sketch.clone(), key)
+    // distinct arrays, equal content: equals/hashCode must agree, or
+    // exchange/subquery reuse over identical probes silently misses
+    assert(p1 == p2 && p1.hashCode == p2.hashCode)
+    assert(p1 != functions.GraftBloomProbe(Array[Byte](1, 2), key))
   }
 
   test("bloomSemiJoin with an empty dim returns empty without crashing") {
