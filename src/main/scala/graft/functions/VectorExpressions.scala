@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native Catalyst expression for the similarity hot path.
@@ -153,6 +153,133 @@ case class ArrayL2Normalize(child: Expression)
     copy(child = c)
 }
 
+/** Top-`nprobe` nearest IVF cells of an embedding against a FIXED
+  * centroid set, as one codegen'd expression: returns the array of the
+  * `nprobe` centroid ids ranked by (cosine-rounded-6dp DESC,
+  * centroid_id ASC) — exactly the ordering of the declarative
+  * crossJoin + row_number() formulation it replaces, so cell
+  * assignments (and therefore the DuckDB-mirrored blocking results)
+  * are bit-identical.
+  *
+  * WHY: the declarative assignment materializes n × nCells rows and
+  * SHUFFLES them through a per-vector window sort. With
+  * corpus-following nCells (n/128) that is n²/128 rows — the 10×-decade
+  * spot-check measured 42× on 10× data at 200k vectors. Here the
+  * centroid matrix rides the plan as a referenced object (like
+  * [[GraftBloomProbe]]'s sketch): the n·nCells·dim multiplies still
+  * happen, but in a tight primitive loop with NO row materialization
+  * and NO shuffle — the assignment stage becomes a narrow map.
+  *
+  * DRIVER BOUND: the matrix is nCells × dim doubles on the driver —
+  * n/128 vectors of dim 64 is ~4 MB per million corpus rows. Past
+  * ~10⁸ vectors, stage the assignment as a distributed ANN join
+  * instead; for the IVF sizes this engine derives, the constant is
+  * small.
+  *
+  * A null/absent embedding yields null (vector unassignable — the
+  * declarative twin gave such rows arbitrary all-null-sim cells; real
+  * corpora exclude zero vectors via l2norm's null). */
+case class GraftNearestCells(cellIds: Array[Long], flatCents: Array[Double],
+                             nprobe: Int, child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def prettyName: String = "graft_nearest_cells"
+  override def toString: String =
+    s"$prettyName(${cellIds.length} cells, $nprobe probes, $child)"
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.catalogString}")
+  }
+
+  // content equality (arrays in a case class default to reference
+  // identity — would defeat plan canonicalization, the GraftBloomProbe
+  // lesson)
+  override def equals(other: Any): Boolean = other match {
+    case o: GraftNearestCells =>
+      java.util.Arrays.equals(cellIds, o.cellIds) &&
+        java.util.Arrays.equals(flatCents, o.flatCents) &&
+        nprobe == o.nprobe && child == o.child
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(
+      Integer.valueOf(java.util.Arrays.hashCode(cellIds)),
+      Integer.valueOf(java.util.Arrays.hashCode(flatCents)),
+      Integer.valueOf(nprobe), child)
+
+  /** Spark's round(x, 6) (HALF_UP decimal) — must match the declarative
+    * twin's `round(graft_dot(...), 6)` bit-for-bit. */
+  private def round6(x: Double): Double =
+    new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override def nullSafeEval(input: Any): Any = {
+    val emb = input.asInstanceOf[ArrayData]
+    val k = cellIds.length
+    if (k == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val dim = flatCents.length / k
+    val d = math.min(dim, emb.numElements())
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var s = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < d) { s += emb.getDouble(i) * flatCents(off + i); i += 1 }
+      sims(c) = round6(s)
+      c += 1
+    }
+    val take = math.min(nprobe, k)
+    val out = new Array[Long](take)
+    val taken = new Array[Boolean](k)
+    var t = 0
+    while (t < take) {
+      var best = -1
+      c = 0
+      while (c < k) {
+        // rank by (sim DESC, centroid_id ASC); centroids arrive sorted
+        // by id, so first-strictly-greater keeps the id tie-break
+        if (!taken(c) && (best < 0 || sims(c) > sims(best))) best = c
+        c += 1
+      }
+      taken(best) = true
+      out(t) = cellIds(best)
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("graftNearestCells", this,
+      classOf[GraftNearestCells].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$self.nullSafeEval($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object GraftNearestCells {
+  /** `graft_nearest_cells(idsLit, flatCentroidsLit, nprobeLit, emb)` —
+    * the literal arguments collapse into plan constants. */
+  def fromArgs(es: Seq[Expression]): Expression = es match {
+    case Seq(Literal(ids: ArrayData, ArrayType(LongType, _)),
+             Literal(m: ArrayData, ArrayType(DoubleType, _)),
+             Literal(np: Int, IntegerType), emb) =>
+      GraftNearestCells(ids.toLongArray(), m.toDoubleArray(), np, emb)
+    case _ => throw new IllegalArgumentException(
+      "graft_nearest_cells(array<bigint> literal, array<double> literal, " +
+        "int literal, emb) expected")
+  }
+}
+
 /** Registration for graft's native functions — callable from any session
   * (runtime registry) or via spark.sql.extensions (injected). */
 object GraftFunctions {
@@ -164,7 +291,8 @@ object GraftFunctions {
     "graft_minhash" -> (es => MinHashAgg.fromArgs(es)),
     "graft_simhash" -> (es => SimHashExpr.fromArgs(es)),
     "graft_bloom_agg" -> (es => BloomFunctions.bloomAgg(es)),
-    "graft_bloom_contains" -> (es => BloomFunctions.bloomContains(es)))
+    "graft_bloom_contains" -> (es => BloomFunctions.bloomContains(es)),
+    "graft_nearest_cells" -> (es => GraftNearestCells.fromArgs(es)))
 
   /** Idempotent per-session registration (works under any driver-created
     * session — same pattern as Tables.events' runtime conf). */
@@ -212,6 +340,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomFunctions.type].getName, "graft_bloom_contains"),
       (es: Seq[Expression]) => BloomFunctions.bloomContains(es)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_nearest_cells"),
+      new ExpressionInfo(classOf[GraftNearestCells].getName, "graft_nearest_cells"),
+      (es: Seq[Expression]) => GraftNearestCells.fromArgs(es)))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }

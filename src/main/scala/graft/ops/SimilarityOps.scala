@@ -77,19 +77,36 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
-  /** Assignment of every corpus vector to its nearest centroid from an
-    * arbitrary centroid table (centroid_id, c_emb). Argmax via max_by,
-    * not a row_number window: one hash-aggregate with map-side partials
-    * over the n×nCells scored rows instead of a full sort-per-key
-    * exchange. Ties (equal rounded c_sim) break to the smaller
-    * centroid_id via the negated second struct field. */
-  private def assignTo(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    corpus.join(broadcast(centroids), expr("true"))
-      .select(col("vec_id"), col("centroid_id"),
-        dotCosine(col("n_emb"), col("c_emb")).as("c_sim"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("centroid_id"),
-        struct(col("c_sim"), (-col("centroid_id")).as("neg_id"))).as("cell"))
+  /** The top-`nprobe` nearest-cell column against a FIXED centroid
+    * table: collects the (nCells-bounded — n/targetCellSize rows, a few
+    * MB per million corpus vectors) centroid matrix to the driver and
+    * evaluates the whole argmax as ONE codegen'd expression
+    * (functions.GraftNearestCells). The declarative crossJoin +
+    * window/agg twin materializes n × nCells rows; with
+    * corpus-following nCells that is n²/targetCellSize rows — measured
+    * 42× on 10× data at the 200k-vector decade check before this
+    * rewrite (BASELINE.md round 5). Ranking is (rounded-6dp cosine
+    * DESC, centroid_id ASC), bit-identical to the twin, so
+    * oracle-mirrored blocking results hash-match unchanged. Ties break
+    * to the smaller centroid_id; a null-normalized (zero) vector is
+    * unassignable and drops out. Static-input: centroids are
+    * snapshotted at plan-build time (batch sources — same note as
+    * RelationalOps.bloomSemiJoin). */
+  private def nearestCellsCol(centroids: DataFrame, nprobe: Int,
+                              emb: Column): Column = {
+    val rows = centroids.select(col("centroid_id"), col("c_emb"))
+      .orderBy(col("centroid_id")).collect()
+    val ids = rows.map(_.getLong(0))
+    val flat = rows.flatMap(_.getSeq[Double](1))
+    call_function("graft_nearest_cells",
+      typedLit(ids.toSeq), typedLit(flat.toSeq), lit(nprobe), emb)
+  }
+
+  private def assignTo(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    corpus.select(col("vec_id"),
+      explode(nearestCellsCol(centroids, 1, col("n_emb"))).as("cell"))
+  }
 
   /** Deterministic spherical-k-means centroids: the `nCells` lowest-
     * vec_id vectors seed the cells, then `iters` Lloyd rounds refine
@@ -327,14 +344,9 @@ object SimilarityOps {
 
   def ivfMultiAssignNormWith(corpus: DataFrame, centroids: DataFrame,
                              nprobe: Int): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_sim").desc, col("centroid_id").asc)
-    corpus.join(broadcast(centroids), expr("true"))
-      .select(col("vec_id"), col("centroid_id"),
-        dotCosine(col("n_emb"), col("c_emb")).as("c_sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nprobe)
-      .select(col("vec_id"), col("centroid_id").as("cell"))
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    corpus.select(col("vec_id"),
+      explode(nearestCellsCol(centroids, nprobe, col("n_emb"))).as("cell"))
   }
 
   /** SCALE PATH for embedding near-dup: candidates are generated by IVF
@@ -370,9 +382,23 @@ object SimilarityOps {
   /** The corpus-following cell-count formula — the ONE source of the
     * 16-cell floor / 128-per-cell occupancy constants, shared by
     * [[cosineNearDupPairsBlockedAuto]] and the registered headline query
-    * (which needs the number separately to key its staged centroids). */
-  def autoCellCount(n: Long, targetCellSize: Int = 128): Int =
-    math.max(16L, n / targetCellSize).toInt
+    * (which needs the number separately to key its staged centroids).
+    *
+    * Two regimes (round-5 decade check, BASELINE.md):
+    *  - occupancy-driven `n / targetCellSize` keeps candidate work
+    *    Σ|cell|² linear, but cell ASSIGNMENT costs n·nCells·dim flops —
+    *    at n/128 cells that is n²·dim/128, the next quadratic (measured
+    *    12.9× on the 20k→200k decade before the cap);
+    *  - balancing assignment (n·k) against candidate work (n²·p²/k)
+    *    gives k* = p·√n, total O(n^1.5·dim) — the IVF flat-index
+    *    optimum. The cap `sqrtFactor·√n` activates past
+    *    n = (targetCellSize·sqrtFactor)² (65k vectors at defaults),
+    *    so both DuckDB-oracle scales (500/2000 → 16-cell floor) and the
+    *    sf1 fixture (20k → 156) are untouched. */
+  def autoCellCount(n: Long, targetCellSize: Int = 128,
+                    sqrtFactor: Int = 2): Int =
+    math.max(16L, math.min(n / targetCellSize,
+      (sqrtFactor * math.sqrt(n.toDouble)).toLong)).toInt
 
   def cosineNearDupPairsBlockedAuto(embeddings: DataFrame,
                                     threshold: Double,
@@ -383,22 +409,36 @@ object SimilarityOps {
     cosineNearDupPairsBlockedNorm(corpus, threshold, nCells, nprobe)
   }
 
+  /** Fused candidates-and-verify: the embedding rides INTO the cell
+    * join (one shuffle of n·nprobe embedding-carrying rows keyed by
+    * cell), the exact dot + threshold run inside the join's codegen
+    * before anything is materialized, and only SURVIVING pairs reach
+    * the cross-cell dedup (groupBy max — values are identical per
+    * pair, max is a deterministic pick that rides partial agg).
+    *
+    * The previous shape — candidate ids first, `distinct`, then two
+    * joins back to the corpus to attach embeddings — shuffled the FULL
+    * Σ|cell|² candidate set twice with vector payloads: at the
+    * 200k-vector decade check that was 51M pairs ≈ 50 GB of exchange,
+    * 266 s of its 310 s total. Fused: the pair stream never crosses an
+    * exchange. */
   def cosineNearDupPairsBlockedNormWith(corpus: DataFrame,
                                         centroids: DataFrame,
                                         threshold: Double,
                                         nprobe: Int = 2): DataFrame = {
-    val assigned = ivfMultiAssignNormWith(corpus, centroids, nprobe)
-    val cands = assigned.as("a").join(assigned.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
-    cands
-      .join(corpus.select(col("vec_id").as("vec_a"), col("n_emb").as("ea")),
-        Seq("vec_a"))
-      .join(corpus.select(col("vec_id").as("vec_b"), col("n_emb").as("eb")),
-        Seq("vec_b"))
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val assigned = corpus.select(col("vec_id"), col("n_emb"),
+      explode(nearestCellsCol(centroids, nprobe, col("n_emb"))).as("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("n_emb").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("n_emb").as("eb"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         dotCosine(col("ea"), col("eb")).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(max(col("cosine_sim")).as("cosine_sim"))
   }
 }

@@ -36,6 +36,9 @@ import org.apache.spark.sql.functions._
   *
   *   sbt "runMain graft.tools.MakeScale /root/testdata/sf0.1 /tmp/graft_sf1 10"
   *   sbt "runMain graft.tools.MakeScale /root/testdata/sf0.1 /tmp/graft_sf1_hot 10 hot"
+  *   // 5th arg: comma-list restricting which tables to synthesize
+  *   // (decade spot-checks, e.g. x100 embeddings alone):
+  *   sbt "runMain graft.tools.MakeScale /root/testdata/sf0.1 /tmp/sf10e 100 uniform embeddings"
   */
 object MakeScale {
   /** One hot user (~20% of events), disjoint from shifted real ids. */
@@ -48,13 +51,16 @@ object MakeScale {
   def main(args: Array[String]): Unit = {
     val (src, dest, copies) = (args(0), args(1), args(2).toInt)
     val hot = args.length > 3 && args(3) == "hot"
+    val only: Option[Set[String]] =
+      if (args.length > 4) Some(args(4).split(',').toSet) else None
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def out(name: String)(df: DataFrame): Unit = {
+    def out(name: String)(df: => DataFrame): Unit = if (wanted(name)) {
       df.write.mode("overwrite").parquet(s"$dest/$name.parquet")
       println(s"[makescale] $name: ${spark.read.parquet(s"$dest/$name.parquet").count()} rows")
     }

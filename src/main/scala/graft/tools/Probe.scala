@@ -4,14 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scratch probe for plan/stage timing investigations (runMain).
-  * Current question: when does the bloom runtime-filter semi-join
-  * (`RelationalOps.bloomSemiJoin`) beat the plain semi-join? Expectation
-  * from the plan shapes: never while the dim side broadcasts (the
-  * broadcast hash semi-join already avoids shuffling the fact side), and
-  * increasingly as soon as the join must shuffle (autoBroadcast off —
-  * the 100 TB regime where a dimension outgrows the driver), because the
-  * bloom prunes ~80% of the fact rows BEFORE the exchange. Warm numbers
-  * (2nd rep) at sf0.1 and the synthesized sf1. */
+  * Current question: where does `dedup_embedding_cosine` spend its time
+  * at the 200k-vector decade fixture — centroid staging (Lloyd round),
+  * cell assignment, candidate generation, or verification? Each stage is
+  * timed with a count()/noop so the next stage's cost is isolated. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -21,36 +17,47 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    def fact = graft.Tables.lineitem(spark, dir)
-    def dim = graft.Tables.orders(spark, dir)
-      .filter(col("o_orderpriority") === "1-URGENT")
-
-    def agg(df: org.apache.spark.sql.DataFrame) =
-      df.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-
-    def plain() = agg(fact.join(
-      dim.select(col("o_orderkey")).distinct(),
-      col("l_orderkey") === col("o_orderkey"), "left_semi"))
-    def bloom() = agg(graft.ops.RelationalOps.bloomSemiJoin(
-      fact, "l_orderkey", dim, "o_orderkey", 1000000L))
-
-    def time(tag: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
-      var last = 0.0
-      (1 to 2).foreach { _ =>
-        val t0 = System.nanoTime()
-        mk.write.format("noop").mode("overwrite").save()
-        last = (System.nanoTime() - t0) / 1e9
-      }
-      println(f"[probe] $tag%-28s warm=$last%6.2f s")
+    def time[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $tag%-32s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
     }
 
-    println(s"[probe] dir=$dir fact=${fact.count()} dim=${dim.count()}")
-    time("plain-semi broadcast")(plain())
-    time("bloom-semi broadcast")(bloom())
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    time("plain-semi shuffle")(plain())
-    time("bloom-semi shuffle")(bloom())
-    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    import graft.ops.SimilarityOps
+    val corpus = time("normalize+cache corpus") {
+      val c = SimilarityOps.normalizedCorpus(
+        graft.Tables.embeddings(spark, dir)).cache()
+      c.count(); c
+    }
+    val n = corpus.count()
+    val nCells = SimilarityOps.autoCellCount(n)
+    println(s"[probe] n=$n nCells=$nCells")
+    val cents = time("centroids (Lloyd 1 round)") {
+      val c = SimilarityOps.ivfCentroidsNorm(corpus, nCells).cache()
+      c.count(); c
+    }
+    val assigned = time("multi-assign nprobe=2") {
+      val a = SimilarityOps.ivfMultiAssignNormWith(corpus, cents, 2).cache()
+      a.count(); a
+    }
+    val cands = time("candidate pairs (cell join + distinct)") {
+      val c = assigned.as("a").join(assigned.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct().cache()
+      println(s"[probe] n_cands=${c.count()}")
+      c
+    }
+    time("verify (attach + dot + filter)") {
+      val v = cands
+        .join(corpus.select(col("vec_id").as("vec_a"), col("n_emb").as("ea")), Seq("vec_a"))
+        .join(corpus.select(col("vec_id").as("vec_b"), col("n_emb").as("eb")), Seq("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          SimilarityOps.dotCosine(col("ea"), col("eb")).as("cosine_sim"))
+        .filter(col("cosine_sim") >= 0.4)
+      println(s"[probe] n_pairs=${v.count()}")
+    }
     spark.stop()
   }
 }
