@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query against
-  * SPARK_GRAFT_SF_DIR and prints one JSON line of per-query seconds.
+  * SPARK_GRAFT_SF_DIR and prints per-query seconds as JSON.
   *
   * Queries are forced through a noop sink (full evaluation of every
   * column — a bare count() would let Catalyst prune the projections and
@@ -16,9 +16,19 @@ import org.apache.spark.sql.SparkSession
   * Container timing variance is ±10-20% with occasional 2× spikes on a
   * single run — single-shot numbers produced phantom regressions two
   * rounds straight (hourly_ohlc_mv, orders_rollup burned round 3's
-  * comparison). The extra `spread` map records per-query (max - min)
-  * across reps so a noisy measurement is visible at comparison time
-  * instead of masquerading as a code regression.
+  * comparison). The `spread` map records per-query (max - min) across
+  * reps so a noisy measurement is visible at comparison time instead of
+  * masquerading as a code regression.
+  *
+  * Output protocol (the driver captures only the LAST 2000 chars of
+  * stdout — round 5's 6.5 KB single-line JSON was truncated to
+  * unparseable): the FULL result JSON is written to BENCH_FULL.json in
+  * the working directory and printed first for the log; the LAST stdout
+  * line is a compact JSON (≤ ~1800 chars) with the headline metric, the
+  * slowest queries that fit, an `errors` map, and a pointer to the full
+  * file. A query that throws is recorded in `errors` with its exception
+  * (once — no pointless reps) and EXCLUDED from `queries`/`value`, so a
+  * failure can't masquerade as a 1 ms timing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,21 +42,30 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def force(name: String): Double = {
-      System.gc() // don't bill one query for its predecessors' garbage
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop consumed temp views (complete-mode streaming sinks hold
-      // their full result in driver memory for the rest of the run
-      // otherwise; every query recreates what it needs)
+    def dropTempViews(): Unit =
       spark.catalog.listTables().collect()
         .filter(_.isTemporary)
         .foreach(t => spark.catalog.dropTempView(t.name))
-      dt
+
+    // Either a timing or the error message — never a fake-fast timing.
+    def force(name: String): Either[String, Double] = {
+      System.gc() // don't bill one query for its predecessors' garbage
+      val t0 = System.nanoTime()
+      val out =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+        }
+      // drop consumed temp views (complete-mode streaming sinks hold
+      // their full result in driver memory for the rest of the run
+      // otherwise; every query recreates what it needs)
+      dropTempViews()
+      out
     }
 
     // warmup: exercise scan/agg/join codegen paths once, unmeasured
@@ -70,16 +89,50 @@ object Bench {
     } catch { case _: Throwable => () }
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
-      val times = Seq.fill(reps)(force(n)).sorted
-      (n, times(times.length / 2), times.last - times.head)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // (name, medianSec, spreadSec) for successes; (name, err) for failures
+    val ok = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    val errs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    names.foreach { n =>
+      force(n) match {
+        case Left(err) => errs += ((n, err)) // failed once — don't rep it
+        case Right(t1) =>
+          val times = (t1 +: Seq.fill(reps - 1)(force(n).getOrElse(Double.NaN))).sorted
+          ok += ((n, times(times.length / 2), times.last - times.head))
+      }
     }
-    def jmap(f: ((String, Double, Double)) => Double) = results
-      .map { r => "\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
-    val qs = jmap(_._2)
-    val spread = jmap(r => math.rint(r._3 * 1000) / 1000)
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"sf":"$sfDir"}""")
+
+    def r3(x: Double) = math.rint(x * 1000) / 1000
+    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    def jmap(entries: Seq[(String, String)]) =
+      entries.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val total = r3(ok.map(_._2).sum)
+    val qs = jmap(ok.toSeq.map(r => r._1 -> r3(r._2).toString))
+    val spread = jmap(ok.toSeq.map(r => r._1 -> r3(r._3).toString))
+    val errJson = jmap(errs.toSeq.map { case (n, e) => n -> jstr(e) })
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"errors":$errJson,"spread":$spread,"sf":"$sfDir"}"""
+    // Full JSON: to a file (always parseable) and the log (for humans).
+    try {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] write BENCH_FULL.json failed: $e") }
+    println(full)
+
+    // Compact line LAST: must survive a 2000-char stdout tail capture
+    // alongside sbt's [success] epilogue. Headline numbers + as many of
+    // the slowest queries as fit the budget + every error.
+    val prefix =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"nqueries":${ok.size},"errors":$errJson,"full":"BENCH_FULL.json","sf":"$sfDir","queries":"""
+    val budget = 1800 - prefix.length - 40
+    val bySlow = ok.toSeq.sortBy(-_._2)
+    var used = 0
+    val kept = bySlow.takeWhile { r =>
+      used += r._1.length + r._2.toString.take(6).length + 4
+      used <= budget
+    }
+    val keptJson = jmap(kept.sortBy(_._1).map(r => r._1 -> r3(r._2).toString))
+    println(s"""$prefix$keptJson,"queries_omitted":${ok.size - kept.size}}""")
     spark.stop()
   }
 }

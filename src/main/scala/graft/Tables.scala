@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet fixtures (TESTDATA.md).
   *
@@ -24,14 +24,20 @@ object Tables {
     normalizeTs(load(spark, dir, "events"))
   }
 
-  /** ns→µs shim shared by the batch and streaming events readers: if `ts`
-    * arrived as a nanos long (nanosAsLong), truncate to a microsecond
-    * timestamp; if the fixture ever switches to a native timestamp this
-    * is a no-op, and both readers follow automatically. */
+  /** Fixture-drift shim shared by the batch and streaming events readers.
+    * The driver has shipped `ts` as parquet TIMESTAMP(NANOS) (read as a
+    * nanos long under nanosAsLong) and as TIMESTAMP(MICROS) without
+    * timezone (read by Spark 4 as TIMESTAMP_NTZ). Normalize both to a
+    * session-TZ TimestampType so every consumer (unix_micros, watermarks,
+    * window()) sees one type. All our sessions pin
+    * spark.sql.session.timeZone=UTC, so the NTZ→LTZ cast preserves the
+    * exact microsecond value DuckDB reads from the same file. */
   def normalizeTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
 
   /** The events fixture's on-disk schema, read from the parquet footer —
     * the ONE source of truth for streaming readers (which must pass an

@@ -195,6 +195,94 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  // ---------------------------------------------------------------------
+  // Two-level (hierarchical) IVF — the scale continuation of the flat
+  // index. The flat quantizer holds its whole centroid matrix as a plan
+  // constant on the driver (nearestCellsCol), which caps it at ~10^8
+  // corpus vectors (k* = 2√n cells × dim doubles). Splitting the
+  // quantizer into k1 super-cells and k2 children per super-cell gives
+  // k1·k2 effective cells while:
+  //  - the only plan-constant matrix is the SUPER level (k1 = O(√k)
+  //    centroids — O(√k·dim) driver bytes);
+  //  - the child table is ordinary distributed DATA, reached by an
+  //    equality join on the super-cell id (broadcast when small, shuffle
+  //    when not — AQE's call, never the driver's);
+  //  - assignment costs k1 + k2 comparisons per vector instead of k1·k2
+  //    (the IMI/two-level-IVF argument).
+  // Deterministic by construction so the DuckDB oracle mirrors it
+  // bit-for-bit: super-centroids are the Lloyd-refined ivfCentroidsNorm;
+  // children are the k2 lowest-vec_id members of each super-cell; every
+  // argmax breaks ties on (rounded-6dp cosine DESC, id ASC).
+  // ---------------------------------------------------------------------
+
+  /** Corpus rows tagged with their nearest super-cell:
+    * (vec_id, n_emb, scell). */
+  private def superAssign(corpus: DataFrame, superCents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    corpus.select(col("vec_id"), col("n_emb"),
+      explode(nearestCellsCol(superCents, 1, col("n_emb"))).as("scell"))
+  }
+
+  /** Child (second-level) centroids: the `k2` lowest-vec_id members of
+    * each super-cell — (scell, sub_id, s_emb). sub_id is the member's
+    * vec_id (globally unique, so a child cell id needs no pair key). */
+  def ivf2Children(corpus: DataFrame, superCents: DataFrame, k2: Int): DataFrame = {
+    val w = Window.partitionBy(col("scell")).orderBy(col("vec_id").asc)
+    superAssign(corpus, superCents)
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= k2)
+      .select(col("scell"), col("vec_id").as("sub_id"), col("n_emb").as("s_emb"))
+  }
+
+  /** Two-level assignment: each vector's child cell within its own
+    * super-cell — (vec_id, n_emb, cell). The child argmax is a hash-agg
+    * (max_by over the scell-equality join), so the per-vector candidate
+    * rows reduce map-side: no n·k2 window shuffle. */
+  def ivf2AssignNorm(corpus: DataFrame, superCents: DataFrame, k2: Int): DataFrame = {
+    val children = ivf2Children(corpus, superCents, k2)
+    superAssign(corpus, superCents)
+      .join(children, Seq("scell"))
+      .select(col("vec_id"), col("n_emb"), col("sub_id"),
+        dotCosine(col("n_emb"), col("s_emb")).as("cs"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("sub_id"),
+          struct(col("cs"), (lit(0L) - col("sub_id")).as("nsid"))).as("cell"),
+        first(col("n_emb")).as("n_emb"))
+  }
+
+  /** Two-level IVF top-k: probe `nprobe1` super-cells per query, rank
+    * the children of those super-cells and keep the `nprobe2` nearest
+    * child cells overall, then score only vectors assigned to probed
+    * child cells. Approximate by construction; the oracle implements the
+    * identical two-level blocking so results hash-match. */
+  def ivf2TopKNormWith(corpus: DataFrame, superCents: DataFrame, k2: Int,
+                       queryIds: Seq[Long], k: Int,
+                       nprobe1: Int, nprobe2: Int): DataFrame = {
+    val children = ivf2Children(corpus, superCents, k2)
+    val assigned = ivf2AssignNorm(corpus, superCents, k2)
+    val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("n_emb").as("q_emb"))
+    val qsuper = queries.select(col("query_id"), col("q_emb"),
+      explode(nearestCellsCol(superCents, nprobe1, col("q_emb"))).as("scell"))
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("qc").desc, col("sub_id").asc)
+    val qcell = qsuper.join(broadcast(children), Seq("scell"))
+      .select(col("query_id"), col("q_emb"), col("sub_id"),
+        dotCosine(col("q_emb"), col("s_emb")).as("qc"))
+      .withColumn("cr", row_number().over(cw))
+      .filter(col("cr") <= nprobe2)
+      .select(col("query_id"), col("q_emb"), col("sub_id").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    qcell.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dotCosine(col("q_emb"), col("n_emb")).as("cosine_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Random-hyperplane LSH top-k: sign-bit signatures against `nPlanes`
     * deterministic hyperplanes (the lowest-vec_id corpus vectors —
     * production would sample Gaussians), banded into `nBands` bucket

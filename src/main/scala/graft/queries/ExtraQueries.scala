@@ -25,6 +25,23 @@ object ExtraQueries {
       |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
       .stripMargin.replace("\n", " ")
 
+  /** Raw HLL++ estimates per return flag — the form a 100 TB caller
+    * runs (one hash-agg, 4 KiB sketch per group, no exact twin). rsd
+    * 0.02 (vs the 0.05 default): rsd is a standard deviation, not a
+    * bound — at 0.05 the observed per-group error reached 8.6% at
+    * sf0.01. 0.02 keeps the worst observed group at 3.3% under
+    * ApproxBoundSpec's 5% gate (deterministic estimator, so the margin
+    * is stable); rsd 0.01's 16 KiB sketches made the approx SLOWER than
+    * the exact countDistinct at sf0.1. */
+  def orderStatsApproxRaw(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
   val all: Seq[Q] = Seq(
 
     // SO2/A5: UNION ALL of homogeneous per-period QC summaries (the
@@ -302,25 +319,33 @@ object ExtraQueries {
         |  FROM orders)
         |ORDER BY o_orderkey""".stripMargin.replace("\n", " ")),
 
-    // HLL++ approximate distinct — the 100 TB cardinality path. Results
-    // are estimator-specific, so no cross-engine oracle: the driver
-    // records a rows-only check; the exact twin is `order_stats`.
+    // HLL++ approximate distinct — the 100 TB cardinality path. The raw
+    // estimates are estimator-specific (no cross-engine oracle can
+    // hash-match them), so the REGISTERED query emits what IS
+    // deterministic and checkable: the group set, the exact row counts,
+    // and booleans asserting each estimate sits within the 5% bound of
+    // its exact twin — all of which DuckDB reproduces (`TRUE` on a
+    // correct estimator). ApproxBoundSpec additionally bounds the raw
+    // estimates at sf0.01 AND sf0.1 via [[orderStatsApproxRaw]]; a 100 TB
+    // caller uses the raw form (no exact countDistinct alongside).
     Q("order_stats_approx",
-      (s, dir) => Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          // rsd 0.02 (vs the 0.05 default): rsd is a standard deviation,
-          // not a bound — at 0.05 the observed per-group error reached
-          // 8.6% at sf0.01. 0.02 keeps the worst observed group at 3.3%
-          // under ApproxBoundSpec's 5% gate (deterministic estimator, so
-          // the margin is stable), at 4 KiB of registers per sketch —
-          // rsd 0.01's 16 KiB sketches made the approx SLOWER than the
-          // exact countDistinct at sf0.1
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          count(lit(1)).as("n_rows"))
+      (s, dir) => orderStatsApproxRaw(s, dir)
+        .join(
+          Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
+            countDistinct(col("l_orderkey")).as("exact_orders"),
+            countDistinct(col("l_partkey")).as("exact_parts")),
+          Seq("l_returnflag"))
+        .select(
+          col("l_returnflag"), col("n_rows"),
+          (abs(col("approx_orders") / col("exact_orders") - 1) <= 0.05)
+            .as("approx_orders_ok"),
+          (abs(col("approx_parts") / col("exact_parts") - 1) <= 0.05)
+            .as("approx_parts_ok"))
         .orderBy("l_returnflag"),
-      None),
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |TRUE AS approx_orders_ok, TRUE AS approx_parts_ok
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
+        .stripMargin.replace("\n", " ")),
 
     // As-of join: last tick price at-or-before each hourly grid point —
     // the canonical financial lookup, via the shuffle-once union-window

@@ -63,6 +63,61 @@ object SimilarityQueries {
        |SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rank
        |FROM ranked WHERE rnk <= $K""".stripMargin.replace("\n", " ")
 
+  /** Two-level IVF (4 super-cells × 4 children, probe 2 supers → 4
+    * child cells) top-k oracle text — mirrors
+    * SimilarityOps.ivf2TopKNormWith: super level = the Lloyd-refined
+    * centroid frag, children = the 4 lowest-vec_id members per
+    * super-cell, every argmax tie-broken (cosine DESC, id ASC). */
+  private val ivf2Sql: String =
+    s"""WITH corpus AS ($normCorpus),
+       |super AS (SELECT * FROM ${OracleFrags.ivfCentroids(4)}),
+       |sassign AS (
+       |  SELECT vec_id, n_emb, scell FROM (
+       |    SELECT e.vec_id, e.n_emb, c.centroid_id AS scell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${dotCosine("e.n_emb", "c.c_emb")} DESC, c.centroid_id ASC) AS rn
+       |    FROM corpus e CROSS JOIN super c)
+       |  WHERE rn = 1),
+       |children AS (
+       |  SELECT scell, vec_id AS sub_id, n_emb AS s_emb FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY scell ORDER BY vec_id) AS crn
+       |    FROM sassign)
+       |  WHERE crn <= 4),
+       |cassign AS (
+       |  SELECT vec_id, n_emb, sub_id AS cell FROM (
+       |    SELECT a.vec_id, a.n_emb, ch.sub_id,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      ${dotCosine("a.n_emb", "ch.s_emb")} DESC, ch.sub_id ASC) AS rn
+       |    FROM sassign a JOIN children ch ON a.scell = ch.scell)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, n_emb AS q_emb
+       |  FROM corpus WHERE vec_id IN $idList),
+       |qsuper AS (
+       |  SELECT query_id, q_emb, scell FROM (
+       |    SELECT q.query_id, q.q_emb, c.centroid_id AS scell,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |      ${dotCosine("q.q_emb", "c.c_emb")} DESC, c.centroid_id ASC) AS pr
+       |    FROM q CROSS JOIN super c)
+       |  WHERE pr <= 2),
+       |qcell AS (
+       |  SELECT query_id, q_emb, sub_id AS cell FROM (
+       |    SELECT s.query_id, s.q_emb, ch.sub_id,
+       |    row_number() OVER (PARTITION BY s.query_id ORDER BY
+       |      ${dotCosine("s.q_emb", "ch.s_emb")} DESC, ch.sub_id ASC) AS cr
+       |    FROM qsuper s JOIN children ch ON s.scell = ch.scell)
+       |  WHERE cr <= 4),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |  ${dotCosine("p.q_emb", "a.n_emb")} AS cosine_sim
+       |  FROM qcell p JOIN cassign a ON p.cell = a.cell
+       |  WHERE a.vec_id <> p.query_id),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rank
+       |FROM ranked WHERE rnk <= $K""".stripMargin.replace("\n", " ")
+
   /** Hyperplane-LSH (16 planes, 4×4 bands) top-k oracle text, same
     * shape as [[bruteSql]]/[[ivfSql]]. */
   private val lshSql: String =
@@ -114,6 +169,47 @@ object SimilarityQueries {
           col("rank").cast("int").as("rank"))
         .orderBy("query_id", "rank"),
       s"SELECT * FROM ($ivfSql) ORDER BY query_id, rank"),
+
+    // Two-level IVF top-k: 4 super-cells × 4 children (16 effective
+    // cells, matching ann_topk_ivf's resolution), probe 2 supers → 4
+    // child cells per query. The hierarchical form removes the flat
+    // index's one scale cliff: only the 4 SUPER centroids are a driver
+    // plan constant; the child table is distributed data reached by an
+    // equality join — at 10^10+ vectors the flat index's driver-held
+    // matrix (k* = 2√n centroids) no longer fits, the two-level one is
+    // O(√k·dim).
+    Q("ann_topk_ivf2",
+      (s, dir) => SimilarityOps.ivf2TopKNormWith(Staged.normCorpus(s, dir),
+          Staged.ivfCentroids(s, dir, 4), 4, QueryIds, K, 2, 4)
+        .select(col("query_id"), col("neighbor_id"), col("cosine_sim"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("query_id", "rank"),
+      s"SELECT * FROM ($ivf2Sql) ORDER BY query_id, rank"),
+
+    // Recall@k of the two-level index vs the exact baseline — the same
+    // tuning measurement as ann_recall_ivf, so flat and hierarchical
+    // quantizers are comparable at identical effective cell counts.
+    Q("ann_recall_ivf2",
+      (s, dir) => {
+        val brute = SimilarityOps
+          .bruteForceTopKNorm(Staged.normCorpus(s, dir), QueryIds, K)
+          .select(col("query_id"), col("neighbor_id"))
+        val ivf2 = SimilarityOps.ivf2TopKNormWith(Staged.normCorpus(s, dir),
+            Staged.ivfCentroids(s, dir, 4), 4, QueryIds, K, 2, 4)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        brute.join(ivf2, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_matched"))
+          .select(col("query_id"), col("n_matched"),
+            round(col("n_matched") / lit(K.toDouble), 6).as("recall_at_k"))
+          .orderBy("query_id")
+      },
+      s"""SELECT b.query_id, CAST(count(i.neighbor_id) AS BIGINT) AS n_matched,
+         |round(count(i.neighbor_id) / ${K.toDouble}, 6) AS recall_at_k
+         |FROM ($bruteSql) b LEFT JOIN ($ivf2Sql) i
+         |ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id"""
+        .stripMargin.replace("\n", " ")),
 
     // Recall@k evaluation of the approximate index against the exact
     // baseline — the measurement a production ANN deployment runs before

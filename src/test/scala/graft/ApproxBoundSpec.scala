@@ -2,12 +2,15 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Error bound for the one query no DuckDB oracle can hash-match:
-  * `order_stats_approx` (HLL++ distinct counts). The query pins
-  * rsd=0.02 (worst observed group error 3.3% — HLL++ is deterministic,
-  * so the margin is stable run-to-run); each group's estimate must sit
-  * within 5% of the exact `order_stats` twin at both the correctness
-  * SF (0.01) and the bench SF (0.1).
+/** Error bound for the HLL++ distinct-count estimator. The raw
+  * estimates can't be hash-matched by any cross-engine oracle, so the
+  * bound lives here: rsd=0.02 (worst observed group error 3.3% — HLL++
+  * is deterministic, so the margin is stable run-to-run); each group's
+  * estimate must sit within 5% of the exact `order_stats` twin at both
+  * the correctness SF (0.01) and the bench SF (0.1). The REGISTERED
+  * `order_stats_approx` query wraps the same estimator into an
+  * oracle-able self-check (booleans vs DuckDB TRUE) — asserted below
+  * too, so the registry form and this bound can't drift apart.
   */
 class ApproxBoundSpec extends AnyFunSuite with SparkTestBase {
 
@@ -15,7 +18,7 @@ class ApproxBoundSpec extends AnyFunSuite with SparkTestBase {
     val exact = SparkEntry.queries("order_stats")(spark, dir)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    val approx = SparkEntry.queries("order_stats_approx")(spark, dir)
+    val approx = graft.queries.ExtraQueries.orderStatsApproxRaw(spark, dir)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(exact.keySet == approx.keySet, "group sets diverge")
@@ -37,6 +40,15 @@ class ApproxBoundSpec extends AnyFunSuite with SparkTestBase {
 
   test("order_stats_approx within 5% of the exact twin at sf0.1") {
     check("/root/testdata/sf0.1")
+  }
+
+  test("registered order_stats_approx self-check booleans are all true") {
+    val rows = SparkEntry.queries("order_stats_approx")(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3),
+        s"${r.getString(0)}: estimator out of bound — ${r.mkString(",")}")
+    }
   }
 
   // The scale path for quantiles is percentile_approx (single-pass
