@@ -225,7 +225,14 @@ object SimilarityOps {
 
   /** Child (second-level) centroids: the `k2` lowest-vec_id members of
     * each super-cell — (scell, sub_id, s_emb). sub_id is the member's
-    * vec_id (globally unique, so a child cell id needs no pair key). */
+    * vec_id (globally unique, so a child cell id needs no pair key).
+    *
+    * The per-super-cell row_number window shuffles the corpus into k1
+    * partitions — the same bounded-deterministic-sample pattern
+    * [[ivfCentroidsNorm]] uses for centroid estimation (its sampleM
+    * window). At extreme scale both run on a corpus SAMPLE staged
+    * before training (the quantizer is trained once, on a sample, and
+    * shared — assignment, the n-sized pass, never windows). */
   def ivf2Children(corpus: DataFrame, superCents: DataFrame, k2: Int): DataFrame = {
     val w = Window.partitionBy(col("scell")).orderBy(col("vec_id").asc)
     superAssign(corpus, superCents)
@@ -281,6 +288,52 @@ object SimilarityOps {
         dotCosine(col("q_emb"), col("n_emb")).as("cosine_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Multi-probe two-level assignment: each vector lands in its nearest
+    * child cell within EACH of its `nprobe` nearest super-cells —
+    * boundary repair at the super level, where the dominant blocking
+    * boundary lives. ≤ nprobe rows per vector: (vec_id, n_emb, cell). */
+  def ivf2MultiAssignNorm(corpus: DataFrame, superCents: DataFrame,
+                          k2: Int, nprobe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val children = ivf2Children(corpus, superCents, k2)
+    corpus.select(col("vec_id"), col("n_emb"),
+        explode(nearestCellsCol(superCents, nprobe, col("n_emb"))).as("scell"))
+      .join(children, Seq("scell"))
+      .select(col("vec_id"), col("n_emb"), col("scell"), col("sub_id"),
+        dotCosine(col("n_emb"), col("s_emb")).as("cs"))
+      .groupBy(col("vec_id"), col("scell"))
+      .agg(
+        max_by(col("sub_id"),
+          struct(col("cs"), (lit(0L) - col("sub_id")).as("nsid"))).as("cell"),
+        first(col("n_emb")).as("n_emb"))
+      .select(col("vec_id"), col("n_emb"), col("cell"))
+  }
+
+  /** SCALE PATH successor for embedding near-dup past the flat
+    * quantizer's driver-matrix cap: identical fused
+    * candidates-and-verify shape as [[cosineNearDupPairsBlockedNormWith]]
+    * (embedding rides into the cell join, dot + threshold inside the
+    * join, groupBy-max cross-cell dedup), but cells come from the
+    * TWO-LEVEL assignment — only k1 = O(√k) centroids ever sit in the
+    * plan; the k1·k2 effective cells live as distributed data. */
+  def cosineNearDupPairsBlocked2NormWith(corpus: DataFrame,
+                                         superCents: DataFrame, k2: Int,
+                                         threshold: Double,
+                                         nprobe: Int = 2): DataFrame = {
+    val assigned = ivf2MultiAssignNorm(corpus, superCents, k2, nprobe)
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("n_emb").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("n_emb").as("eb"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        dotCosine(col("ea"), col("eb")).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(max(col("cosine_sim")).as("cosine_sim"))
   }
 
   /** Random-hyperplane LSH top-k: sign-bit signatures against `nPlanes`

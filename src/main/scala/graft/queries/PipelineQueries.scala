@@ -61,6 +61,36 @@ object PipelineQueries {
         |  FROM documents)
         |ORDER BY media_id, frame_idx""".stripMargin.replace("\n", " ")),
 
+    // REAL video-frame sampling: each doc becomes a genuine multi-frame
+    // animated GIF (the one container the JVM encodes with zero external
+    // libs), rendered + compressed in executors, then the sampler parses
+    // the container back (javax.imageio sequence reader), counts frames,
+    // decodes every 2nd one, and reduces each raster to pixel stats. The
+    // frame law is closed-form in doc_id, so the oracle re-derives the
+    // decoded stats arithmetically — a decoder that drops, duplicates,
+    // or reorders frames (or mis-strides a raster) breaks the hash.
+    Q("multimodal_video_frames",
+      (s, dir) => MultimodalOps.sampleVideoFrames(
+          MultimodalOps.encodeGifMedia(Tables.documents(s, dir)), 2)
+        .toDF().orderBy("media_id", "frame_idx"),
+      s"""WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS nf,
+         |  8 + doc_id % 8 AS wd, 8 AS ht FROM documents),
+         |fr AS (SELECT doc_id, nf, wd, ht, unnest(range(0, nf)) AS f
+         |  FROM d),
+         |sampled AS (SELECT * FROM fr WHERE f % 2 = 0),
+         |xs AS (SELECT doc_id, nf, wd, ht, f, unnest(range(0, wd)) AS x
+         |  FROM sampled),
+         |xy AS (SELECT doc_id, nf, wd, ht, f, x, unnest(range(0, ht)) AS y
+         |  FROM xs)
+         |SELECT doc_id AS media_id, CAST(nf AS INT) AS n_frames,
+         |CAST(f AS INT) AS frame_idx,
+         |CAST(wd AS INT) AS width, CAST(ht AS INT) AS height,
+         |CAST(sum((x + 2 * y + 5 * f + doc_id) % 256) AS BIGINT) AS px_sum,
+         |CAST(min((x + 2 * y + 5 * f + doc_id) % 256) AS INT) AS px_min,
+         |CAST(max((x + 2 * y + 5 * f + doc_id) % 256) AS INT) AS px_max
+         |FROM xy GROUP BY doc_id, nf, f, wd, ht
+         |ORDER BY media_id, frame_idx""".stripMargin.replace("\n", " ")),
+
     // S8 LITERAL: the daily OHLC report lands in an external JDBC
     // warehouse (in-process in-memory Derby — the engine the session
     // catalog's metastore already embeds) via appendJdbc, then is read

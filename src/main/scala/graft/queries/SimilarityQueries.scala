@@ -359,6 +359,21 @@ object SimilarityQueries {
          |SELECT vec_a, vec_b, cosine_sim FROM blocked
          |ORDER BY vec_a, vec_b""".stripMargin.replace("\n", " ")),
 
+    // Two-level blocked near-dup — the headline's successor past the
+    // flat quantizer's ~10^8-vector driver-matrix cap: identical fused
+    // candidates-and-verify movement, but cell ids come from the
+    // two-level assignment (only k1 = O(√k) centroids in the plan;
+    // children are distributed data). Fixture pins 4×4 cells / nprobe 2
+    // supers so the DuckDB oracle mirrors the blocking verbatim.
+    Q("dedup_embedding_cosine2",
+      (s, dir) => SimilarityOps
+        .cosineNearDupPairsBlocked2NormWith(Staged.normCorpus(s, dir),
+          Staged.ivfCentroids(s, dir, 4), 4, 0.4, 2)
+        .orderBy("vec_a", "vec_b"),
+      s"""$blocked2PairsWith
+         |SELECT vec_a, vec_b, cosine_sim FROM blocked2
+         |ORDER BY vec_a, vec_b""".stripMargin.replace("\n", " ")),
+
     // EVAL BASELINE, not a production operator: exact all-pairs cosine
     // via the tiled block-matrix kernel (Θ(n²) work by definition of
     // exactness — bounded task memory, but never the headline at 100×;
@@ -412,6 +427,45 @@ object SimilarityQueries {
          |ON t.vec_a = f.vec_a AND t.vec_b = f.vec_b"""
         .stripMargin.replace("\n", " "))
   )
+
+  /** Two-level blocked near-dup pairs (4 super × 4 children, nprobe 2
+    * supers), as a WITH prelude ending in `blocked2` — mirrors
+    * SimilarityOps.cosineNearDupPairsBlocked2NormWith: children come
+    * from the SINGLE-nearest super assignment; multi-probe lands each
+    * vector in its best child within each of its 2 nearest super-cells. */
+  private lazy val blocked2PairsWith: String =
+    s"""WITH corpus AS ($normCorpus),
+       |super AS (SELECT * FROM ${OracleFrags.ivfCentroids(4)}),
+       |sall AS (
+       |  SELECT e.vec_id, e.n_emb, c.centroid_id AS scell,
+       |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    ${dotCosine("e.n_emb", "c.c_emb")} DESC, c.centroid_id ASC) AS rn
+       |  FROM corpus e CROSS JOIN super c),
+       |children AS (
+       |  SELECT scell, vec_id AS sub_id, n_emb AS s_emb FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY scell ORDER BY vec_id) AS crn
+       |    FROM sall WHERE rn = 1)
+       |  WHERE crn <= 4),
+       |cassign AS (
+       |  SELECT vec_id, sub_id AS cell FROM (
+       |    SELECT a.vec_id, a.scell, ch.sub_id,
+       |    row_number() OVER (PARTITION BY a.vec_id, a.scell ORDER BY
+       |      ${dotCosine("a.n_emb", "ch.s_emb")} DESC, ch.sub_id ASC) AS crn
+       |    FROM (SELECT * FROM sall WHERE rn <= 2) a
+       |    JOIN children ch ON a.scell = ch.scell)
+       |  WHERE crn = 1),
+       |cands AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM cassign a JOIN cassign b
+       |  ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT vec_a, vec_b, ${dotCosine("ca.n_emb", "cb.n_emb")} AS cosine_sim
+       |  FROM cands
+       |  JOIN corpus ca ON vec_a = ca.vec_id
+       |  JOIN corpus cb ON vec_b = cb.vec_id),
+       |blocked2 AS (SELECT * FROM scored WHERE cosine_sim >= 0.4)"""
+      .stripMargin.replace("\n", " ")
 
   /** IVF-cell blocked near-dup pairs (nprobe 2 of 16 cells), as a WITH
     * prelude ending in the `blocked` relation — shared by the headline

@@ -50,6 +50,28 @@ class Ivf2Spec extends AnyFunSuite with SparkTestBase {
       "full-probe two-level IVF must equal brute force exactly")
   }
 
+  test("two-level blocked dedup: found pairs are exactly-verified truth") {
+    // verification inside the blocking is exact, so found ⊆ exact truth
+    // with identical cosines — precision 1.0 by construction
+    val truth = graft.ops.SimilarityKernel
+      .cosineNearDupPairsKernelNorm(corpus, 0.4)
+      .select("vec_a", "vec_b", "cosine_sim")
+    val found = SimilarityOps
+      .cosineNearDupPairsBlocked2NormWith(corpus, supers, k2, 0.4, 2)
+      .select("vec_a", "vec_b", "cosine_sim")
+    assert(found.count() > 0, "fixture has near-dup pairs above 0.4")
+    assert(found.exceptAll(truth).count() == 0,
+      "blocked2 emitted a pair the exact kernel does not confirm")
+  }
+
+  test("multi-probe two-level assignment emits ≤ nprobe cells per vector") {
+    val nprobe = 2
+    val multi = SimilarityOps.ivf2MultiAssignNorm(corpus, supers, k2, nprobe)
+    val counts = multi.groupBy("vec_id").count().collect()
+    assert(counts.forall(_.getLong(1) <= nprobe))
+    assert(counts.length == corpus.count())
+  }
+
   test("pruned probe returns at most k per query, ranked consistently") {
     val res = SimilarityOps.ivf2TopKNormWith(
         corpus, supers, k2, Seq(0L, 1L), 5, 2, 4)

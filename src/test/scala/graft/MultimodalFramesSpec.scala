@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.MultimodalOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real-codec invariants for the animated-GIF frame path: the encode →
+  * container-parse → per-frame decode round-trip must reproduce the
+  * generation law exactly (the DuckDB oracle hash-pins the same facts;
+  * this spec localizes a failure to the codec instead of a hash diff).
+  */
+class MultimodalFramesSpec extends AnyFunSuite with SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("GIF sequence round-trip: every frame decodes back to the law") {
+    val docs = Tables.documents(spark, dir).limit(50)
+    val frames = MultimodalOps
+      .sampleVideoFrames(MultimodalOps.encodeGifMedia(docs), 1)
+      .collect()
+    assert(frames.nonEmpty)
+    frames.foreach { fm =>
+      val id = fm.media_id
+      assert(fm.n_frames == MultimodalOps.vidFrames(id))
+      assert(fm.width == MultimodalOps.vidWidth(id))
+      assert(fm.height == MultimodalOps.vidHeight(id))
+      var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+      for (y <- 0 until fm.height; x <- 0 until fm.width) {
+        val v = MultimodalOps.vidPixel(id, fm.frame_idx, x, y)
+        sum += v; mn = math.min(mn, v); mx = math.max(mx, v)
+      }
+      assert(fm.px_sum == sum, s"media $id frame ${fm.frame_idx}: sum")
+      assert(fm.px_min == mn && fm.px_max == mx,
+        s"media $id frame ${fm.frame_idx}: min/max")
+    }
+    // full sample covers every frame exactly once per media
+    val byMedia = frames.groupBy(_.media_id)
+    byMedia.foreach { case (id, fs) =>
+      assert(fs.map(_.frame_idx).sorted.toSeq ==
+        (0 until MultimodalOps.vidFrames(id)))
+    }
+  }
+
+  test("everyNth sampling keeps only frames 0, n, 2n, ...") {
+    val docs = Tables.documents(spark, dir).limit(20)
+    val frames = MultimodalOps
+      .sampleVideoFrames(MultimodalOps.encodeGifMedia(docs), 2)
+      .collect()
+    frames.foreach(fm => assert(fm.frame_idx % 2 == 0))
+    // a 2..5-frame animation sampled every 2nd frame yields 1..3 rows
+    frames.groupBy(_.media_id).foreach { case (id, fs) =>
+      val expected = (0 until MultimodalOps.vidFrames(id) by 2).size
+      assert(fs.size == expected, s"media $id")
+    }
+  }
+
+  test("corrupt payload fails loudly, not silently") {
+    import spark.implicits._
+    val junk = Seq((1L, "image/gif", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "media_type", "payload")
+    val ex = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.sampleVideoFrames(junk, 1).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+}

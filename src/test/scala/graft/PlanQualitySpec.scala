@@ -33,6 +33,7 @@ class PlanQualitySpec extends AnyFunSuite {
     "ann_topk_lsh" -> "10-row query set, broadcast",
     "ann_topk_quantized" -> "10-row query set, broadcast",
     "ann_recall_ivf" -> "contains ann_topk_brute (eval baseline) + centroids",
+    "ann_recall_ivf2" -> "contains ann_topk_brute (eval baseline) + k1=4 super-centroids",
     "ann_recall_lsh" -> "contains ann_topk_brute (eval baseline)",
     "dedup_embedding_cosine" -> "16-row centroid table, broadcast (cell assignment)",
     "dedup_embedding_recall" -> "16-row centroid table, broadcast (cell assignment)",
