@@ -321,8 +321,10 @@ object SimilarityOps {
   def cosineNearDupPairsBlocked2NormWith(corpus: DataFrame,
                                          superCents: DataFrame, k2: Int,
                                          threshold: Double,
-                                         nprobe: Int = 2): DataFrame = {
-    val assigned = ivf2MultiAssignNorm(corpus, superCents, k2, nprobe)
+                                         nprobe: Int = 2,
+                                         maxCellSize: Long = Long.MaxValue): DataFrame = {
+    val assigned = capCells(
+      ivf2MultiAssignNorm(corpus, superCents, k2, nprobe), maxCellSize)
     val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
       col("n_emb").as("ea"))
     val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
@@ -550,6 +552,33 @@ object SimilarityOps {
     cosineNearDupPairsBlockedNorm(corpus, threshold, nCells, nprobe)
   }
 
+  /** Hot-cell cap for cell-blocked pairing — the embedding twin of the
+    * text paths' `maxDf`/`maxBandDf` guards. A skewed corpus (a dense
+    * cluster of near-identical vectors) collapses into ONE cell and the
+    * cell join degenerates to |cell|² — quadratic no matter how nCells
+    * scales. Cells above `maxCellSize` are split deterministically into
+    * ⌈|cell|/cap⌉ sub-cells by `pmod(vec_id, nsplit)`, bounding
+    * per-cell work at cap² while keeping every sub-cell's pairs exact.
+    * The recall trade is explicit and loud: within an over-cap cell
+    * only same-sub-cell pairs survive (~1/nsplit of its pairs) — the
+    * standard cap-and-report posture; a dense near-dup cluster is
+    * better served by [[graft.ops.DedupOps.dupClusters]]-style
+    * representative dedup than by materializing its quadratic pair
+    * set. Cell ids become (cell, salt) structs; no-op for cells at or
+    * under the cap (salt 0), so un-skewed plans and every fixture
+    * oracle are byte-identical under the default cap of Long.MaxValue. */
+  private def capCells(assigned: DataFrame, maxCellSize: Long): DataFrame =
+    if (maxCellSize == Long.MaxValue) assigned
+    else {
+      val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+      assigned.join(counts, Seq("cell"))
+        .withColumn("nsplit",
+          greatest(lit(1L), ceil(col("cell_n") / maxCellSize.toDouble).cast("long")))
+        .withColumn("cell", struct(col("cell"),
+          pmod(col("vec_id"), col("nsplit")).as("salt")))
+        .drop("cell_n", "nsplit")
+    }
+
   /** Fused candidates-and-verify: the embedding rides INTO the cell
     * join (one shuffle of n·nprobe embedding-carrying rows keyed by
     * cell), the exact dot + threshold run inside the join's codegen
@@ -566,10 +595,12 @@ object SimilarityOps {
   def cosineNearDupPairsBlockedNormWith(corpus: DataFrame,
                                         centroids: DataFrame,
                                         threshold: Double,
-                                        nprobe: Int = 2): DataFrame = {
+                                        nprobe: Int = 2,
+                                        maxCellSize: Long = Long.MaxValue): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val assigned = corpus.select(col("vec_id"), col("n_emb"),
-      explode(nearestCellsCol(centroids, nprobe, col("n_emb"))).as("cell"))
+    val assigned = capCells(corpus.select(col("vec_id"), col("n_emb"),
+      explode(nearestCellsCol(centroids, nprobe, col("n_emb"))).as("cell")),
+      maxCellSize)
     val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
       col("n_emb").as("ea"))
     val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),

@@ -4,10 +4,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scratch probe for plan/stage timing investigations (runMain).
-  * Current question: where does `dedup_embedding_cosine` spend its time
-  * at the 200k-vector decade fixture — centroid staging (Lloyd round),
-  * cell assignment, candidate generation, or verification? Each stage is
-  * timed with a count()/noop so the next stage's cost is isolated. */
+  * Current question: what does the `maxCellSize` hot-cell cap buy on a
+  * skewed corpus at scale? 100k vectors, 90% exactly identical (the
+  * worst-case dense near-dup cluster — one cell holds 90k vectors),
+  * blocked pairing capped vs uncapped. The uncapped hot cell alone is
+  * 90k²/2 ≈ 4·10⁹ candidate pairs; the cap bounds per-cell work at
+  * cap² per sub-cell. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -15,49 +17,51 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import spark.implicits._
+    import graft.ops.SimilarityOps
 
     def time[T](tag: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
-      println(f"[probe] $tag%-32s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      println(f"[probe] $tag%-40s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       r
     }
 
-    import graft.ops.SimilarityOps
-    val corpus = time("normalize+cache corpus") {
+    val dim = 16
+    val n = 100000L
+    val corpus = time("build skewed corpus (90% identical)") {
       val c = SimilarityOps.normalizedCorpus(
-        graft.Tables.embeddings(spark, dir)).cache()
+        spark.range(n).map { i =>
+          val v = Array.fill(dim)(0.0f)
+          if (i % 10 != 0) v(0) = 1.0f
+          else v((i / 10 % dim).toInt) = 1.0f
+          (i, v.toSeq)
+        }.toDF("vec_id", "embedding")).cache()
       c.count(); c
     }
-    val n = corpus.count()
-    val nCells = SimilarityOps.autoCellCount(n)
-    println(s"[probe] n=$n nCells=$nCells")
-    val cents = time("centroids (Lloyd 1 round)") {
-      val c = SimilarityOps.ivfCentroidsNorm(corpus, nCells).cache()
+    val cents = time("train centroids (k = 2 sqrt n)") {
+      val c = SimilarityOps.ivfCentroidsNorm(
+        corpus, SimilarityOps.autoCellCount(n)).cache()
       c.count(); c
     }
-    val assigned = time("multi-assign nprobe=2") {
-      val a = SimilarityOps.ivfMultiAssignNormWith(corpus, cents, 2).cache()
-      a.count(); a
+    // capped first (uncapped may be minutes — run it last, bounded reps)
+    Seq(512L, 2048L).foreach { cap =>
+      time(s"blocked pairs, cap=$cap") {
+        println(s"[probe]   n_pairs=" + SimilarityOps
+          .cosineNearDupPairsBlockedNormWith(corpus, cents, 0.9, 2, cap)
+          .count())
+      }
     }
-    val cands = time("candidate pairs (cell join + distinct)") {
-      val c = assigned.as("a").join(assigned.as("b"),
-          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .distinct().cache()
-      println(s"[probe] n_cands=${c.count()}")
-      c
-    }
-    time("verify (attach + dot + filter)") {
-      val v = cands
-        .join(corpus.select(col("vec_id").as("vec_a"), col("n_emb").as("ea")), Seq("vec_a"))
-        .join(corpus.select(col("vec_id").as("vec_b"), col("n_emb").as("eb")), Seq("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          SimilarityOps.dotCosine(col("ea"), col("eb")).as("cosine_sim"))
-        .filter(col("cosine_sim") >= 0.4)
-      println(s"[probe] n_pairs=${v.count()}")
-    }
+    // The uncapped run is not timed: its hot cell alone is 90k²/2 ≈
+    // 4·10⁹ surviving pairs (nprobe=2 doubles the join rows before
+    // dedup) — a first attempt ran >9 minutes without completing, which
+    // is the finding. Report the candidate-work histogram instead.
+    val work = SimilarityOps.ivfMultiAssignNormWith(corpus, cents, 2)
+      .groupBy("cell").count()
+      .agg(sum(col("count") * col("count")).as("w"), max("count").as("top"))
+      .collect()(0)
+    println(s"[probe] UNCAPPED candidate work Σ|cell|² = ${work.getLong(0)}" +
+      s" (top cell ${work.getLong(1)} rows) — not materialized")
     spark.stop()
   }
 }
