@@ -229,6 +229,67 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental dedup: screen an ingest BATCH against the historical
+    * CORPUS with no corpus×corpus (or batch×batch) pairing — the
+    * daily-ingest shape at 100 TB. The corpus side's digests and banded
+    * MinHash signatures are exactly the artifacts a production pipeline
+    * stages once and reuses every day; per-day work scales with the
+    * batch and the band-key collision set, never with corpus².
+    *
+    * Per batch doc:
+    *  - `exact_match_id`: the min corpus doc_id with an identical md5
+    *    digest (null if none);
+    *  - `near_match_id` / `near_jaccard`: the best (highest exact
+    *    Jaccard ≥ threshold, ties to smaller corpus id) corpus match
+    *    among LSH candidates — batch bands join corpus bands only;
+    *  - `is_new`: no exact and no near match.
+    * Joins are equality-keyed throughout (digest, band_key, doc ids);
+    * verification reads shingle arrays for candidate pairs only. */
+  def dedupIncremental(corpus: DataFrame, batch: DataFrame, k: Int,
+                       nHashes: Int, bandSize: Int, threshold: Double,
+                       text: String = "text"): DataFrame = {
+    val corpusDigests = corpus
+      .groupBy(md5(col(text)).as("content_hash"))
+      .agg(min(col("doc_id")).as("exact_match_id"))
+    val exact = batch.select(col("doc_id"), md5(col(text)).as("content_hash"))
+      .join(corpusDigests, Seq("content_hash"), "left")
+      .select(col("doc_id"), col("exact_match_id"))
+
+    def bands(df: DataFrame) = bandedSignatures(
+      minhashSignaturesFromIndex(docShingleHashes(df, k, text), nHashes),
+      nHashes, bandSize)
+    val cands = bands(batch).as("nb").join(bands(corpus).as("ob"),
+        col("nb.band_key") === col("ob.band_key"))
+      .select(col("nb.doc_id").as("doc_id"), col("ob.doc_id").as("cand_id"))
+      .distinct()
+    val shB = batch.select(col("doc_id"), fastShingles(batch, k, text).as("sh"))
+    val shC = corpus.select(col("doc_id").as("cand_id"),
+      fastShingles(corpus, k, text).as("csh"))
+    val near = cands
+      .join(shB, Seq("doc_id"))
+      .join(shC, Seq("cand_id"))
+      .select(col("doc_id"), col("cand_id"),
+        round(size(array_intersect(col("sh"), col("csh"))).cast("double") /
+          (size(col("sh")) + size(col("csh"))
+            - size(array_intersect(col("sh"), col("csh")))), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(
+        max_by(col("cand_id"),
+          struct(col("jaccard"), (lit(0L) - col("cand_id")).as("nc")))
+          .as("near_match_id"),
+        max(col("jaccard")).as("near_jaccard"))
+
+    batch.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_match_id"),
+        col("near_match_id"), col("near_jaccard"),
+        (col("exact_match_id").isNull && col("near_match_id").isNull)
+          .as("is_new"))
+  }
+
   /** Connected components over a near-dup pair set: iterative min-label
     * propagation (the Pregel/large-star pattern — each round, every node
     * adopts the minimum label in its neighborhood; converges in

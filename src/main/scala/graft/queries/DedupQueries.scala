@@ -295,6 +295,73 @@ object DedupQueries {
          |CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "))
+         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")),
+
+    // Incremental dedup — the daily-ingest shape: a 20% batch
+    // (doc_id % 5 = 0, scale-proportional at every SF) screened against
+    // the remaining 80% corpus with NO corpus×corpus or batch×batch
+    // pairing: exact digests + batch-bands ⋈ corpus-bands LSH
+    // candidates, exact-Jaccard verified, best match per batch doc. The
+    // corpus digests/signatures are the staged daily artifacts at
+    // 100 TB; per-day work scales with the batch.
+    Q("dedup_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        DedupOps.dedupIncremental(
+            docs.filter(col("doc_id") % 5 =!= 0),
+            docs.filter(col("doc_id") % 5 === 0), K, NH, BAND, TH)
+          .orderBy("doc_id")
+      },
+      {
+        val nBands = NH / BAND
+        val bandExprs = (0 until nBands).map { b =>
+          val parts = (0 until BAND).map(r => s"sig_${b * BAND + r}::VARCHAR")
+          s"concat_ws('_', '$b', ${parts.mkString(", ")})"
+        }.mkString("[", ", ", "]")
+        def ds(rel: String) =
+          s"""SELECT doc_id, ${h31("shingle")} AS h
+             |FROM (SELECT doc_id, unnest(${shingles(toks, K)}) AS shingle
+             |  FROM $rel)""".stripMargin.replace("\n", " ")
+        s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+           |batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+           |cd AS (SELECT md5(text) AS content_hash,
+           |  min(doc_id) AS exact_match_id FROM corpus GROUP BY 1),
+           |ex AS (
+           |  SELECT b.doc_id, cd.exact_match_id
+           |  FROM (SELECT doc_id, md5(text) AS content_hash FROM batch) b
+           |  LEFT JOIN cd USING (content_hash)),
+           |sigc AS (SELECT doc_id, ${minhashAggs(NH)}
+           |  FROM (${ds("corpus")}) GROUP BY doc_id),
+           |sigb AS (SELECT doc_id, ${minhashAggs(NH)}
+           |  FROM (${ds("batch")}) GROUP BY doc_id),
+           |bc AS (SELECT doc_id, unnest($bandExprs) AS band_key FROM sigc),
+           |bb AS (SELECT doc_id, unnest($bandExprs) AS band_key FROM sigb),
+           |cands AS (
+           |  SELECT DISTINCT bb.doc_id AS doc_id, bc.doc_id AS cand_id
+           |  FROM bb JOIN bc ON bb.band_key = bc.band_key),
+           |shb AS (SELECT doc_id, ${shingles(toks, K)} AS sh FROM batch),
+           |shc AS (SELECT doc_id AS cand_id, ${shingles(toks, K)} AS csh
+           |  FROM corpus),
+           |scored AS (
+           |  SELECT c.doc_id, c.cand_id,
+           |  round(len(list_intersect(sh, csh))::DOUBLE /
+           |    (len(sh) + len(csh) - len(list_intersect(sh, csh))), 6)
+           |    AS jaccard
+           |  FROM cands c JOIN shb ON c.doc_id = shb.doc_id
+           |  JOIN shc ON c.cand_id = shc.cand_id),
+           |near AS (
+           |  SELECT doc_id, cand_id AS near_match_id, jaccard AS near_jaccard
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY jaccard DESC, cand_id ASC) AS rn
+           |    FROM scored WHERE jaccard >= $TH) WHERE rn = 1)
+           |SELECT b.doc_id, ex.exact_match_id, near.near_match_id,
+           |near.near_jaccard,
+           |(ex.exact_match_id IS NULL AND near.near_match_id IS NULL)
+           |  AS is_new
+           |FROM (SELECT doc_id FROM batch) b
+           |LEFT JOIN ex USING (doc_id)
+           |LEFT JOIN near USING (doc_id)
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      })
   )
 }
