@@ -247,24 +247,41 @@ object DedupOps {
     * verification reads shingle arrays for candidate pairs only. */
   def dedupIncremental(corpus: DataFrame, batch: DataFrame, k: Int,
                        nHashes: Int, bandSize: Int, threshold: Double,
-                       text: String = "text"): DataFrame = {
-    val corpusDigests = corpus
-      .groupBy(md5(col(text)).as("content_hash"))
-      .agg(min(col("doc_id")).as("exact_match_id"))
+                       text: String = "text"): DataFrame =
+    dedupIncrementalStaged(
+      corpus.groupBy(md5(col(text)).as("content_hash"))
+        .agg(min(col("doc_id")).as("exact_match_id")),
+      bandedSignatures(
+        minhashSignaturesFromIndex(docShingleHashes(corpus, k, text), nHashes),
+        nHashes, bandSize),
+      corpus.select(col("doc_id").as("cand_id"),
+        fastShingles(corpus, k, text).as("csh")),
+      batch, k, nHashes, bandSize, threshold, text)
+
+  /** Same, over pre-built corpus-side artifacts — the PRODUCTION form:
+    * `corpusDigests` (content_hash, exact_match_id), `corpusBands`
+    * (doc_id, band_key), and `corpusShingles` (cand_id, csh) are
+    * written once when the corpus version is published and reused by
+    * every daily batch; only the batch side is computed per run. */
+  def dedupIncrementalStaged(corpusDigests: DataFrame,
+                             corpusBands: DataFrame,
+                             corpusShingles: DataFrame,
+                             batch: DataFrame, k: Int,
+                             nHashes: Int, bandSize: Int, threshold: Double,
+                             text: String = "text"): DataFrame = {
     val exact = batch.select(col("doc_id"), md5(col(text)).as("content_hash"))
       .join(corpusDigests, Seq("content_hash"), "left")
       .select(col("doc_id"), col("exact_match_id"))
 
-    def bands(df: DataFrame) = bandedSignatures(
-      minhashSignaturesFromIndex(docShingleHashes(df, k, text), nHashes),
+    val batchBands = bandedSignatures(
+      minhashSignaturesFromIndex(docShingleHashes(batch, k, text), nHashes),
       nHashes, bandSize)
-    val cands = bands(batch).as("nb").join(bands(corpus).as("ob"),
+    val cands = batchBands.as("nb").join(corpusBands.as("ob"),
         col("nb.band_key") === col("ob.band_key"))
       .select(col("nb.doc_id").as("doc_id"), col("ob.doc_id").as("cand_id"))
       .distinct()
     val shB = batch.select(col("doc_id"), fastShingles(batch, k, text).as("sh"))
-    val shC = corpus.select(col("doc_id").as("cand_id"),
-      fastShingles(corpus, k, text).as("csh"))
+    val shC = corpusShingles
     val near = cands
       .join(shB, Seq("doc_id"))
       .join(shC, Seq("cand_id"))
