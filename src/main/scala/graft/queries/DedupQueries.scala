@@ -312,7 +312,26 @@ object DedupQueries {
             docs.filter(col("doc_id") % 5 === 0), K, NH, BAND, TH)
           .orderBy("doc_id")
       },
-      {
+      incrementalOracleSql),
+
+    // Streaming twin (§2.9): the same screen per micro-batch via
+    // foreachBatch against the CACHED staged corpus artifacts. The
+    // screen is per-document independent — identical results under any
+    // micro-batch slicing — so the batch oracle applies verbatim.
+    Q("streaming_dedup_incremental",
+      (s, dir) => {
+        val work = graft.util.Fs.workDir("graft_stream_inc", dir).toString
+        graft.util.Fs.deleteRec(work)
+        graft.streaming.StreamingDedup
+          .incrementalScreenAvailableNow(s, dir, work, K, NH, BAND, TH)
+          .orderBy("doc_id")
+      },
+      incrementalOracleSql)
+  )
+
+  /** Batch-vs-corpus incremental screen oracle — shared verbatim by the
+    * batch and streaming forms (per-doc independence makes them equal). */
+  private lazy val incrementalOracleSql: String = {
         val nBands = NH / BAND
         val bandExprs = (0 until nBands).map { b =>
           val parts = (0 until BAND).map(r => s"sig_${b * BAND + r}::VARCHAR")
@@ -362,6 +381,5 @@ object DedupQueries {
            |LEFT JOIN ex USING (doc_id)
            |LEFT JOIN near USING (doc_id)
            |ORDER BY doc_id""".stripMargin.replace("\n", " ")
-      })
-  )
+  }
 }

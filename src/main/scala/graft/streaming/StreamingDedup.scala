@@ -24,6 +24,58 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingDedup {
 
+  /** Streaming incremental dedup screen (§2.9 uplift of
+    * [[graft.ops.DedupOps.dedupIncrementalStaged]]): an arriving
+    * document stream screened per micro-batch against the STATIC
+    * historical corpus's staged artifacts (digests, banded MinHash
+    * signatures, shingle arrays — cached once, reused by every batch).
+    *
+    * The screen is per-document independent — no batch-vs-batch or
+    * cross-batch pairing — so the result is IDENTICAL under any
+    * micro-batch slicing, and the batch oracle applies unchanged: the
+    * property that makes the operator safe to run continuously (no
+    * state, no watermark, nothing to evict; the only state is the
+    * static corpus version pinned at query start).
+    *
+    * Batch results land in an append parquet sink (foreachBatch — the
+    * op is a multi-join batch transformation, exactly what foreachBatch
+    * exists for); the returned frame reads the sink back. */
+  def incrementalScreenAvailableNow(spark: SparkSession, dir: String,
+                                    workDir: String, k: Int, nHashes: Int,
+                                    bandSize: Int, threshold: Double,
+                                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.ops.DedupOps
+    val docs = graft.Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val digests = corpus
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("exact_match_id")).cache()
+    val bands = DedupOps.bandedSignatures(
+      DedupOps.minhashSignaturesFromIndex(
+        DedupOps.docShingleHashes(corpus, k), nHashes),
+      nHashes, bandSize).cache()
+    val shingles = corpus.select(col("doc_id").as("cand_id"),
+      DedupOps.fastShingles(corpus, k, "text").as("csh")).cache()
+    val out = s"$workDir/screened"
+    val reader = spark.readStream
+      .schema(spark.read.parquet(s"$dir/documents.parquet").schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(s"$dir/documents.parque*")
+      .filter(col("doc_id") % 5 === 0)
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        DedupOps.dedupIncrementalStaged(digests, bands, shingles, b,
+            k, nHashes, bandSize, threshold)
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Seq(digests, bands, shingles).foreach(_.unpersist())
+    spark.read.parquet(out)
+  }
+
   /** Distinct (symbol, second) pairs from the event stream; AvailableNow
     * + append memory sink as the harness adapter. On the single-file
     * fixture everything lands in one micro-batch, so the watermark never

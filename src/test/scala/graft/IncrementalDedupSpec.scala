@@ -58,6 +58,29 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestBase {
       assert(out(0).getLong(2) == 1L, s"tie must break to doc 1, got ${out(0)}")
   }
 
+  test("streaming screen is invariant to micro-batch slicing") {
+    // stage the sf0.001 documents as a 4-file parquet directory and
+    // stream it one file per trigger: 4 micro-batches, each screened
+    // independently — the union must equal the single-shot batch op
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_inc_slice").toString
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$src/documents.parquet")
+    val work = s"$src/work"
+    val streamed = graft.streaming.StreamingDedup
+      .incrementalScreenAvailableNow(spark, src, work, 3, 16, 2, 0.5,
+        maxFilesPerTrigger = Some(1))
+    val docs = Tables.documents(spark, src)
+    val batch = DedupOps.dedupIncremental(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0), 3, 16, 2, 0.5)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "micro-batch slicing changed the screen's results")
+  }
+
   test("batch docs never pair with each other") {
     // two identical NEW docs in the batch: neither exists in the corpus,
     // so both must come back is_new despite being mutual duplicates —
