@@ -395,6 +395,38 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Feature-hashing document embedder (hashing-trick bag of words):
+    * each token lands in bucket `h31(token) % dim` with sign
+    * `+1/-1` from bit 15 of the hash (the sign trick that makes hash
+    * collisions cancel in expectation instead of biasing), signed
+    * counts are L2-normalized and rounded to 6 dp. Closes the text →
+    * vector loop INSIDE the engine: deterministic, schema-stable
+    * `(vec_id = doc_id, n_emb)` output that every ANN/dedup operator
+    * here consumes directly — the stand-in for a model-served embedding
+    * column, with identical integer arithmetic in the DuckDB oracle.
+    * One explode + two hash-aggs; narrow otherwise. A doc whose tokens
+    * all cancel (or with no tokens) yields a null vector and drops out
+    * of downstream cosine ops — same contract as a zero embedding. */
+  def hashEmbed(docs: DataFrame, dim: Int, text: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val h = call_function("graft_md5long60", col("token")) %
+      graft.functions.Hashing.Mersenne31
+    val signed = docs
+      .select(col("doc_id"), explode(graft.ops.TextOps.tokens(col(text))).as("token"))
+      .select(col("doc_id"), (h % dim).cast("int").as("bucket"),
+        (lit(1.0) - (shiftright(h, 15) % 2).cast("double") * 2.0).as("sign"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sign")).as("v"))
+    signed.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("v"))))
+        .as("m"))
+      .select(col("doc_id").as("vec_id"),
+        transform(
+          call_function("graft_l2norm",
+            expr(s"transform(sequence(0, ${dim - 1}), i -> coalesce(m[i], 0D))")),
+          x => round(x, 6)).as("n_emb"))
+  }
+
   /** (embedding, scale, codes) — the shared symmetric-int8 quantization:
     * scale = 127 / max|x| (1 if the vector is zero), code_i =
     * floor(x_i·scale + 0.5) (half-up, exact in both engines). */

@@ -151,7 +151,69 @@ object SimilarityQueries {
        |SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rank
        |FROM ranked WHERE rnk <= $K""".stripMargin.replace("\n", " ")
 
+  /** Hashed-BOW embedding relation (vec_id, n_emb) over documents —
+    * mirrors SimilarityOps.hashEmbed(dim=16): token → bucket
+    * h31 % 16, sign from bit 15, signed counts L2-normalized then
+    * rounded 6 dp (null vector when everything cancels). */
+  private val EmbDim = 16
+  private val hashEmbedSql: String =
+    s"""SELECT doc_id AS vec_id,
+       |CASE WHEN nrm = 0 THEN NULL
+       |ELSE list_transform(raw, x -> round(x / nrm, 6)) END AS n_emb
+       |FROM (
+       |  SELECT doc_id, raw,
+       |  sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
+       |  FROM (
+       |    SELECT doc_id, list(val ORDER BY i) AS raw FROM (
+       |      SELECT d.doc_id, dims.i, coalesce(sv.v, 0) AS val
+       |      FROM (SELECT DISTINCT doc_id FROM documents) d
+       |      CROSS JOIN (SELECT CAST(unnest(range(0, $EmbDim)) AS INT) AS i) dims
+       |      LEFT JOIN (
+       |        SELECT doc_id, CAST(h % $EmbDim AS INT) AS bucket,
+       |          SUM(CASE WHEN (h >> 15) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+       |        FROM (SELECT doc_id, ${OracleFrags.h31("token")} AS h
+       |          FROM (SELECT doc_id, unnest(${OracleFrags.toks}) AS token FROM documents))
+       |        GROUP BY 1, 2) sv
+       |      ON d.doc_id = sv.doc_id AND dims.i = sv.bucket)
+       |    GROUP BY doc_id))""".stripMargin.replace("\n", " ")
+
   val all: Seq[Q] = Seq(
+
+    // Feature-hashing embedder: text → fixed-dim vector INSIDE the
+    // engine (hashing-trick BOW with the sign trick), the deterministic
+    // stand-in for a model-served embedding column — every ANN/dedup
+    // operator here consumes its output directly.
+    Q("doc_embed_hash",
+      (s, dir) => SimilarityOps.hashEmbed(Tables.documents(s, dir), EmbDim)
+        .orderBy("vec_id"),
+      s"SELECT * FROM ($hashEmbedSql) ORDER BY vec_id"),
+
+    // End-to-end text ANN: brute cosine top-5 over the hash-embedded
+    // documents (query docs 0-4) — the full text → vector → ANN loop as
+    // one engine query. Null (fully-cancelled) vectors are filtered on
+    // both sides so cross-engine null ordering never enters the rank.
+    Q("doc_ann_topk",
+      (s, dir) => SimilarityOps.bruteForceTopKNorm(
+          SimilarityOps.hashEmbed(Tables.documents(s, dir), EmbDim)
+            .filter(col("n_emb").isNotNull),
+          0L to 4L, 5)
+        .select(col("query_id"), col("neighbor_id"), col("cosine_sim"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("query_id", "rank"),
+      s"""WITH corpus AS (
+         |  SELECT * FROM ($hashEmbedSql) WHERE n_emb IS NOT NULL),
+         |q AS (SELECT vec_id AS query_id, n_emb AS q_emb
+         |  FROM corpus WHERE vec_id IN (0, 1, 2, 3, 4)),
+         |scored AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |  ${dotCosine("q_emb", "e.n_emb", EmbDim)} AS cosine_sim
+         |  FROM corpus e JOIN q ON e.vec_id <> q.query_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rank
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
 
     // Brute-force cosine top-k: broadcast query set, one corpus pass.
     Q("ann_topk_brute",
