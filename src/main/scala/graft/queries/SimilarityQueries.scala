@@ -177,6 +177,19 @@ object SimilarityQueries {
        |      ON d.doc_id = sv.doc_id AND dims.i = sv.bucket)
        |    GROUP BY doc_id))""".stripMargin.replace("\n", " ")
 
+  /** Corpus-following two-level shape: k1·k2 ≈ autoCellCount(n) with
+    * k1 ≈ √k. At every oracle scale (500 / 2000 vectors) autoCellCount
+    * clamps to its 16-cell floor ⇒ (4, 4), exactly the pinned oracle
+    * blocking — so the DuckDB mirror stays verbatim while bigger
+    * corpora get scale-true cells (a FIXED 4×4 measured 17× on the
+    * 2k→20k decade before this: the same fixed-cell quadratic the flat
+    * headline solved with autoCellCount in round 4). */
+  private def ivf2Params(n: Long): (Int, Int) = {
+    val k = SimilarityOps.autoCellCount(n)
+    val k1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    (k1, math.max(2, math.ceil(k.toDouble / k1).toInt))
+  }
+
   val all: Seq[Q] = Seq(
 
     // Feature-hashing embedder: text → fixed-dim vector INSIDE the
@@ -241,11 +254,15 @@ object SimilarityQueries {
     // matrix (k* = 2√n centroids) no longer fits, the two-level one is
     // O(√k·dim).
     Q("ann_topk_ivf2",
-      (s, dir) => SimilarityOps.ivf2TopKNormWith(Staged.normCorpus(s, dir),
-          Staged.ivfCentroids(s, dir, 4), 4, QueryIds, K, 2, 4)
-        .select(col("query_id"), col("neighbor_id"), col("cosine_sim"),
-          col("rank").cast("int").as("rank"))
-        .orderBy("query_id", "rank"),
+      (s, dir) => {
+        val corpus = Staged.normCorpus(s, dir)
+        val (k1, k2) = ivf2Params(corpus.count())
+        SimilarityOps.ivf2TopKNormWith(corpus,
+            Staged.ivfCentroids(s, dir, k1), k2, QueryIds, K, 2, 4)
+          .select(col("query_id"), col("neighbor_id"), col("cosine_sim"),
+            col("rank").cast("int").as("rank"))
+          .orderBy("query_id", "rank")
+      },
       s"SELECT * FROM ($ivf2Sql) ORDER BY query_id, rank"),
 
     // Recall@k of the two-level index vs the exact baseline — the same
@@ -256,8 +273,9 @@ object SimilarityQueries {
         val brute = SimilarityOps
           .bruteForceTopKNorm(Staged.normCorpus(s, dir), QueryIds, K)
           .select(col("query_id"), col("neighbor_id"))
+        val (k1, k2) = ivf2Params(Staged.normCorpus(s, dir).count())
         val ivf2 = SimilarityOps.ivf2TopKNormWith(Staged.normCorpus(s, dir),
-            Staged.ivfCentroids(s, dir, 4), 4, QueryIds, K, 2, 4)
+            Staged.ivfCentroids(s, dir, k1), k2, QueryIds, K, 2, 4)
           .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
         brute.join(ivf2, Seq("query_id", "neighbor_id"), "left")
           .groupBy("query_id")
@@ -428,10 +446,14 @@ object SimilarityQueries {
     // children are distributed data). Fixture pins 4×4 cells / nprobe 2
     // supers so the DuckDB oracle mirrors the blocking verbatim.
     Q("dedup_embedding_cosine2",
-      (s, dir) => SimilarityOps
-        .cosineNearDupPairsBlocked2NormWith(Staged.normCorpus(s, dir),
-          Staged.ivfCentroids(s, dir, 4), 4, 0.4, 2)
-        .orderBy("vec_a", "vec_b"),
+      (s, dir) => {
+        val corpus = Staged.normCorpus(s, dir)
+        val (k1, k2) = ivf2Params(corpus.count())
+        SimilarityOps
+          .cosineNearDupPairsBlocked2NormWith(corpus,
+            Staged.ivfCentroids(s, dir, k1), k2, 0.4, 2)
+          .orderBy("vec_a", "vec_b")
+      },
       s"""$blocked2PairsWith
          |SELECT vec_a, vec_b, cosine_sim FROM blocked2
          |ORDER BY vec_a, vec_b""".stripMargin.replace("\n", " ")),
