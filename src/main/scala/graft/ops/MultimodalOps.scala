@@ -113,6 +113,46 @@ object MultimodalOps {
     }
   }
 
+  /** REAL image resize: decode each PNG payload, nearest-neighbor
+    * downscale by `factor` (out(x, y) = in(x·factor, y·factor) — the
+    * one filter with a closed-form output law, so the oracle can verify
+    * the whole decode→resize→re-encode→decode chain arithmetically;
+    * Java's built-in smooth scalers have unspecified kernels), and
+    * re-encode to PNG INSIDE executors. Output schema = the media
+    * table's, so resize composes with [[decodeImage]]/any sink; narrow,
+    * shuffle-free, payload bytes never reach the driver. */
+  def resizePngMedia(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val spark: SparkSession = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec setup
+      rows.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        require(img != null,
+          s"media ${m.media_id}: payload is not a decodable image")
+        val w = math.max(1, img.getWidth / factor)
+        val h = math.max(1, img.getHeight / factor)
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val src = img.getRaster; val dst = out.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            dst.setSample(x, y, 0, src.getSample(x * factor, y * factor, 0))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        (m.media_id, m.media_type, bos.toByteArray)
+      }
+    }.toDF("media_id", "media_type", "payload")
+  }
+
   /** Really-decoded video-frame facts: one row per SAMPLED frame with
     * its decoded raster statistics. */
   final case class FrameMeta(media_id: Long, n_frames: Int, frame_idx: Int,

@@ -61,6 +61,29 @@ object PipelineQueries {
         |  FROM documents)
         |ORDER BY media_id, frame_idx""".stripMargin.replace("\n", " ")),
 
+    // REAL image resize: the full encode → decode → nearest-neighbor
+    // downscale(2) → re-encode → decode chain runs in executors; the
+    // final decoded stats obey out(x, y) = law(2x, 2y), so the oracle
+    // verifies the whole codec chain arithmetically. A resize that
+    // mis-strides, swaps axes, or resamples with a smooth kernel breaks
+    // the hash.
+    Q("multimodal_resize",
+      (s, dir) => MultimodalOps.decodeImage(
+          MultimodalOps.resizePngMedia(
+            MultimodalOps.encodePngMedia(Tables.documents(s, dir)), 2))
+        .toDF().orderBy("media_id"),
+      s"""WITH w AS (SELECT doc_id, (16 + doc_id % 32) // 2 AS wd,
+         |  (8 + doc_id % 16) // 2 AS ht FROM documents),
+         |xs AS (SELECT doc_id, wd, ht, unnest(range(0, wd)) AS x FROM w),
+         |xy AS (SELECT doc_id, wd, ht, x, unnest(range(0, ht)) AS y FROM xs)
+         |SELECT doc_id AS media_id,
+         |CAST(wd AS INT) AS width, CAST(ht AS INT) AS height,
+         |CAST(sum((2 * x + 2 * y + doc_id) % 256) AS BIGINT) AS px_sum,
+         |CAST(min((2 * x + 2 * y + doc_id) % 256) AS INT) AS px_min,
+         |CAST(max((2 * x + 2 * y + doc_id) % 256) AS INT) AS px_max
+         |FROM xy GROUP BY doc_id, wd, ht
+         |ORDER BY media_id""".stripMargin.replace("\n", " ")),
+
     // REAL video-frame sampling: each doc becomes a genuine multi-frame
     // animated GIF (the one container the JVM encodes with zero external
     // libs), rendered + compressed in executors, then the sampler parses

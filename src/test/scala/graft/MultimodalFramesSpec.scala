@@ -53,6 +53,24 @@ class MultimodalFramesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("nearest-neighbor resize halves dims and samples the even grid") {
+    val docs = Tables.documents(spark, dir).limit(30)
+    val out = MultimodalOps.decodeImage(
+        MultimodalOps.resizePngMedia(
+          MultimodalOps.encodePngMedia(docs), 2))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { m =>
+      val id = m.media_id
+      val (w0, h0) = (16 + id % 32, 8 + id % 16)
+      assert(m.width == (w0 / 2).toInt && m.height == (h0 / 2).toInt)
+      var sum = 0L
+      for (y <- 0 until m.height; x <- 0 until m.width)
+        sum += ((2L * x + 2L * y + id) % 256).toInt
+      assert(m.px_sum == sum, s"media $id: resized sum")
+    }
+  }
+
   test("corrupt payload fails loudly, not silently") {
     import spark.implicits._
     val junk = Seq((1L, "image/gif", Array[Byte](1, 2, 3)))
