@@ -60,6 +60,21 @@ object Ivf2Decade {
     time("flat IVF top-k (warm rep2)")(flat())
     time("two-level IVF top-k (warm rep2)")(two())
 
+    // recall@10 vs exact brute at PRODUCTION params — wall-clock alone
+    // can't justify the hierarchy; the recall trade must be on the table
+    val brute = SimilarityOps.bruteForceTopKNorm(corpus, qids, 10)
+      .select("query_id", "neighbor_id").cache()
+    val nBrute = brute.count()
+    def recall(approx: org.apache.spark.sql.DataFrame): Double = {
+      val hit = brute.join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id")).count()
+      math.rint(hit.toDouble / nBrute * 1000) / 1000
+    }
+    println(s"[ivf2] recall@10 flat (nprobe 4/$k) = " + recall(
+      SimilarityOps.ivfTopKNormWith(corpus, flatC, qids, 10, 4)))
+    println(s"[ivf2] recall@10 two-level (2 supers, 4 cells) = " + recall(
+      SimilarityOps.ivf2TopKNormWith(corpus, superCents, k2, qids, 10, 2, 4)))
+
     // blocked near-dup: same fused verify, flat vs two-level cells
     def dflat(): Long = SimilarityOps
       .cosineNearDupPairsBlockedNormWith(corpus, flatC, 0.4, 2).count()

@@ -51,6 +51,27 @@ class LivePlanSpec extends AnyFunSuite with SparkTestBase {
       s"expected pruned read schema:\n$plan")
   }
 
+  test("hot aggregation queries stay inside whole-stage codegen") {
+    // The queries that dominate bench wall-clock must keep their scan →
+    // filter → project → partial-agg pipelines fused. A custom
+    // expression or operator change that silently drops one of these
+    // plans out of codegen is a 2-5× regression at 100 TB before any
+    // logic bug shows. (Static PLANS.md can't carry this check: AQE
+    // assigns codegen ids only at execution — so it lives here, live.)
+    Seq("q1_pricing_summary", "ohlc_daily", "revenue_by_nation",
+      "token_count", "order_stats").foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sf)
+      // collect() executes df's OWN QueryExecution, so AQE finalizes
+      // THIS plan (a noop write would wrap the logical plan in a fresh
+      // write command and leave df.queryExecution un-executed)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // codegen'd stages print as "*(n) Operator" in the plan string
+      assert(plan.contains("*(1)"),
+        s"$n executed without any whole-stage-codegen span:\n$plan")
+    }
+  }
+
   test("top-k plans as TakeOrderedAndProject, never a full global sort") {
     val top = ops.RelationalOps.topCustomers(
       Tables.orders(spark, sf), Tables.customer(spark, sf), 10)
