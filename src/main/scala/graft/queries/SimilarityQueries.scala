@@ -265,6 +265,51 @@ object SimilarityQueries {
       },
       s"SELECT * FROM ($ivf2Sql) ORDER BY query_id, rank"),
 
+    // Two-level maintenance view: population per (super-cell, child
+    // cell) — the balance histogram that triggers re-seeding at scale,
+    // now with the hierarchy visible (a skewed SUPER cell re-trains the
+    // super level; a skewed child within a balanced super re-seeds only
+    // that region's children). Same single-agg cost as ivf_cell_stats.
+    Q("ivf2_cell_stats",
+      (s, dir) => {
+        val corpus = Staged.normCorpus(s, dir)
+        val (k1, k2) = ivf2Params(corpus.count())
+        val cents = Staged.ivfCentroids(s, dir, k1)
+        SimilarityOps.ivf2AssignNorm(corpus, cents, k2)
+          .join(SimilarityOps.ivf2Children(corpus, cents, k2)
+            .select(col("sub_id").as("cell"), col("scell")), Seq("cell"))
+          .groupBy(col("scell"), col("cell"))
+          .agg(count(lit(1)).as("n_vectors"),
+            min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+          .orderBy("scell", "cell")
+      },
+      s"""WITH corpus AS ($normCorpus),
+         |super AS (SELECT * FROM ${OracleFrags.ivfCentroids(4)}),
+         |sassign AS (
+         |  SELECT vec_id, n_emb, scell FROM (
+         |    SELECT e.vec_id, e.n_emb, c.centroid_id AS scell,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${dotCosine("e.n_emb", "c.c_emb")} DESC, c.centroid_id ASC) AS rn
+         |    FROM corpus e CROSS JOIN super c)
+         |  WHERE rn = 1),
+         |children AS (
+         |  SELECT scell, vec_id AS sub_id, n_emb AS s_emb FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY scell ORDER BY vec_id) AS crn
+         |    FROM sassign)
+         |  WHERE crn <= 4),
+         |cassign AS (
+         |  SELECT vec_id, scell, sub_id AS cell FROM (
+         |    SELECT a.vec_id, a.scell, ch.sub_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |      ${dotCosine("a.n_emb", "ch.s_emb")} DESC, ch.sub_id ASC) AS rn
+         |    FROM sassign a JOIN children ch ON a.scell = ch.scell)
+         |  WHERE rn = 1)
+         |SELECT scell, cell, CAST(count(*) AS BIGINT) AS n_vectors,
+         |min(vec_id) AS min_vec, max(vec_id) AS max_vec
+         |FROM cassign GROUP BY scell, cell
+         |ORDER BY scell, cell""".stripMargin.replace("\n", " ")),
+
     // Recall@k of the two-level index vs the exact baseline — the same
     // tuning measurement as ann_recall_ivf, so flat and hierarchical
     // quantizers are comparable at identical effective cell counts.
