@@ -97,7 +97,12 @@ object Bench {
       force(n) match {
         case Left(err) => errs += ((n, err)) // failed once — don't rep it
         case Right(t1) =>
-          val times = (t1 +: Seq.fill(reps - 1)(force(n).getOrElse(Double.NaN))).sorted
+          // Later reps can fail where the first succeeded (flaky sink,
+          // resource pressure): keep only successful timings — a NaN in
+          // the vector would poison the median and emit literal NaN
+          // into the JSON, making the whole output unparseable.
+          val more = Seq.fill(reps - 1)(force(n)).collect { case Right(t) => t }
+          val times = (t1 +: more).sorted
           ok += ((n, times(times.length / 2), times.last - times.head))
       }
     }
@@ -121,9 +126,16 @@ object Bench {
 
     // Compact line LAST: must survive a 2000-char stdout tail capture
     // alongside sbt's [success] epilogue. Headline numbers + as many of
-    // the slowest queries as fit the budget + every error.
+    // the slowest queries as fit the budget + a BOUNDED error sample —
+    // the errors map is otherwise unbounded (each entry ~140 chars), so
+    // a run with many failures would push the line past the tail and
+    // truncate it into unparseable JSON. Full errors are always in
+    // BENCH_FULL.json.
+    val errCompact = jmap(errs.toSeq.take(5)
+      .map { case (n, e) => n -> jstr(e.take(60)) })
+    val errorsOmitted = math.max(0, errs.size - 5)
     val prefix =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"nqueries":${ok.size},"errors":$errJson,"full":"BENCH_FULL.json","sf":"$sfDir","queries":"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"nqueries":${ok.size},"errors":$errCompact,"errors_omitted":$errorsOmitted,"full":"BENCH_FULL.json","sf":"$sfDir","queries":"""
     val budget = 1800 - prefix.length - 40
     val bySlow = ok.toSeq.sortBy(-_._2)
     var used = 0

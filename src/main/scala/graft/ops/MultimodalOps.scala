@@ -229,26 +229,33 @@ object MultimodalOps {
         val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(m.payload))
         reader.setInput(iis)
-        val n = reader.getNumImages(true)
-        require(n > 0, s"media ${m.media_id}: payload has no decodable frames")
-        val metas = (0 until n by everyNth).map { f =>
-          val img = reader.read(f)
-          val w = img.getWidth; val h = img.getHeight
-          var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val v = img.getRGB(x, y) & 0xff // palette-resolved gray
-              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
-              x += 1
+        // try/finally: a payload that fails MID-decode (require or
+        // reader.read throwing) must still release the reader and
+        // stream — on partitions with many corrupt rows the leaked
+        // native/heap resources otherwise pile up before the task dies.
+        // Fail-loudly behavior is unchanged; only the cleanup is.
+        try {
+          val n = reader.getNumImages(true)
+          require(n > 0, s"media ${m.media_id}: payload has no decodable frames")
+          (0 until n by everyNth).map { f =>
+            val img = reader.read(f)
+            val w = img.getWidth; val h = img.getHeight
+            var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = img.getRGB(x, y) & 0xff // palette-resolved gray
+                sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            FrameMeta(m.media_id, n, f, w, h, sum, mn, mx)
           }
-          FrameMeta(m.media_id, n, f, w, h, sum, mn, mx)
+        } finally {
+          reader.dispose(); iis.close()
         }
-        reader.dispose(); iis.close()
-        metas
       }
     }
   }

@@ -338,6 +338,115 @@ object SimilarityOps {
       .agg(max(col("cosine_sim")).as("cosine_sim"))
   }
 
+  // ---------------------------------------------------------------------
+  // Incremental index maintenance — the ANN twin of the incremental
+  // dedup screen: a daily batch of arriving vectors joins an index whose
+  // quantizer was trained on the HISTORICAL corpus, WITHOUT retraining
+  // and without touching the historical assignment. Per-batch cost is
+  // O(|batch| · (k1 + k2)) comparisons plus one broadcast join against
+  // the (k1·k2)-row child table — it scales with the batch, never the
+  // corpus. Occupancy drift is watched by [[ivf2AppendStats]]; a cell
+  // grown past the hot threshold is split in place by
+  // [[ivf2SplitHotCells]] + [[ivf2ReassignCells]] (cost: that cell's
+  // membership only). These are the two maintenance moves that keep a
+  // two-level index serving at 100 TB between full retrains.
+  // ---------------------------------------------------------------------
+
+  /** Child-cell argmax of (vec_id, n_emb, scell)-tagged vectors against
+    * a child table: (vec_id, scell, cell). Map-side-combinable hash-agg
+    * (same movement as [[ivf2AssignNorm]]'s inner argmax); ties break
+    * (cosine DESC, sub_id ASC). */
+  private def childArgmax(tagged: DataFrame, children: DataFrame): DataFrame =
+    tagged
+      .join(broadcast(children), Seq("scell"))
+      .select(col("vec_id"), col("scell"), col("sub_id"),
+        dotCosine(col("n_emb"), col("s_emb")).as("cs"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("scell")).as("scell"), // 1 super per vector — constant in group
+        max_by(col("sub_id"),
+          struct(col("cs"), (lit(0L) - col("sub_id")).as("nsid"))).as("cell"))
+
+  /** Assign a batch of vectors against a FROZEN (staged) two-level
+    * quantizer: nearest super-cell via the plan-constant k1 matrix, then
+    * nearest child within it via the scell-equality join —
+    * (vec_id, scell, cell). No retraining, no corpus pass: this is the
+    * daily-ingest append. (Applied to the training corpus itself it
+    * reproduces [[ivf2AssignNorm]] — one assignment rule for historical
+    * and arriving vectors alike.) */
+  def ivf2AssignBatchNorm(batch: DataFrame, superCents: DataFrame,
+                          children: DataFrame): DataFrame =
+    childArgmax(superAssign(batch, superCents), children)
+
+  /** Post-append occupancy per child cell: existing assignment unioned
+    * with the arriving batch's, counted per (scell, cell), flagged
+    * `needs_split` (0/1) when the cell's total exceeds `hotFactor` × the
+    * MEAN cell load. Mean-relative, not absolute, so the trigger is
+    * scale-free; the threshold rides a 1-row broadcast cross join. Both
+    * inputs are (vec_id, scell, cell)-shaped. */
+  def ivf2AppendStats(existing: DataFrame, arriving: DataFrame,
+                      hotFactor: Double): DataFrame = {
+    val u = existing.select(col("scell"), col("cell"), lit(0L).as("is_new"))
+      .unionByName(arriving.select(col("scell"), col("cell"), lit(1L).as("is_new")))
+    val stats = u.groupBy(col("scell"), col("cell"))
+      .agg((count(lit(1)) - sum(col("is_new"))).as("n_existing"),
+        sum(col("is_new")).as("n_arriving"),
+        count(lit(1)).as("n_total"))
+    val th = stats.agg((avg(col("n_total")) * hotFactor).as("hot_threshold"))
+    stats.crossJoin(broadcast(th))
+      .select(col("scell"), col("cell"), col("n_existing"),
+        col("n_arriving"), col("n_total"),
+        (col("n_total") > col("hot_threshold")).cast("long").as("needs_split"))
+  }
+
+  /** Split every hot cell in two, in place: the cell's two lowest-vec_id
+    * members become REPLACEMENT child centroids under the same
+    * super-cell (deterministic — no retrain, no randomness); a hot cell
+    * that cannot produce two distinct members is left unsplit. Returns
+    * the updated child table; non-hot cells are untouched and the work
+    * is bounded by hot-cell membership (two hash-aggs to pick the two
+    * lowest ids — no per-cell window, so one giant hot cell cannot pin
+    * a single reducer).
+    *
+    * `members` is the post-append corpus with its assignment:
+    * (vec_id, n_emb, cell). */
+  def ivf2SplitHotCells(members: DataFrame, children: DataFrame,
+                        hotCells: DataFrame): DataFrame = {
+    val hot = members.join(broadcast(hotCells.select(col("cell"))), Seq("cell"))
+    val m1 = hot.groupBy(col("cell")).agg(min(col("vec_id")).as("v1"))
+    val picks = hot.join(broadcast(m1), Seq("cell"))
+      .filter(col("vec_id") > col("v1"))
+      .groupBy(col("cell"), col("v1"))
+      .agg(min(col("vec_id")).as("v2"))
+    val parentScell = children.select(col("sub_id").as("cell"), col("scell"))
+    val newCents = hot.join(broadcast(picks), Seq("cell"))
+      .filter(col("vec_id") === col("v1") || col("vec_id") === col("v2"))
+      .join(broadcast(parentScell), Seq("cell"))
+      .select(col("scell"), col("vec_id").as("sub_id"), col("n_emb").as("s_emb"))
+    val retired = picks.select(col("cell").as("sub_id"))
+    children.join(broadcast(retired), Seq("sub_id"), "left_anti")
+      // USING-join moves sub_id first — restore the child-table column
+      // order so the result is drop-in wherever `children` is expected
+      .select(col("scell"), col("sub_id"), col("s_emb"))
+      .unionByName(newCents)
+  }
+
+  /** Re-assign the members of split cells against the UPDATED child
+    * table (argmax over the current children of each member's
+    * super-cell — the same rule as fresh assignment, so the invariant
+    * "every vector sits in its nearest child within its super-cell"
+    * holds after maintenance). Members of unsplit cells keep their
+    * assignment untouched. `members` is (vec_id, n_emb, scell, cell);
+    * `splitCells` is the (cell) set actually split. */
+  def ivf2ReassignCells(members: DataFrame, updatedChildren: DataFrame,
+                        splitCells: DataFrame): DataFrame = {
+    val hotM = members.join(broadcast(splitCells.select(col("cell"))), Seq("cell"))
+      .select(col("vec_id"), col("n_emb"), col("scell"))
+    val keep = members.join(broadcast(splitCells.select(col("cell"))),
+        Seq("cell"), "left_anti")
+      .select(col("vec_id"), col("scell"), col("cell"))
+    keep.unionByName(childArgmax(hotM, updatedChildren))
+  }
+
   /** Random-hyperplane LSH top-k: sign-bit signatures against `nPlanes`
     * deterministic hyperplanes (the lowest-vec_id corpus vectors —
     * production would sample Gaussians), banded into `nBands` bucket
@@ -404,9 +513,14 @@ object SimilarityOps {
     * `(vec_id = doc_id, n_emb)` output that every ANN/dedup operator
     * here consumes directly — the stand-in for a model-served embedding
     * column, with identical integer arithmetic in the DuckDB oracle.
-    * One explode + two hash-aggs; narrow otherwise. A doc whose tokens
-    * all cancel (or with no tokens) yields a null vector and drops out
-    * of downstream cosine ops — same contract as a zero embedding. */
+    * One explode + two hash-aggs; narrow otherwise. EVERY doc_id is
+    * retained (left join from the doc set back onto the bucket sums):
+    * a doc whose tokens all cancel — or that has no tokens at all —
+    * yields a NULL vector and drops out of downstream cosine ops, the
+    * same contract as a zero embedding. Without the join-back a
+    * token-less doc would vanish from the output entirely (explode
+    * emits no rows for an empty array), silently diverging from the
+    * oracle's distinct-doc_id row set. */
   def hashEmbed(docs: DataFrame, dim: Int, text: String = "text"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val h = call_function("graft_md5long60", col("token")) %
@@ -417,9 +531,11 @@ object SimilarityOps {
         (lit(1.0) - (shiftright(h, 15) % 2).cast("double") * 2.0).as("sign"))
       .groupBy(col("doc_id"), col("bucket"))
       .agg(sum(col("sign")).as("v"))
-    signed.groupBy(col("doc_id"))
+    val sums = signed.groupBy(col("doc_id"))
       .agg(map_from_entries(collect_list(struct(col("bucket"), col("v"))))
         .as("m"))
+    docs.select(col("doc_id")).distinct()
+      .join(sums, Seq("doc_id"), "left")
       .select(col("doc_id").as("vec_id"),
         transform(
           call_function("graft_l2norm",

@@ -57,6 +57,15 @@ object StreamingDedup {
     val shingles = corpus.select(col("doc_id").as("cand_id"),
       DedupOps.fastShingles(corpus, k, "text").as("csh")).cache()
     val out = s"$workDir/screened"
+    // Seed the sink with an EMPTY frame carrying the true output schema:
+    // if the stream side matches zero documents (no doc_id % 5 == 0 in
+    // some future fixture), foreachBatch never writes and the read-back
+    // below would throw path-not-found instead of returning an empty
+    // result. An empty screen of an empty batch is the cheapest way to
+    // get the exact schema parquet-registered up front.
+    DedupOps.dedupIncrementalStaged(digests, bands, shingles,
+        docs.limit(0), k, nHashes, bandSize, threshold)
+      .write.mode("append").parquet(out)
     val reader = spark.readStream
       .schema(spark.read.parquet(s"$dir/documents.parquet").schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))

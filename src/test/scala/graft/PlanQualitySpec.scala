@@ -43,7 +43,10 @@ class PlanQualitySpec extends AnyFunSuite {
     "fuzzy_block_recall" -> ("distinct-name vocabulary all-pairs EVAL " +
       "BASELINE (bounded by generator vocabulary, not corpus rows) + " +
       "1-row count scalars"),
-    "doc_logprob" -> "1-row corpus-token-count scalar, broadcast")
+    "doc_logprob" -> "1-row corpus-token-count scalar, broadcast",
+    "ann_index_hot_cells" -> "1-row hot-threshold scalar, broadcast",
+    "ann_index_post_split" ->
+      "1-row hot-threshold scalar, broadcast (hot-cell selection)")
 
   private def sections: Seq[(String, String)] = {
     val parts = plans.split("\n## ").toSeq.drop(1)
