@@ -727,6 +727,263 @@ object SimilarityOps {
         .drop("cell_n", "nsplit")
     }
 
+  // ---------------------------------------------------------------------
+  // Cell-partitioned index LAYOUT — the ANN twin of the reference's
+  // CREATE INDEX → physical-layout mapping (SURVEY §2.1 S10: B-tree →
+  // partitionBy/bucketBy). Spark has no index structures; what it has is
+  // partition pruning. Materializing the assigned corpus partitioned BY
+  // CELL turns the IVF index into storage layout: a probe is then a
+  // partition filter, and a top-k query READS only nprobe/nCells of the
+  // corpus bytes — scan-level pruning, not just compute-level, which is
+  // what an inverted-file index means on a 100 TB object store.
+  // ---------------------------------------------------------------------
+
+  /** Write the corpus as a cell-partitioned parquet layout
+    * (vec_id, n_emb | cell=): one directory per IVF cell. At production
+    * scale this is the nightly index build — the same job that computes
+    * the assignment anyway, paying one extra sort-within-write. */
+  def writeCellLayout(corpus: DataFrame, centroids: DataFrame,
+                      path: String): Unit = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    corpus.select(col("vec_id"), col("n_emb"),
+        explode(nearestCellsCol(centroids, 1, col("n_emb"))).as("cell"))
+      .write.partitionBy("cell")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
+
+  /** IVF top-k against the cell-partitioned layout: probe cells per
+    * query (identical probe rule and tie-breaks as [[ivfTopKNormWith]],
+    * so results hash-match the in-memory IVF query bit-for-bit), then
+    * scan ONLY the probed partitions — the `cell IN (...)` predicate is
+    * a PARTITION filter on the layout, so the scan touches
+    * ≤ |queries|·nprobe of the nCells cell directories. The probed-cell
+    * id list is collected to the driver first: bounded by
+    * |queries|·nprobe rows (the same bounded-collect posture as the
+    * centroid matrix), and it is exactly what makes the filter a
+    * compile-time partition prune instead of a runtime join. Query
+    * vectors come from `queries` (the raw/staged corpus) — at scale an
+    * id-keyed point lookup, never a layout scan. */
+  def ivfTopKPruned(spark: org.apache.spark.sql.SparkSession,
+                    layoutPath: String, centroids: DataFrame,
+                    queries: DataFrame, queryIds: Seq[Long],
+                    k: Int, nprobe: Int): DataFrame = {
+    val qs = queries.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("n_emb").as("q_emb"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("qc_sim").desc, col("centroid_id").asc)
+    val probed = qs.join(broadcast(centroids), expr("true"))
+      .select(col("query_id"), col("q_emb"), col("centroid_id"),
+        dotCosine(col("q_emb"), col("c_emb")).as("qc_sim"))
+      .withColumn("probe_rank", row_number().over(probeW))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("centroid_id").as("cell"))
+    val cells = probed.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    // partition-column values read back as the inferred partition type;
+    // normalize to long so the join key matches centroid ids
+    val pruned = spark.read.parquet(layoutPath)
+      .filter(col("cell").isin(cells: _*))
+      .select(col("vec_id"), col("n_emb"), col("cell").cast("long").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    probed.join(pruned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dotCosine(col("q_emb"), col("n_emb")).as("cosine_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ) — the memory-compression scale path that
+  // completes the ANN family (next to IVF/IVF2 cell pruning, LSH bucket
+  // pruning, and whole-vector int8). dim is split into m subspaces of
+  // dsub = dim/m; each subspace gets a ksub-codeword codebook; a vector
+  // is stored as m small codes (m=8, ksub=16 → 8 half-byte codes ≈ 4
+  // bytes/vector vs 512 for float64: the 100 TB corpus becomes ~1 TB of
+  // codes, small enough to scan per query batch). Search is ADC
+  // (asymmetric distance computation): the query stays exact, a per-query
+  // lookup table of subspace dot products is built against the codebook
+  // (m·ksub entries — broadcast scale), and a candidate's score is m map
+  // lookups summed — no per-pair float dot over the raw corpus at all.
+  // Deterministic by construction so the DuckDB oracle mirrors it
+  // bit-for-bit: codewords are the subvectors of the ksub lowest-vec_id
+  // corpus rows (same seeding convention as ivfCentroidsNorm), encoding
+  // argmin ties break to the lower code, every per-subspace distance/dot
+  // is rounded 6 dp, and sums fold in ascending-j order on both engines.
+  // ---------------------------------------------------------------------
+
+  /** PQ codebook (j, code, cw): for subspace j the codewords are the
+    * j-th subvectors of the `ksub` lowest-vec_id corpus vectors.
+    * ksub·m rows — broadcast scale. (Production would Lloyd-refine each
+    * subspace codebook exactly as [[ivfCentroidsNorm]] refines cell
+    * centroids — identical machinery; seeds keep the oracle compact.) */
+  def pqCodebook(corpus: DataFrame, dim: Int, m: Int, ksub: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    val dsub = dim / m
+    // ksub-row window: bounded, same pattern as lshTopK's plane index
+    val seeds = corpus.orderBy(col("vec_id").asc).limit(ksub)
+      .withColumn("code", (row_number().over(
+        Window.orderBy(col("vec_id").asc)) - 1).cast("int"))
+    seeds.select(col("code"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"),
+          slice(col("n_emb"), j * dsub + 1, dsub).as("cw"))): _*)).as("e"))
+      .select(col("e.j").as("j"), col("code"), col("e.cw").as("cw"))
+  }
+
+  /** PQ encoding: per (vector, subspace) the argmin-L2 codeword —
+    * (vec_id, j, code, dist), dist rounded 6 dp, ties to the lower
+    * code. One explode to n·m subvector rows, a broadcast join against
+    * the codebook, and a map-side-combinable argmin hash-agg — never a
+    * window over the corpus. */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, dim: Int, m: Int): DataFrame = {
+    val dsub = dim / m
+    val sub = corpus.select(col("vec_id"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"),
+          slice(col("n_emb"), j * dsub + 1, dsub).as("sv"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.j").as("j"), col("e.sv").as("sv"))
+    sub.join(broadcast(codebook), Seq("j"))
+      .select(col("vec_id"), col("j"), col("code"),
+        round(aggregate(zip_with(col("sv"), col("cw"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x), 6).as("dist"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"),
+        min(col("dist")).as("dist"))
+  }
+
+  /** Stored PQ code table (vec_id, codes array<int>, recon_err): the
+    * compressed corpus plus its quantization distortion (Σ over
+    * subspaces of the argmin distance — the number that tunes m/ksub
+    * before a deployment trusts ADC ranking). Codes collapse to one row
+    * per vector via a map (position j → code), so the fold back to
+    * array order is exact and order-insensitive to the agg. */
+  def pqCodes(corpus: DataFrame, codebook: DataFrame, dim: Int, m: Int): DataFrame =
+    pqEncode(corpus, codebook, dim, m)
+      .groupBy(col("vec_id"))
+      .agg(map_from_entries(collect_list(struct(col("j"), col("code")))).as("cm"),
+        map_from_entries(collect_list(struct(col("j"), col("dist")))).as("dm"))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(m - 1)),
+          j => element_at(col("cm"), j.cast("int"))).as("codes"),
+        round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, j) => acc + element_at(col("dm"), j.cast("int"))), 6)
+          .as("recon_err"))
+
+  /** ADC top-k over the PQ codes: per-query lookup table
+    * LUT[j·ksub + code] = round(dot(q_j, cw), 6) built against the
+    * codebook (m·ksub rows per query — broadcast), then ONE pass over
+    * the code table scoring each vector as the ascending-j fold of m
+    * map lookups. The raw corpus is never touched after encoding —
+    * the scan moves codes (bytes/vector), not vectors. */
+  def pqAdcTopK(corpus: DataFrame, codebook: DataFrame, dim: Int, m: Int,
+                ksub: Int, queryIds: Seq[Long], k: Int): DataFrame =
+    pqAdcTopKCodes(pqCodes(corpus, codebook, dim, m), corpus, codebook,
+      dim, m, ksub, queryIds, k)
+
+  /** Per-query ADC lookup table (query_id, lut: map<int,double>) with
+    * LUT[j·ksub + code] = round(dot(q_j, cw), 6) — m·ksub entries per
+    * query, broadcast scale. */
+  private def adcLut(corpus: DataFrame, codebook: DataFrame, dim: Int,
+                     m: Int, ksub: Int, queryIds: Seq[Long]): DataFrame = {
+    val dsub = dim / m
+    val qsub = corpus.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"),
+          slice(col("n_emb"), j * dsub + 1, dsub).as("qv"))): _*)).as("e"))
+      .select(col("query_id"), col("e.j").as("j"), col("e.qv").as("qv"))
+    qsub.join(broadcast(codebook), Seq("j"))
+      .select(col("query_id"),
+        (col("j") * ksub + col("code")).cast("int").as("key"),
+        round(aggregate(zip_with(col("qv"), col("cw"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x), 6).as("pdot"))
+      .groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(struct(col("key"), col("pdot"))))
+        .as("lut"))
+  }
+
+  /** The ascending-j fold of m LUT lookups — the ADC score column. */
+  private def adcScore(m: Int, ksub: Int): Column =
+    round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc + element_at(col("lut"),
+        (j * ksub + element_at(col("codes"), j.cast("int") + 1))
+          .cast("int"))), 6)
+
+  /** Same, over an already-encoded (staged) code table. */
+  def pqAdcTopKCodes(codes: DataFrame, corpus: DataFrame, codebook: DataFrame,
+                     dim: Int, m: Int, ksub: Int,
+                     queryIds: Seq[Long], k: Int): DataFrame = {
+    val lut = adcLut(corpus, codebook, dim, m, ksub, queryIds)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("neighbor_id").asc)
+    codes.join(broadcast(lut), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adcScore(m, ksub).as("adc_score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Two-stage PQ search — ADC shortlist, then EXACT float rerank of
+    * the shortlist only: the production serving shape. The corpus-wide
+    * pass moves codes (bytes/vector); float vectors are fetched for
+    * |queries|·`shortlist` rows — an id-keyed join, never a second
+    * corpus scan of vectors. Final ranking is the exact cosine, so
+    * rerank recall@k is bounded only by whether the true neighbors
+    * survive the shortlist cut (measured in PqDecade). */
+  def pqAdcRerankTopK(codes: DataFrame, corpus: DataFrame, codebook: DataFrame,
+                      dim: Int, m: Int, ksub: Int, queryIds: Seq[Long],
+                      k: Int, shortlist: Int): DataFrame = {
+    val short = pqAdcTopKCodes(codes, corpus, codebook, dim, m, ksub,
+        queryIds, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qs = corpus.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("n_emb").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    short.join(broadcast(qs), Seq("query_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("n_emb")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dotCosine(col("q_emb"), col("n_emb")).as("cosine_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-PQ — the production composition of the two scale axes: the
+    * coarse quantizer prunes WHICH vectors are scored (probed-cell
+    * candidates, an equality join on the cell id), the PQ codes shrink
+    * WHAT the scoring moves (ADC over the candidates' codes — no float
+    * vector is touched after the probe step). Probe rule, tie-breaks,
+    * and ADC arithmetic are identical to [[ivfTopKNormWith]] /
+    * [[pqAdcTopKCodes]], so the oracle composes the same fragments. */
+  def ivfPqTopK(corpus: DataFrame, centroids: DataFrame, codes: DataFrame,
+                codebook: DataFrame, dim: Int, m: Int, ksub: Int,
+                queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val assigned = assignTo(corpus, centroids)
+    val qs = corpus.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("n_emb").as("q_emb"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("qc_sim").desc, col("centroid_id").asc)
+    val probed = qs.join(broadcast(centroids), expr("true"))
+      .select(col("query_id"), col("centroid_id"),
+        dotCosine(col("q_emb"), col("c_emb")).as("qc_sim"))
+      .withColumn("probe_rank", row_number().over(probeW))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("centroid_id").as("cell"))
+    val lut = adcLut(corpus, codebook, dim, m, ksub, queryIds)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("neighbor_id").asc)
+    probed.join(assigned.select(col("vec_id"), col("cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(codes.select(col("vec_id"), col("codes")), Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adcScore(m, ksub).as("adc_score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Fused candidates-and-verify: the embedding rides INTO the cell
     * join (one shuffle of n·nprobe embedding-carrying rows keyed by
     * cell), the exact dot + threshold run inside the join's codegen

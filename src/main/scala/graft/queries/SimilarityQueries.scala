@@ -177,6 +177,113 @@ object SimilarityQueries {
        |      ON d.doc_id = sv.doc_id AND dims.i = sv.bucket)
        |    GROUP BY doc_id))""".stripMargin.replace("\n", " ")
 
+  // Product-quantization parameters: 64 dims → 8 subspaces of 8 dims,
+  // 16 codewords each (codes fit half a byte; 8 codes ≈ 4 bytes/vector
+  // vs 512 for the float64 row — the compression that turns a 100 TB
+  // corpus into a ~1 TB scannable code table).
+  private val PqM = 8
+  private val PqDsub = 8
+  private val PqKsub = 16
+
+  /** Shared PQ prelude: codebook (subvectors of the 16 lowest-vec_id
+    * corpus rows, the ivfCentroids seeding convention) + argmin-L2
+    * encoding, ties to the lower code, distances rounded 6 dp —
+    * mirrors SimilarityOps.pqCodebook/pqEncode. Ends at `enc`. */
+  private lazy val pqWith: String =
+    s"""WITH corpus AS ($normCorpus),
+       |seeds AS (
+       |  SELECT n_emb, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+       |  FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT $PqKsub)),
+       |cb AS (
+       |  SELECT j, code, n_emb[j*$PqDsub+1 : j*$PqDsub+$PqDsub] AS cw
+       |  FROM seeds CROSS JOIN
+       |    (SELECT CAST(unnest(range(0, $PqM)) AS INT) AS j)),
+       |enc AS (
+       |  SELECT vec_id, j, code, dist FROM (
+       |    SELECT vec_id, j, code, dist, row_number() OVER
+       |      (PARTITION BY vec_id, j ORDER BY dist ASC, code ASC) AS rn
+       |    FROM (
+       |      SELECT e.vec_id, c.j, c.code,
+       |        round(list_sum(list_transform(range(1, ${PqDsub + 1}),
+       |          i -> (e.n_emb[c.j*$PqDsub + i] - c.cw[i])
+       |             * (e.n_emb[c.j*$PqDsub + i] - c.cw[i]))), 6) AS dist
+       |      FROM corpus e CROSS JOIN cb c))
+       |  WHERE rn = 1)""".stripMargin.replace("\n", " ")
+
+  /** ADC top-`kk` oracle text (no trailing ORDER BY — reused by the
+    * recall query and, at shortlist size, by the rerank query):
+    * per-query LUT of subspace dots vs the codebook, score =
+    * ascending-j ordered sum of the m looked-up partial dots — mirrors
+    * SimilarityOps.pqAdcTopKCodes. */
+  private def pqTopSql(kk: Int): String =
+    s"""$pqWith,
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, c.j, c.code,
+       |    round(list_sum(list_transform(range(1, ${PqDsub + 1}),
+       |      i -> q.n_emb[c.j*$PqDsub + i] * c.cw[i])), 6) AS pdot
+       |  FROM (SELECT * FROM corpus WHERE vec_id IN $idList) q
+       |  CROSS JOIN cb c),
+       |scored AS (
+       |  SELECT l.query_id, e.vec_id AS neighbor_id,
+       |    round(list_sum(list(l.pdot ORDER BY l.j)), 6) AS adc_score
+       |  FROM enc e JOIN lut l
+       |  ON e.j = l.j AND e.code = l.code AND e.vec_id <> l.query_id
+       |  GROUP BY l.query_id, e.vec_id),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, adc_score, CAST(rnk AS INT) AS rank
+       |FROM ranked WHERE rnk <= $kk""".stripMargin.replace("\n", " ")
+
+  private lazy val pqSql: String = pqTopSql(K)
+
+  /** ADC shortlist size for the two-stage rerank query. */
+  private val PqShortlist = 50
+
+  /** IVF-PQ top-k oracle text: the ivfSql probe/assignment fragments
+    * composed with the pqWith encoding — candidates from probed cells,
+    * scores from ADC over the candidates' codes. */
+  private lazy val ivfPqSql: String =
+    s"""$pqWith,
+       |cents AS (SELECT * FROM ${OracleFrags.ivfCentroids(16)}),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.centroid_id AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${dotCosine("e.n_emb", "c.c_emb")} DESC, c.centroid_id ASC) AS rn
+       |    FROM corpus e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, n_emb AS q_emb
+       |  FROM corpus WHERE vec_id IN $idList),
+       |probed AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.centroid_id AS cell,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |      ${dotCosine("q.q_emb", "c.c_emb")} DESC, c.centroid_id ASC) AS pr
+       |    FROM q CROSS JOIN cents c)
+       |  WHERE pr <= 4),
+       |lut AS (
+       |  SELECT q.query_id, c.j, c.code,
+       |    round(list_sum(list_transform(range(1, ${PqDsub + 1}),
+       |      i -> q.q_emb[c.j*$PqDsub + i] * c.cw[i])), 6) AS pdot
+       |  FROM q CROSS JOIN cb c),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probed p JOIN assigned a ON p.cell = a.cell
+       |  WHERE a.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT cd.query_id, cd.vec_id AS neighbor_id,
+       |    round(list_sum(list(l.pdot ORDER BY l.j)), 6) AS adc_score
+       |  FROM cand cd JOIN enc e ON cd.vec_id = e.vec_id
+       |  JOIN lut l ON l.query_id = cd.query_id
+       |    AND e.j = l.j AND e.code = l.code
+       |  GROUP BY cd.query_id, cd.vec_id),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, adc_score, CAST(rnk AS INT) AS rank
+       |FROM ranked WHERE rnk <= $K""".stripMargin.replace("\n", " ")
+
   /** Corpus-following two-level shape: k1·k2 ≈ autoCellCount(n) with
     * k1 ≈ √k. At every oracle scale (500 / 2000 vectors) autoCellCount
     * clamps to its 16-cell floor ⇒ (4, 4), exactly the pinned oracle
@@ -351,6 +458,24 @@ object SimilarityQueries {
       },
       s"SELECT * FROM ($ivf2Sql) ORDER BY query_id, rank"),
 
+    // IVF as a STORAGE LAYOUT — the ANN twin of the reference's
+    // CREATE INDEX → layout mapping (S10): the assigned corpus is
+    // materialized partitioned BY CELL (Staged.ivfLayout, the nightly
+    // index build), and the probe's `cell IN (...)` becomes a PARTITION
+    // filter — the scan reads ≤ |queries|·nprobe of the 16 cell
+    // directories, pruning at the byte level where the in-memory IVF
+    // query prunes only compute. Probe rule and tie-breaks are
+    // identical to ann_topk_ivf, so the same oracle pins both paths —
+    // LayoutPruneSpec asserts the partition pruning in the live plan.
+    Q("ann_topk_pruned",
+      (s, dir) => SimilarityOps.ivfTopKPruned(s,
+          Staged.ivfLayout(s, dir, 16), Staged.ivfCentroids(s, dir, 16),
+          Staged.normCorpus(s, dir), QueryIds, K, 4)
+        .select(col("query_id"), col("neighbor_id"), col("cosine_sim"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("query_id", "rank"),
+      s"SELECT * FROM ($ivfSql) ORDER BY query_id, rank"),
+
     // Two-level maintenance view: population per (super-cell, child
     // cell) — the balance histogram that triggers re-seeding at scale,
     // now with the hierarchy visible (a skewed SUPER cell re-trains the
@@ -409,6 +534,23 @@ object SimilarityQueries {
         val (superCents, children, _) = Staged.annIndex(s, dir, k1, k2)
         val batch = Staged.normCorpus(s, dir).filter(col("vec_id") % 5 === 0)
         SimilarityOps.ivf2AssignBatchNorm(batch, superCents, children)
+          .orderBy("vec_id")
+      },
+      s"$annIdxWith SELECT vec_id, scell, cell FROM bassign ORDER BY vec_id"),
+
+    // Streaming twin of the append: the arriving slice consumed as a
+    // stream, assigned per micro-batch against the frozen quantizer
+    // inside foreachBatch. Assignment is per-vector pure, so any
+    // micro-batch slicing yields the identical result and the batch
+    // oracle applies verbatim — the continuous daily-ingest shape.
+    Q("streaming_ann_append",
+      (s, dir) => {
+        val (k1, k2) = annIdxParams(s, dir)
+        val (superCents, children, _) = Staged.annIndex(s, dir, k1, k2)
+        val work = graft.util.Fs.workDir("graft_stream_ann", dir).toString
+        graft.util.Fs.deleteRec(work)
+        graft.streaming.StreamingAnn
+          .appendAvailableNow(s, dir, work, superCents, children)
           .orderBy("vec_id")
       },
       s"$annIdxWith SELECT vec_id, scell, cell FROM bassign ORDER BY vec_id"),
@@ -650,6 +792,124 @@ object SimilarityQueries {
          |round(list_sum(list_transform(range(1, len(embedding) + 1),
          |  i -> pow(embedding[i]::DOUBLE - codes[i] / scale, 2))), 6) AS recon_err
          |FROM c ORDER BY vec_id""".stripMargin.replace("\n", " ")),
+
+    // PQ code table + distortion report: the compressed corpus (8
+    // half-byte codes/vector, 64× smaller than the float64 row) plus
+    // per-vector reconstruction error — the number that tunes (m, ksub)
+    // before a deployment trusts ADC ranking. Codes surface as m scalar
+    // columns (the minhash_signatures encoding — harness-sortable).
+    Q("pq_codes",
+      (s, dir) => {
+        val (_, codes) = Staged.pqIndex(s, dir, PqM, PqKsub)
+        codes.select(col("vec_id") +: (0 until PqM).map(j =>
+            element_at(col("codes"), j + 1).as(s"code_$j")) :+
+            col("recon_err"): _*)
+          .orderBy("vec_id")
+      },
+      s"""$pqWith
+         |SELECT vec_id,
+         |${(0 until PqM).map(j =>
+             s"CAST(max(CASE WHEN j = $j THEN code END) AS INT) AS code_$j")
+             .mkString(", ")},
+         |round(list_sum(list(dist ORDER BY j)), 6) AS recon_err
+         |FROM enc GROUP BY vec_id ORDER BY vec_id"""
+        .stripMargin.replace("\n", " ")),
+
+    // PQ ADC top-k: the query stays exact, the corpus is scanned as
+    // codes — scoring is m map lookups per candidate against a
+    // broadcast per-query LUT (m·ksub entries), never a float dot over
+    // raw vectors. The third ANN scale path: IVF prunes WHICH vectors
+    // are scored, LSH prunes by bucket, PQ shrinks WHAT is scanned
+    // (bytes/vector) — production IVF-PQ composes the two; here each is
+    // separately oracle-pinned.
+    Q("ann_topk_pq",
+      (s, dir) => {
+        val (cb, codes) = Staged.pqIndex(s, dir, PqM, PqKsub)
+        SimilarityOps.pqAdcTopKCodes(codes, Staged.normCorpus(s, dir), cb,
+            64, PqM, PqKsub, QueryIds, K)
+          .select(col("query_id"), col("neighbor_id"), col("adc_score"),
+            col("rank").cast("int").as("rank"))
+          .orderBy("query_id", "rank")
+      },
+      s"SELECT * FROM ($pqSql) ORDER BY query_id, rank"),
+
+    // Two-stage PQ serving shape: ADC shortlist of 50 over the codes,
+    // EXACT float rerank of the shortlist only — the corpus-wide pass
+    // moves bytes, float vectors are fetched for |queries|·50 rows by
+    // id. Final scores are exact cosines, so quality is bounded only by
+    // shortlist coverage (PqDecade measures rerank recall ≈ 1.0 where
+    // raw ADC recall is ~0.3 at fixture scale: the rerank is what makes
+    // seeded-codebook PQ servable).
+    Q("ann_topk_pq_rerank",
+      (s, dir) => {
+        val (cb, codes) = Staged.pqIndex(s, dir, PqM, PqKsub)
+        SimilarityOps.pqAdcRerankTopK(codes, Staged.normCorpus(s, dir), cb,
+            64, PqM, PqKsub, QueryIds, K, PqShortlist)
+          .select(col("query_id"), col("neighbor_id"), col("cosine_sim"),
+            col("rank").cast("int").as("rank"))
+          .orderBy("query_id", "rank")
+      },
+      s"""WITH corpus AS ($normCorpus),
+         |short AS (SELECT query_id, neighbor_id
+         |  FROM (${pqTopSql(PqShortlist)})),
+         |q AS (SELECT vec_id AS query_id, n_emb AS q_emb
+         |  FROM corpus WHERE vec_id IN $idList),
+         |scored AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    ${dotCosine("q.q_emb", "e.n_emb")} AS cosine_sim
+         |  FROM short s JOIN q ON s.query_id = q.query_id
+         |  JOIN corpus e ON s.neighbor_id = e.vec_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rank
+         |FROM ranked WHERE rnk <= $K
+         |ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
+
+    // IVF-PQ — the production composition: coarse cells prune WHICH
+    // vectors are scored (equality join on the probed cell id), PQ
+    // codes shrink WHAT the scoring moves (ADC over candidate codes;
+    // no float vector is touched after the probe). At 10^10 vectors
+    // this is the serving architecture: probe nprobe/nCells of the
+    // corpus, scan those candidates' codes at ~4 bytes each.
+    Q("ann_topk_ivfpq",
+      (s, dir) => {
+        val (cb, codes) = Staged.pqIndex(s, dir, PqM, PqKsub)
+        SimilarityOps.ivfPqTopK(Staged.normCorpus(s, dir),
+            Staged.ivfCentroids(s, dir, 16), codes, cb,
+            64, PqM, PqKsub, QueryIds, K, 4)
+          .select(col("query_id"), col("neighbor_id"), col("adc_score"),
+            col("rank").cast("int").as("rank"))
+          .orderBy("query_id", "rank")
+      },
+      s"SELECT * FROM ($ivfPqSql) ORDER BY query_id, rank"),
+
+    // Recall@k of ADC ranking vs the exact baseline — the companion
+    // eval to ann_recall_ivf/lsh, completing the tuning triangle:
+    // cell-pruning recall (ivf), bucket-pruning recall (lsh), and
+    // code-compression recall (pq) measured on the same scale.
+    Q("ann_recall_pq",
+      (s, dir) => {
+        val brute = SimilarityOps
+          .bruteForceTopKNorm(Staged.normCorpus(s, dir), QueryIds, K)
+          .select(col("query_id"), col("neighbor_id"))
+        val (cb, codes) = Staged.pqIndex(s, dir, PqM, PqKsub)
+        val pq = SimilarityOps.pqAdcTopKCodes(codes,
+            Staged.normCorpus(s, dir), cb, 64, PqM, PqKsub, QueryIds, K)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        brute.join(pq, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_matched"))
+          .select(col("query_id"), col("n_matched"),
+            round(col("n_matched") / lit(K.toDouble), 6).as("recall_at_k"))
+          .orderBy("query_id")
+      },
+      s"""SELECT b.query_id, CAST(count(i.neighbor_id) AS BIGINT) AS n_matched,
+         |round(count(i.neighbor_id) / ${K.toDouble}, 6) AS recall_at_k
+         |FROM ($bruteSql) b LEFT JOIN ($pqSql) i
+         |ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id"""
+        .stripMargin.replace("\n", " ")),
 
     // Embedding near-dup screen — the HEADLINE is the scale path:
     // IVF-cell blocked candidates (pairs must share one of their 2

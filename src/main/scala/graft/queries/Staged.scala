@@ -61,6 +61,7 @@ object Staged {
     drop(memo); drop(corpusMemo); drop(centroidMemo)
     drop(simhashMemo); drop(clusterMemo); drop(minhashMemo)
     countMemo.filterInPlace { case (k, _) => k._1 != s }
+    layoutMemo.filterInPlace { case (k, _) => k._1 != s }
     indexMemo.filterInPlace { case (k, (a, b)) =>
       val keep = k.productElement(0) != s
       if (!keep) { safeUnpersist(a); safeUnpersist(b) }
@@ -69,6 +70,11 @@ object Staged {
     annIndexMemo.filterInPlace { case (k, (a, b, c)) =>
       val keep = k.productElement(0) != s
       if (!keep) { safeUnpersist(a); safeUnpersist(b); safeUnpersist(c) }
+      keep
+    }
+    pqMemo.filterInPlace { case (k, (a, b)) =>
+      val keep = k.productElement(0) != s
+      if (!keep) { safeUnpersist(a); safeUnpersist(b) }
       keep
     }
     cleanupRegistered.remove(s)
@@ -174,6 +180,48 @@ object Staged {
     })
   }
 
+  private val layoutMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Int), String]
+
+  /** Cell-partitioned IVF layout of [[normCorpus]] on disk, written once
+    * per session+dir+nCells (the nightly index-build artifact): one
+    * parquet partition per cell, so probe-time `cell IN (...)`
+    * predicates become partition pruning — queries read nprobe/nCells
+    * of the corpus bytes. Returns the layout path. */
+  def ivfLayout(s: SparkSession, dir: String, nCells: Int): String = {
+    registerCleanup(s)
+    layoutMemo.getOrElseUpdate((s, dir, nCells), {
+      val p = graft.util.Fs.workDir("graft_ann_layout", dir + "_" + nCells)
+      graft.util.Fs.deleteRec(p.toString)
+      graft.ops.SimilarityOps.writeCellLayout(
+        normCorpus(s, dir), ivfCentroids(s, dir, nCells), p.toString)
+      p.toString
+    })
+  }
+
+  private val pqMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Int, Int), (DataFrame, DataFrame)]
+
+  /** PQ codebook + encoded code table at (m, ksub) over [[normCorpus]],
+    * built once per session+dir — the staged artifacts of a PQ
+    * deployment: the codebook is trained/seeded once and shared by every
+    * encode/search job; the code table is the compressed corpus every
+    * ADC query batch scans (at scale: persisted next to the raw
+    * vectors, ~bytes per vector). */
+  def pqIndex(s: SparkSession, dir: String, m: Int,
+              ksub: Int): (DataFrame, DataFrame) = {
+    registerCleanup(s)
+    pqMemo.getOrElseUpdate((s, dir, m, ksub), {
+      val cb = graft.ops.SimilarityOps
+        .pqCodebook(normCorpus(s, dir), 64, m, ksub).cache()
+      val codes = graft.ops.SimilarityOps
+        .pqCodes(normCorpus(s, dir), cb, 64, m).cache()
+      (cb, codes)
+    })
+  }
+
   private val simhashMemo =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, Int), DataFrame]
@@ -248,8 +296,10 @@ object Staged {
     annIndexMemo.values.foreach { case (a, b, c) =>
       a.unpersist(); b.unpersist(); c.unpersist()
     }
+    pqMemo.values.foreach { case (a, b) => a.unpersist(); b.unpersist() }
     memo.clear(); corpusMemo.clear(); centroidMemo.clear()
     simhashMemo.clear(); clusterMemo.clear(); indexMemo.clear()
-    countMemo.clear(); annIndexMemo.clear()
+    countMemo.clear(); annIndexMemo.clear(); pqMemo.clear()
+    layoutMemo.clear()
   }
 }

@@ -34,6 +34,14 @@ class PlanQualitySpec extends AnyFunSuite {
     "ann_topk_lsh" -> "10-row query set, broadcast",
     "ann_topk_quantized" -> "10-row query set, broadcast",
     "ann_recall_ivf" -> "contains ann_topk_brute (eval baseline) + centroids",
+    "ann_topk_pq" -> "10-row per-query ADC lookup table, broadcast",
+    "ann_topk_pq_rerank" ->
+      "10-row per-query ADC lookup table + 10-row query set, broadcast",
+    "ann_topk_ivfpq" ->
+      "16-row centroid table + 10-row ADC lookup table, broadcast",
+    "ann_recall_pq" -> "contains ann_topk_brute (eval baseline) + ADC LUT broadcast",
+    "ann_topk_pruned" ->
+      "16-row centroid table + 10-row query set, broadcast (probe step)",
     "ann_recall_ivf2" -> "contains ann_topk_brute (eval baseline) + k1=4 super-centroids",
     "ann_recall_lsh" -> "contains ann_topk_brute (eval baseline)",
     "dedup_embedding_cosine" -> "16-row centroid table, broadcast (cell assignment)",
