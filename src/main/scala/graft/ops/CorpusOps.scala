@@ -59,6 +59,31 @@ object CorpusOps {
           .as("n_chunks"))
   }
 
+  /** Epoch-weighted corpus expansion — the deterministic form of
+    * quality-weighted sampling used when mixing a training set: a doc
+    * with quality score q is repeated `floor(4q) + 1` times (1–5
+    * epochs), and each (doc, epoch) copy lands in a shard chosen by an
+    * engine-portable hash, so higher-quality text is over-represented
+    * in the mixed output without any RNG (both engines derive the same
+    * expansion). `quality` must carry (doc_id, lang, quality_score)
+    * with quality_score already cross-engine deterministic (it is —
+    * TextOps.qualityScore rounds to 6 dp). A narrow explode: no
+    * shuffle, output size bounded by 5× input; at 100 TB the expansion
+    * streams partition-local into the shard writer. */
+  def epochExpansion(quality: DataFrame, nShards: Int): DataFrame = {
+    val withEpochs = quality.select(
+      col("doc_id"), col("lang"), col("quality_score"),
+      (floor(col("quality_score") * 4) + 1).cast("int").as("n_epochs"))
+    withEpochs
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        col("n_epochs"),
+        explode(expr("sequence(1, n_epochs)")).as("epoch_idx"))
+      .withColumn("shard",
+        (graft.functions.Hashing.md5Long(
+          concat(col("doc_id").cast("string"), lit(":"),
+            col("epoch_idx").cast("string"))) % nShards).cast("int"))
+  }
+
   /** Per-doc word-bigram frequency profile (the Gopher/MassiveText
     * repetition signal): total/distinct bigram counts, the top bigram's
     * share, distinct/total ratio. Bigrams are NOT distinct-ed —

@@ -39,4 +39,15 @@ object Determinism {
 
   def sqlExactAvg(expr: String): String =
     s"(${sqlExactSum(expr)} / COUNT($expr))"
+
+  /** IEEE −0.0 → +0.0 (adding +0.0 maps −0.0 to +0.0 and is identity on
+    * every other double, NaN/±inf included). A round() landing on zero
+    * from below yields −0.0 in one engine and +0.0 in the other —
+    * different bit patterns, different repr in the driver's compare —
+    * so a rounded value that can cross zero goes through this on BOTH
+    * sides. */
+  def noNegZero(c: Column): Column = c + lit(0.0)
+
+  /** Oracle-SQL twin of [[noNegZero]]. */
+  def sqlNoNegZero(expr: String): String = s"(($expr) + 0.0)"
 }

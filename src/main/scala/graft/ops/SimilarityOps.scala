@@ -1018,4 +1018,63 @@ object SimilarityOps {
       .groupBy(col("vec_a"), col("vec_b"))
       .agg(max(col("cosine_sim")).as("cosine_sim"))
   }
+
+  /** Hard-negative mining for contrastive/metric training: for each
+    * query vector, the top-k most-similar corpus vectors carrying a
+    * DIFFERENT class label — the negatives that most confuse an
+    * embedding model, mined here exactly the way the positives would
+    * be. Same scale shape as [[bruteForceTopKNorm]]: the (tiny) query
+    * set broadcasts with its labels attached, the corpus streams once
+    * through a label-mismatch nested-loop over that constant-size
+    * broadcast, and per-partition ranking keeps only k rows per query
+    * before the final merge. At 10^9+ vectors the scan side composes
+    * with the IVF cell probe unchanged (mine within probed cells). */
+  def hardNegativesNorm(corpus: DataFrame, labels: DataFrame,
+                        queryIds: Seq[Long], k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.join(labels.select(col("vec_id"), col("label")), "vec_id")
+    val queries = c.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("n_emb").as("q_emb"),
+        col("label").as("q_label"))
+    val scored = c.join(broadcast(queries), col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label").as("n_label"),
+        dotCosine(col("q_emb"), col("n_emb")).as("cosine_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Upper-triangular covariance of the first `d` embedding dimensions —
+    * the distributed pass behind PCA whitening / decorrelation of an
+    * embedding table. One narrow projection explodes each row into its
+    * d(d+1)/2 (i, j, xi, xj) pairs, pipelined straight into a partial
+    * hash-aggregate (explode → hashagg in one stage: the shuffle carries
+    * only d(d+1)/2 groups per partition, never the n·d² pair stream), so
+    * the pass is one corpus scan regardless of n. Sums run in exact
+    * decimals (Determinism.exactSum) so partial-agg order can't skew the
+    * float totals; the final cov arithmetic is on identical doubles in
+    * both engines. Population covariance: (E[xy] − E[x]E[y]). */
+  def covariancePairs(embeddings: DataFrame, d: Int): DataFrame = {
+    val pairs = embeddings
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, ${d - 1}), i ->
+           |  transform(sequence(i, ${d - 1}), j -> named_struct(
+           |    'i', i, 'j', j,
+           |    'xi', CAST(embedding[i] AS DOUBLE),
+           |    'xj', CAST(embedding[j] AS DOUBLE)))))""".stripMargin))
+        .as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        col("p.xi").as("xi"), col("p.xj").as("xj"))
+    pairs.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        Determinism.exactSum(col("xi")).as("sx"),
+        Determinism.exactSum(col("xj")).as("sy"),
+        Determinism.exactSum(col("xi") * col("xj")).as("sxy"))
+      .select(col("i"), col("j"), col("n"),
+        Determinism.noNegZero(
+          round((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"), 6))
+          .as("cov"))
+  }
 }

@@ -148,4 +148,33 @@ object TextOps {
         round(sum(col("lp").cast("decimal(30,9)")).cast("double") /
           count(lit(1)), 6).as("avg_logprob"))
   }
+
+  /** PII patterns, in redaction-application order. Regex stays in the
+    * dialect subset Java and RE2 (DuckDB) share: word boundaries,
+    * bounded quantifiers, character classes — no lookaround, no
+    * backreferences. Tags contain no regex/replacement metacharacters.
+    */
+  final val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "[PHONE]"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
+    ("card", "\\b\\d{4}( \\d{4}){3}\\b", "[CARD]"))
+
+  /** PII detect + redact in one narrow map: per-class match counts, the
+    * total, and a digest of the text after all classes are replaced (in
+    * [[PiiPatterns]] order — the order matters where classes could
+    * overlap, so both engines apply the same sequence). Pure per-row
+    * regex work — codegen'd, no shuffle, embarrassingly parallel at any
+    * scale; the digest (not the redacted text) keeps the output narrow.
+    */
+  def piiScan(docs: DataFrame, text: String = "text"): DataFrame = {
+    val counts = PiiPatterns.map { case (kind, re, _) =>
+      regexp_count(col(text), lit(re)).cast("long").as(s"n_$kind") }
+    val total = PiiPatterns.map { case (kind, re, _) =>
+      regexp_count(col(text), lit(re)).cast("long") }.reduce(_ + _)
+    val redacted = PiiPatterns.foldLeft(col(text)) {
+      case (c, (_, re, tag)) => regexp_replace(c, re, tag) }
+    docs.select((col("doc_id") +: counts) ++ Seq(
+      total.as("n_pii"), md5(redacted).as("redacted_digest")): _*)
+  }
 }

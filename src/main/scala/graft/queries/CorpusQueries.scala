@@ -122,6 +122,32 @@ object CorpusQueries {
          |round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_bigram_frac,
          |round(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS distinct_frac
          |FROM c GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")),
+
+    // Epoch-weighted corpus expansion: quality-weighted sampling done
+    // deterministically — a doc with quality q is repeated floor(4q)+1
+    // times (1..5 epochs) and each copy is hash-assigned to one of 8
+    // shards, so higher-quality text is over-represented in the training
+    // mix with zero RNG (the engine-portable md5 hash replaces the
+    // sampler; both engines derive the identical expansion). Narrow
+    // explode bounded at 5× input, no shuffle — the LLaMA-style
+    // "dataset epochs" mixing shape at 100 TB.
+    Q("corpus_epochs",
+      (s, dir) => CorpusOps.epochExpansion(
+          TextOps.qualityScore(Tables.documents(s, dir))
+            .select("doc_id", "lang", "quality_score"), 8)
+        .orderBy("doc_id", "epoch_idx"),
+      s"""WITH q AS ($qualityScoreSql),
+         |e AS (SELECT doc_id, lang, quality_score,
+         |  CAST(floor(quality_score * 4) + 1 AS INT) AS n_epochs FROM q),
+         |x AS (SELECT doc_id, lang, quality_score, n_epochs,
+         |  CAST(unnest(generate_series(1, n_epochs)) AS INT) AS epoch_idx
+         |  FROM e)
+         |SELECT doc_id, lang, quality_score, n_epochs, epoch_idx,
+         |CAST(${Hashing.sqlMd5Long(
+               "CAST(doc_id AS VARCHAR) || ':' || CAST(epoch_idx AS VARCHAR)")} % 8 AS INT)
+         |  AS shard
+         |FROM x ORDER BY doc_id, epoch_idx"""
         .stripMargin.replace("\n", " "))
   )
 }

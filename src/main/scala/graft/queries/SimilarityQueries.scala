@@ -531,10 +531,9 @@ object SimilarityQueries {
     Q("ann_index_append",
       (s, dir) => {
         val (k1, k2) = annIdxParams(s, dir)
-        val (superCents, children, _) = Staged.annIndex(s, dir, k1, k2)
-        val batch = Staged.normCorpus(s, dir).filter(col("vec_id") % 5 === 0)
-        SimilarityOps.ivf2AssignBatchNorm(batch, superCents, children)
-          .orderBy("vec_id")
+        val (arriving, _, _) =
+          Staged.annAppendState(s, dir, k1, k2, HotFactor)
+        arriving.orderBy("vec_id")
       },
       s"$annIdxWith SELECT vec_id, scell, cell FROM bassign ORDER BY vec_id"),
 
@@ -563,11 +562,10 @@ object SimilarityQueries {
     Q("ann_index_hot_cells",
       (s, dir) => {
         val (k1, k2) = annIdxParams(s, dir)
-        val (superCents, children, existing) = Staged.annIndex(s, dir, k1, k2)
-        val batch = Staged.normCorpus(s, dir).filter(col("vec_id") % 5 === 0)
-        SimilarityOps.ivf2AppendStats(existing,
-            SimilarityOps.ivf2AssignBatchNorm(batch, superCents, children),
-            HotFactor)
+        val (_, _, existing) = Staged.annIndex(s, dir, k1, k2)
+        val (arriving, _, _) =
+          Staged.annAppendState(s, dir, k1, k2, HotFactor)
+        SimilarityOps.ivf2AppendStats(existing, arriving, HotFactor)
           .orderBy("scell", "cell")
       },
       s"""$annIdxStatsWith
@@ -589,14 +587,9 @@ object SimilarityQueries {
     Q("ann_index_post_split",
       (s, dir) => {
         val (k1, k2) = annIdxParams(s, dir)
-        val (superCents, children, existing) = Staged.annIndex(s, dir, k1, k2)
-        val batch = Staged.normCorpus(s, dir).filter(col("vec_id") % 5 === 0)
-        val arriving =
-          SimilarityOps.ivf2AssignBatchNorm(batch, superCents, children)
-        val all = existing.unionByName(arriving)
-        val hot = SimilarityOps.ivf2AppendStats(existing, arriving, HotFactor)
-          .filter(col("needs_split") === 1).select(col("cell"))
-        val members = all.join(Staged.normCorpus(s, dir), Seq("vec_id"))
+        val (_, children, _) = Staged.annIndex(s, dir, k1, k2)
+        val (_, members, hot) =
+          Staged.annAppendState(s, dir, k1, k2, HotFactor)
         val updated = SimilarityOps.ivf2SplitHotCells(
           members.select(col("vec_id"), col("n_emb"), col("cell")),
           children, hot)
@@ -1007,6 +1000,62 @@ object SimilarityQueries {
          |round(count(f.vec_a) / nullif(CAST(count(*) AS DOUBLE), 0), 6) AS recall
          |FROM truth t LEFT JOIN blocked f
          |ON t.vec_a = f.vec_a AND t.vec_b = f.vec_b"""
+        .stripMargin.replace("\n", " ")),
+
+    // Hard-negative mining (contrastive/metric training): per query,
+    // the top-k most-similar vectors with a DIFFERENT class label —
+    // the pairs a triplet/InfoNCE loss most needs. Brute shape with the
+    // query set (plus labels) broadcast; the corpus streams once.
+    Q("ann_hard_negatives",
+      (s, dir) => SimilarityOps.hardNegativesNorm(
+          Staged.normCorpus(s, dir), Tables.embeddings(s, dir), QueryIds, K)
+        .select(col("query_id"), col("neighbor_id"), col("n_label"),
+          col("cosine_sim"), col("rank").cast("int").as("rank"))
+        .orderBy("query_id", "rank"),
+      s"""WITH corpus AS ($normCorpus),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |c AS (SELECT corpus.vec_id, n_emb, label
+         |  FROM corpus JOIN lab USING (vec_id)),
+         |q AS (SELECT vec_id AS query_id, n_emb AS q_emb,
+         |  label AS q_label FROM c WHERE vec_id IN $idList),
+         |scored AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id, c.label AS n_label,
+         |  ${dotCosine("q_emb", "c.n_emb")} AS cosine_sim
+         |  FROM c JOIN q ON c.label <> q.q_label),
+         |ranked AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, n_label, cosine_sim,
+         |CAST(rnk AS INT) AS rank
+         |FROM ranked WHERE rnk <= $K ORDER BY query_id, rank"""
+        .stripMargin.replace("\n", " ")),
+
+    // Embedding covariance (upper triangle of the first 16 dims): the
+    // distributed d×d Gram/covariance pass behind PCA whitening and
+    // decorrelation of an embedding table. Each row explodes into its
+    // 136 (i,j) pairs and streams straight into a partial hash-agg —
+    // explode and agg share one stage, so the shuffle carries only the
+    // 136 groups per partition, never n·d² rows; one corpus scan total
+    // at any n. Decimal-exact sums kill partial-agg float order; the
+    // final covariance arithmetic runs on identical doubles both sides.
+    Q("embedding_covariance",
+      (s, dir) => SimilarityOps.covariancePairs(
+          Tables.embeddings(s, dir), 16)
+        .orderBy("i", "j"),
+      s"""WITH p AS (
+         |  SELECT CAST(t1.i AS INT) AS i, CAST(t2.j AS INT) AS j,
+         |    CAST(embedding[CAST(t1.i AS INT) + 1] AS DOUBLE) AS xi,
+         |    CAST(embedding[CAST(t2.j AS INT) + 1] AS DOUBLE) AS xj
+         |  FROM embeddings, range(0, 16) t1(i), range(0, 16) t2(j)
+         |  WHERE t2.j >= t1.i),
+         |a AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+         |  ${graft.ops.Determinism.sqlExactSum("xi")} AS sx,
+         |  ${graft.ops.Determinism.sqlExactSum("xj")} AS sy,
+         |  ${graft.ops.Determinism.sqlExactSum("xi * xj")} AS sxy
+         |  FROM p GROUP BY i, j)
+         |SELECT i, j, n,
+         |${graft.ops.Determinism.sqlNoNegZero("round((sxy - sx * sy / n) / n, 6)")} AS cov
+         |FROM a ORDER BY i, j"""
         .stripMargin.replace("\n", " "))
   )
 

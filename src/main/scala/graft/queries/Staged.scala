@@ -72,6 +72,11 @@ object Staged {
       if (!keep) { safeUnpersist(a); safeUnpersist(b); safeUnpersist(c) }
       keep
     }
+    annAppendMemo.filterInPlace { case (k, (a, b, c)) =>
+      val keep = k.productElement(0) != s
+      if (!keep) { safeUnpersist(a); safeUnpersist(b); safeUnpersist(c) }
+      keep
+    }
     pqMemo.filterInPlace { case (k, (a, b)) =>
       val keep = k.productElement(0) != s
       if (!keep) { safeUnpersist(a); safeUnpersist(b) }
@@ -177,6 +182,38 @@ object Staged {
       val existing = graft.ops.SimilarityOps
         .ivf2AssignBatchNorm(hist, superCents, children).cache()
       (superCents, children, existing)
+    })
+  }
+
+  private val annAppendMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Int, Int, Double),
+        (DataFrame, DataFrame, DataFrame)]
+
+  /** Shared post-append maintenance state for the `ann_index_*` family:
+    * the arriving batch's frozen-quantizer assignment, the post-append
+    * member table (assignment ⨝ vectors), and the hot-cell set at
+    * `hotFactor`. Each is read by more than one maintenance query
+    * (append / hot-cell watch / split+reassign), and the split query
+    * alone references each 2-3 times in its DAG — staging turns those
+    * reuses into cache hits instead of repeated full re-assignments,
+    * the in-session twin of the staged tables a nightly maintenance
+    * job would write between its steps. */
+  def annAppendState(s: SparkSession, dir: String, k1: Int, k2: Int,
+                     hotFactor: Double): (DataFrame, DataFrame, DataFrame) = {
+    registerCleanup(s)
+    annAppendMemo.getOrElseUpdate((s, dir, k1, k2, hotFactor), {
+      import org.apache.spark.sql.functions.col
+      val (superCents, children, existing) = annIndex(s, dir, k1, k2)
+      val batch = normCorpus(s, dir).filter(col("vec_id") % 5 === 0)
+      val arriving = graft.ops.SimilarityOps
+        .ivf2AssignBatchNorm(batch, superCents, children).cache()
+      val members = existing.unionByName(arriving)
+        .join(normCorpus(s, dir), Seq("vec_id")).cache()
+      val hot = graft.ops.SimilarityOps
+        .ivf2AppendStats(existing, arriving, hotFactor)
+        .filter(col("needs_split") === 1).select(col("cell")).cache()
+      (arriving, members, hot)
     })
   }
 
@@ -296,10 +333,13 @@ object Staged {
     annIndexMemo.values.foreach { case (a, b, c) =>
       a.unpersist(); b.unpersist(); c.unpersist()
     }
+    annAppendMemo.values.foreach { case (a, b, c) =>
+      a.unpersist(); b.unpersist(); c.unpersist()
+    }
     pqMemo.values.foreach { case (a, b) => a.unpersist(); b.unpersist() }
     memo.clear(); corpusMemo.clear(); centroidMemo.clear()
     simhashMemo.clear(); clusterMemo.clear(); indexMemo.clear()
     countMemo.clear(); annIndexMemo.clear(); pqMemo.clear()
-    layoutMemo.clear()
+    annAppendMemo.clear(); layoutMemo.clear()
   }
 }

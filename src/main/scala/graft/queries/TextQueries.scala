@@ -253,6 +253,80 @@ object TextQueries {
          |list_max(list_transform(sh, s -> ${Hashing.sqlMd5Long("s")})) AS fp_max,
          |len(sh) AS n_shingles
          |FROM (SELECT doc_id, ${shingles(toks, 3)} AS sh FROM documents)
-         |ORDER BY doc_id""".stripMargin.replace("\n", " "))
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+    // PII detect + redact (emails / phones / IPv4 / card numbers): the
+    // compliance pass every corpus runs before training. The fixture
+    // text is synthetic word-salad, so both engines first plant the SAME
+    // deterministic PII spans (keyed off doc_id) and then scan — the
+    // regex machinery is exercised with real nonzero hits and the oracle
+    // checks counts AND the digest of the fully-redacted text. Pure
+    // per-row regex in the Java∩RE2 dialect; narrow map, no shuffle.
+    Q("pii_scan",
+      (s, dir) => {
+        val aug = Tables.documents(s, dir).select(col("doc_id"), concat(
+          col("text"),
+          when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.org now")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, concat(lit(" call 212-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" soon"))).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, concat(lit(" host 10."),
+            (col("doc_id") % 256).cast("string"), lit(".0.1 up")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 17 === 0, lit(" card 4111 1111 1111 1111 ok"))
+            .otherwise(lit(""))).as("text"))
+        TextOps.piiScan(aug).orderBy("doc_id")
+      }, piiOracle),
+
+    // BPE tokenizer fit, step 1: the global adjacent-character-pair
+    // frequency table (within whitespace words, non-distinct — a pair's
+    // count is its merge priority), top 50 merge candidates. The shape
+    // is the inner loop of byte-pair-encoding training: explode to char
+    // bigrams, one hash-agg keyed by the pair (alphabet²-bounded groups,
+    // so map-side combine collapses each partition to a few hundred
+    // rows), TakeOrderedAndProject for the top-N — no full sort, no
+    // window. At 100 TB the agg output stays alphabet²-sized no matter
+    // the corpus.
+    Q("bpe_pair_counts",
+      (s, dir) => Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(50),
+      s"""SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |  SELECT unnest(list_transform(range(1, length(tok)),
+         |    i -> tok[i:i+1])) AS pair
+         |  FROM (SELECT unnest($toks) AS tok FROM documents)
+         |  WHERE length(tok) >= 2)
+         |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 50"""
+        .stripMargin.replace("\n", " "))
   )
+
+  /** Oracle for [[pii_scan]] — built from the same PiiPatterns table as
+    * the Spark side so the regexes cannot drift. */
+  private lazy val piiOracle: String = {
+        val counts = TextOps.PiiPatterns.map { case (kind, re, _) =>
+          s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_$kind"
+        }.mkString(", ")
+        val total = TextOps.PiiPatterns.map { case (_, re, _) =>
+          s"len(regexp_extract_all(text, '$re'))" }.mkString(" + ")
+        val redacted = TextOps.PiiPatterns.foldLeft("text") {
+          case (e, (_, re, tag)) => s"regexp_replace($e, '$re', '$tag', 'g')"
+        }
+        s"""WITH aug AS (SELECT doc_id, text
+           || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.org now' ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN ' call 212-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' soon' ELSE '' END
+           || CASE WHEN doc_id % 13 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 up' ELSE '' END
+           || CASE WHEN doc_id % 17 = 0 THEN ' card 4111 1111 1111 1111 ok' ELSE '' END AS text
+           FROM documents)
+           SELECT doc_id, $counts, CAST($total AS BIGINT) AS n_pii,
+           md5($redacted) AS redacted_digest
+           FROM aug ORDER BY doc_id""".replaceAll("\\s+", " ")
+  }
 }

@@ -29,6 +29,8 @@ class PlanQualitySpec extends AnyFunSuite {
     "tfidf_top_terms" -> "1-row corpus-size scalar, broadcast",
     "ivf_cell_stats" -> "16-row centroid table, broadcast",
     "ann_topk_brute" -> "10-row query set, broadcast (brute-force EVAL BASELINE)",
+    "ann_hard_negatives" ->
+      "10-row query set (with labels), broadcast — label-mismatch mining",
     "doc_ann_topk" -> "5-row query set, broadcast (brute-force over hashed-BOW vectors)",
     "ann_topk_ivf" -> "16-row centroid table + 10-row query set, broadcast",
     "ann_topk_lsh" -> "10-row query set, broadcast",
