@@ -70,6 +70,57 @@ object RelationalOps {
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(k)
 
+  /** TPC-H Q5 shape (local supplier volume): the 6-table join with the
+    * co-location constraint — revenue only counts when the CUSTOMER and
+    * the SUPPLIER sit in the same nation of the probed region. Join
+    * order is hand-shaped for scale: region⨝nation prunes to the
+    * region's nation keys FIRST and that tiny set broadcasts into both
+    * the supplier and customer sides, so the two fact-side hash joins
+    * (lineitem⨝orders on orderkey, then ⨝customer on custkey) only
+    * ever see region-local rows; the supplier and customer dims ride
+    * broadcasts, the date filter pushes to the orders scan, and the
+    * only shuffles are the two fact-key joins plus the final tiny
+    * n_name agg. The c_nationkey = s_nationkey predicate lives in the
+    * supplier join condition — never a post-join filter over a wider
+    * product. */
+  def localSupplierVolume(lineitem: DataFrame, orders: DataFrame,
+                          customer: DataFrame, supplier: DataFrame,
+                          nation: DataFrame, region: DataFrame,
+                          regionName: String, d0: String,
+                          d1: String): DataFrame = {
+    val regionNations = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)
+        .select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val localCust = customer
+      .join(broadcast(regionNations),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val localSupp = supplier
+      .join(broadcast(regionNations.select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"))
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(orders
+        .filter(col("o_orderdate") >= lit(d0) && col("o_orderdate") < lit(d1))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(localCust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(localSupp),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(regionNations),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Top-k customers by order spend (sort/limit family — absent from the
     * reference, SURVEY.md §2.6). Unique tiebreak on the key keeps the
     * result deterministic; plans as TakeOrderedAndProject. */

@@ -58,6 +58,33 @@ object RelationalQueries {
          |ORDER BY revenue DESC, l_orderkey LIMIT 10"""
         .stripMargin.replace("\n", " ")),
 
+    // TPC-H Q5 shape: the 6-table join with the customer-and-supplier-
+    // in-the-same-nation co-location constraint, region filter, date
+    // window. The hardest join topology in the registry — exercises
+    // hand-shaped join order (region nations pruned first, broadcast
+    // into both dim sides) with only the two fact-key joins shuffling.
+    Q("q5_local_supplier_volume",
+      (s, dir) => RelationalOps.localSupplierVolume(
+          Tables.lineitem(s, dir), Tables.orders(s, dir),
+          Tables.customer(s, dir), Tables.supplier(s, dir),
+          Tables.nation(s, dir), Tables.region(s, dir),
+          "ASIA", "1996-01-01", "1997-01-01")
+        .orderBy("n_name"),
+      s"""SELECT n_name,
+         |${sqlExactSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |  AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |AND o_orderdate >= DATE '1996-01-01'
+         |AND o_orderdate < DATE '1997-01-01'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin.replace("\n", " ")),
+
     // Top-k by aggregate (sort/limit; plans as TakeOrderedAndProject).
     Q("top_customers",
       (s, dir) => RelationalOps.topCustomers(

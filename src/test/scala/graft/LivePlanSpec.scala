@@ -51,6 +51,22 @@ class LivePlanSpec extends AnyFunSuite with SparkTestBase {
       s"expected pruned read schema:\n$plan")
   }
 
+  test("Q5 local-supplier join: dims broadcast, only fact-key joins shuffle") {
+    val df = SparkEntry.queries("q5_local_supplier_volume")(spark, sf)
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"Q5 degenerated to a non-equi join:\n$plan")
+    // every dim-side join (region→nation, customer, supplier) must ride
+    // a broadcast — the region-pruned sets are tiny at any corpus scale
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 3, s"expected >=3 broadcast joins (dims), got $bhj:\n$plan")
+    // shuffles: the lineitem⨝orders fact join (2 exchanges) + the final
+    // n_name agg (1) + the output sort — never a dim-side shuffle storm
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 3, s"expected <=3 hash exchanges, got $shuffles:\n$plan")
+  }
+
   test("hot aggregation queries stay inside whole-stage codegen") {
     // The queries that dominate bench wall-clock must keep their scan →
     // filter → project → partial-agg pipelines fused. A custom
