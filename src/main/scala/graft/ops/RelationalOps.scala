@@ -121,6 +121,32 @@ object RelationalOps {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q4 shape (order-priority checking): orders in a date window
+    * that have AT LEAST ONE late lineitem (shipped more than
+    * `lateDays` after the order date), counted per priority — the
+    * correlated-EXISTS pattern, planned as a LEFT SEMI join on the
+    * order key with the cross-table lateness predicate inside the join
+    * condition (the decorrelation Spark and every serious optimizer
+    * apply; never a per-row subquery). The semi join emits each
+    * qualifying order once no matter how many late items it has, the
+    * date filter pushes to the orders scan, and the final agg groups a
+    * handful of priority strings — the only shuffles are the semi
+    * join's key exchange and that tiny agg. */
+  def latePriorityOrders(orders: DataFrame, lineitem: DataFrame,
+                         d0: String, d1: String,
+                         lateDays: Int): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(d0) && col("o_orderdate") < lit(d1))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .join(lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") +
+            expr(s"INTERVAL $lateDays DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+
   /** Top-k customers by order spend (sort/limit family — absent from the
     * reference, SURVEY.md §2.6). Unique tiebreak on the key keeps the
     * result deterministic; plans as TakeOrderedAndProject. */

@@ -85,6 +85,24 @@ object RelationalQueries {
          |AND o_orderdate < DATE '1997-01-01'
          |GROUP BY n_name ORDER BY n_name""".stripMargin.replace("\n", " ")),
 
+    // TPC-H Q4 shape: correlated EXISTS — orders with at least one late
+    // lineitem, counted per priority. Decorrelated to a LEFT SEMI join
+    // with the cross-table lateness predicate in the join condition.
+    Q("q4_order_priority",
+      (s, dir) => RelationalOps.latePriorityOrders(
+          Tables.orders(s, dir), Tables.lineitem(s, dir),
+          "1996-07-01", "1996-10-01", 60)
+        .orderBy("o_orderpriority"),
+      s"""SELECT o_orderpriority, count(*) AS order_count
+         |FROM orders o
+         |WHERE o_orderdate >= DATE '1996-07-01'
+         |AND o_orderdate < DATE '1996-10-01'
+         |AND EXISTS (SELECT 1 FROM lineitem l
+         |  WHERE l.l_orderkey = o.o_orderkey
+         |  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin.replace("\n", " ")),
+
     // Top-k by aggregate (sort/limit; plans as TakeOrderedAndProject).
     Q("top_customers",
       (s, dir) => RelationalOps.topCustomers(
