@@ -149,6 +149,49 @@ object TextOps {
           count(lit(1)), 6).as("avg_logprob"))
   }
 
+  /** Count-min sketch heavy-hitter estimation over the token stream:
+    * d independent hash rows × w buckets, estimate = min over rows of
+    * the bucket counter — the classic mergeable sketch for frequency
+    * estimation when the vocabulary doesn't fit anywhere (CMS
+    * guarantees est ≥ exact; overcount ≤ εN with prob 1−δ at
+    * w = e/ε, d = ln 1/δ). Hashes come from the engine-portable
+    * md5/affine family (functions.Hashing), so the DuckDB oracle
+    * reproduces the sketch bit-for-bit and the registered query can
+    * hash-compare estimates — an eval no RNG-seeded sketch allows.
+    *
+    * Scale shape: ONE token-stream scan exploded d× straight into a
+    * (d·w)-bounded hash-agg — partial aggregation collapses every
+    * partition to ≤ d·w counter rows before the shuffle, exactly the
+    * sketch-merge a 1000-executor run performs; the probe side joins
+    * the counters on (row, bucket) equality. Output per probe token:
+    * exact count, CMS estimate, overcount (est − exact, ≥ 0). */
+  def cmsTokenEstimates(docs: DataFrame, d: Int, w: Int, topN: Int,
+                        text: String = "text"): DataFrame = {
+    val coeffs = Hashing.affineCoeffs(d)
+    val toks = docs.select(explode(tokens(col(text))).as("token"))
+    val h = Hashing.h31(col("token"))
+    val rowBuckets = array(coeffs.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("row_i"),
+        (Hashing.affine(h, a, b) % w).as("bucket")) }: _*)
+    val counters = toks.select(explode(rowBuckets).as("rb"))
+      .select(col("rb.row_i").as("row_i"), col("rb.bucket").as("bucket"))
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val probes = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("token").asc)
+      .limit(topN)
+    probes
+      .select(col("token"), col("exact_count"), explode(rowBuckets).as("rb"))
+      .select(col("token"), col("exact_count"),
+        col("rb.row_i").as("row_i"), col("rb.bucket").as("bucket"))
+      .join(counters, Seq("row_i", "bucket"))
+      .groupBy(col("token"), col("exact_count"))
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("token"), col("exact_count"), col("cms_est"),
+        (col("cms_est") - col("exact_count")).as("overcount"))
+  }
+
   /** PII patterns, in redaction-application order. Regex stays in the
     * dialect subset Java and RE2 (DuckDB) share: word boundaries,
     * bounded quantifiers, character classes — no lookaround, no

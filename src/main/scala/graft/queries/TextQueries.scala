@@ -11,6 +11,11 @@ import OracleFrags._
   */
 object TextQueries {
 
+  // CMS geometry — declared BEFORE `all` (which forces cmsOracle at
+  // object init; a later declaration would read as 0 mid-construction)
+  private val CmsDepth = 4
+  private val CmsWidth = 16
+
   val all: Seq[Q] = Seq(
 
     // Token counting: whitespace + BPE-ish regex tokenizers.
@@ -305,8 +310,52 @@ object TextQueries {
          |  FROM (SELECT unnest($toks) AS tok FROM documents)
          |  WHERE length(tok) >= 2)
          |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 50"""
-        .stripMargin.replace("\n", " "))
+        .stripMargin.replace("\n", " ")),
+
+    // Count-min sketch heavy hitters: d=4 hash rows × w=16 buckets over
+    // the token stream, estimate = min over rows — the mergeable
+    // frequency sketch for vocabularies that fit nowhere. Hashes are
+    // the engine-portable md5/affine family, so the oracle rebuilds the
+    // SAME sketch and the estimates hash-compare exactly (w=16 < the
+    // 31-token fixture vocabulary, so collisions and the est ≥ exact
+    // overcount are real, not vacuous). One stream scan → (d·w)-bounded
+    // hash-agg; CmsSpec pins the ≥-exact guarantee and collision-free
+    // exactness at wide w.
+    Q("freq_tokens_cms",
+      (s, dir) => TextOps.cmsTokenEstimates(
+          Tables.documents(s, dir), CmsDepth, CmsWidth, 10)
+        .orderBy("token"),
+      cmsOracle)
   )
+
+  /** Oracle for [[freq_tokens_cms]] — same affine coefficients as the
+    * Spark side (one source of truth: Hashing.affineCoeffs). */
+  private lazy val cmsOracle: String = {
+    val h = Hashing.sqlH31("token")
+    val tb = Hashing.affineCoeffs(CmsDepth).zipWithIndex.map {
+      case ((a, b), i) =>
+        s"SELECT token, $i AS row_i, (${Hashing.sqlAffine(h, a, b)} % $CmsWidth) AS bucket FROM toks"
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT unnest($toks) AS token FROM documents),
+       |tb AS ($tb),
+       |counters AS (SELECT row_i, bucket, count(*) AS c
+       |  FROM tb GROUP BY row_i, bucket),
+       |exact AS (SELECT token, count(*) AS exact_count
+       |  FROM toks GROUP BY token),
+       |probes AS (SELECT token, exact_count FROM exact
+       |  ORDER BY exact_count DESC, token ASC LIMIT 10),
+       |pb AS (SELECT p.token, p.exact_count, t.row_i, t.bucket
+       |  FROM probes p
+       |  JOIN (SELECT DISTINCT token, row_i, bucket FROM tb) t
+       |  ON p.token = t.token),
+       |est AS (SELECT token, exact_count, min(c) AS cms_est
+       |  FROM pb JOIN counters USING (row_i, bucket)
+       |  GROUP BY token, exact_count)
+       |SELECT token, CAST(exact_count AS BIGINT) AS exact_count,
+       |CAST(cms_est AS BIGINT) AS cms_est,
+       |CAST(cms_est - exact_count AS BIGINT) AS overcount
+       |FROM est ORDER BY token""".stripMargin.replace("\n", " ")
+  }
 
   /** Oracle for [[pii_scan]] — built from the same PiiPatterns table as
     * the Spark side so the regexes cannot drift. */
