@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cardinality sketching with engine-portable determinism.
+  *
+  * HyperLogLog built from the md5/affine hash family (functions.Hashing)
+  * instead of an RNG-seeded library sketch, so the DuckDB oracle can
+  * rebuild the IDENTICAL register state and the registered query
+  * hash-compares estimates — the same discipline as the MinHash and
+  * count-min sketches. The register sum runs over exact integers
+  * (2^(55−rho) via a bigint shift — every term is a power of two, the
+  * sum fits 2^61 < int64), so partial-agg order cannot skew it; the
+  * only float steps (one division, one ln in the small-range branch)
+  * run on identical inputs in both engines and round to 6 dp.
+  */
+object SketchOps {
+
+  /** Per-group HyperLogLog distinct-count estimate next to the exact
+    * count and the relative error — the cardinality sketch evaluated
+    * the way `minhash_est_error` evaluates Jaccard sketches.
+    *
+    * `m` registers (power of two, bucket = low bits of the 60-bit md5
+    * hash; rho = leading-zero rank of the remaining 54 bits). Scale
+    * shape: one scan → (groups × m)-bounded MAX hash-agg — registers
+    * merge with MAX, which is exactly how a 1000-executor run or an
+    * incremental daily refresh merges sketches; the exact count (the
+    * eval baseline) is the only part that wouldn't scale, and at
+    * production scale it is simply dropped. */
+  def hllDistinctByGroup(df: DataFrame, group: Column, key: Column,
+                         m: Int, alpha: Double): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    val spark = df.sparkSession
+    val bits = java.lang.Long.numberOfTrailingZeros(m.toLong).toInt
+    val hv = Hashing.md5Long(key.cast("string"))
+    // integer bucket/remainder split: % and >> stay in int64 — a double
+    // division here would shred the low bits of a 60-bit hash (53-bit
+    // mantissa), silently corrupting every register
+    val base = df.select(group.as("grp"), (hv % m).as("bucket"),
+      shiftright(hv, bits).as("rem"))
+    // rho = (61 − bits) − bit_length(rem): leading-zero rank of the
+    // (60 − bits)-bit remainder + 1; bin() renders the minimal binary
+    // string in both engines, so its length IS the bit length
+    // (rem = 0 → every remainder bit zero → rho = 61 − bits)
+    val rz = 61 - bits
+    val rho = base
+      .withColumn("rho", when(col("rem") === 0L, lit(rz))
+        .otherwise(lit(rz) - length(bin(col("rem")))))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+    val buckets = spark.range(m).select(col("id").as("bucket"))
+    val reg = df.select(group.as("grp")).distinct()
+      .crossJoin(broadcast(buckets))
+      .join(rho, Seq("grp", "bucket"), "left")
+      .withColumn("r", coalesce(col("r"), lit(0)))
+    val sums = reg.groupBy(col("grp"))
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $rz - r)")).as("zsum"),
+        sum(when(col("r") === 0, 1L).otherwise(0L)).as("v"))
+    val exact = df.groupBy(group.as("grp"))
+      .agg(countDistinct(key).as("n_exact"))
+    val raw = lit(alpha) * m * m * lit(math.pow(2.0, rz)) / col("zsum")
+    sums.join(exact, "grp")
+      .select(col("grp"), col("n_exact"),
+        round(raw, 6).as("hll_raw"),
+        // canonical small-range correction: linear counting off the
+        // empty-register count when the raw estimate is under 2.5m
+        round(when(raw <= 2.5 * m && col("v") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .otherwise(raw), 6).as("hll_est"))
+      .withColumn("rel_err",
+        round(abs(col("hll_est") - col("n_exact")) /
+          col("n_exact").cast("double"), 6))
+  }
+}

@@ -543,6 +543,52 @@ object AnalyticsQueries {
          |round(CAST(100 * sg AS DOUBLE) / nullif(CAST(sg + sl AS DOUBLE), 0), 6)
          |  AS rsi_14
          |FROM a WHERE rn >= 15 ORDER BY symbol, event_ts, event_id"""
-        .stripMargin.replace("\n", " "))
+        .stripMargin.replace("\n", " ")),
+
+    // Deterministic HyperLogLog: per-day distinct users estimated from
+    // m=64 registers next to the exact count and relative error — the
+    // cardinality sketch evaluated the way minhash_est_error evaluates
+    // Jaccard. Portable md5 hashing means the oracle rebuilds the
+    // IDENTICAL register state; the register sum is exact-integer
+    // (powers of two via bigint shift), so only one division and the
+    // small-range ln touch floats — rounded 6 dp on both sides. One
+    // scan → (days × 64)-bounded MAX agg; registers merge with MAX,
+    // which is how executors and incremental refreshes combine sketches.
+    Q("distinct_users_hll",
+      (s, dir) => graft.ops.SketchOps.hllDistinctByGroup(
+          Tables.events(s, dir).select(
+            to_date(col("ts")).as("trade_date"), col("user_id")),
+          col("trade_date"), col("user_id"), 64, 0.709)
+        .withColumnRenamed("grp", "trade_date")
+        .orderBy("trade_date"),
+      s"""WITH h AS (SELECT CAST(ts AS DATE) AS trade_date,
+         |  user_id, ${graft.functions.Hashing.sqlMd5Long(
+               "CAST(user_id AS VARCHAR)")} AS hv FROM events),
+         |hb AS (SELECT trade_date, hv % 64 AS bucket, hv // 64 AS rem,
+         |  user_id FROM h),
+         |rho AS (SELECT trade_date, bucket,
+         |  MAX(CASE WHEN rem = 0 THEN 55 ELSE 55 - length(bin(rem)) END) AS r
+         |  FROM hb GROUP BY trade_date, bucket),
+         |allb AS (SELECT d.trade_date, b.range AS bucket
+         |  FROM (SELECT DISTINCT trade_date FROM hb) d, range(0, 64) b),
+         |reg AS (SELECT a.trade_date, a.bucket, coalesce(r.r, 0) AS r
+         |  FROM allb a LEFT JOIN rho r
+         |  ON a.trade_date = r.trade_date AND a.bucket = r.bucket),
+         |s AS (SELECT trade_date,
+         |  SUM(CAST(1 AS BIGINT) << (55 - r)) AS zsum,
+         |  SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS v
+         |  FROM reg GROUP BY trade_date),
+         |e AS (SELECT trade_date, count(DISTINCT user_id) AS n_exact
+         |  FROM hb GROUP BY trade_date),
+         |j AS (SELECT s.trade_date, e.n_exact,
+         |  0.709 * 64 * 64 * (2.0 ** 55) / zsum AS raw, v
+         |  FROM s JOIN e ON s.trade_date = e.trade_date)
+         |SELECT trade_date, n_exact, round(raw, 6) AS hll_raw,
+         |round(CASE WHEN raw <= 2.5 * 64 AND v > 0
+         |  THEN 64.0 * ln(64.0 / v) ELSE raw END, 6) AS hll_est,
+         |round(abs(round(CASE WHEN raw <= 2.5 * 64 AND v > 0
+         |  THEN 64.0 * ln(64.0 / v) ELSE raw END, 6) - n_exact)
+         |  / CAST(n_exact AS DOUBLE), 6) AS rel_err
+         |FROM j ORDER BY trade_date""".stripMargin.replace("\n", " "))
   )
 }

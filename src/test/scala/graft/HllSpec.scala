@@ -1,0 +1,68 @@
+package graft
+
+import graft.ops.SketchOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HyperLogLog sanity on known cardinalities: the estimate lands inside
+  * the theoretical error band, the small-range (linear-counting) branch
+  * behaves at tiny n, and repeated runs are bit-identical (the property
+  * the oracle hash-compare depends on).
+  */
+class HllSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def keyed(n: Int, grp: String = "g") =
+    (1 to n).map(i => (grp, s"user_$i")).toDF("grp_in", "key")
+
+  test("estimate within 3 standard errors of truth at n=1000, m=64") {
+    // std err = 1.04 / sqrt(64) ≈ 13%; 3σ ≈ 39%
+    val r = SketchOps.hllDistinctByGroup(
+      keyed(1000), col("grp_in"), col("key"), 64, 0.709).head
+    val est = r.getAs[Double]("hll_est")
+    assert(math.abs(est - 1000.0) / 1000.0 < 0.39,
+      s"estimate $est out of band for n=1000")
+    assert(r.getAs[Long]("n_exact") == 1000L)
+  }
+
+  test("tiny cardinalities ride the linear-counting branch accurately") {
+    val r = SketchOps.hllDistinctByGroup(
+      keyed(3), col("grp_in"), col("key"), 64, 0.709).head
+    val est = r.getAs[Double]("hll_est")
+    // linear counting at n << m is near-exact (3 occupied registers
+    // unless two of the three fixed hashes collide)
+    assert(est > 1.0 && est < 6.0, s"linear-counting estimate $est off")
+  }
+
+  test("duplicate keys do not move the estimate (distinct semantics)") {
+    val once = SketchOps.hllDistinctByGroup(
+      keyed(100), col("grp_in"), col("key"), 64, 0.709).head
+    val dup = SketchOps.hllDistinctByGroup(
+      keyed(100).union(keyed(100)), col("grp_in"), col("key"), 64, 0.709).head
+    assert(once.getAs[Double]("hll_est") == dup.getAs[Double]("hll_est"))
+    assert(dup.getAs[Long]("n_exact") == 100L)
+  }
+
+  test("groups sketch independently") {
+    val two = keyed(50, "a").union(keyed(200, "b"))
+    val r = SketchOps.hllDistinctByGroup(
+        two, col("grp_in"), col("key"), 64, 0.709)
+      .orderBy("grp").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("n_exact") == 50L)
+    assert(r(1).getAs[Long]("n_exact") == 200L)
+    // same fixed hashes → group a's registers are a subset situation,
+    // but estimates must differ directionally
+    assert(r(0).getAs[Double]("hll_est") < r(1).getAs[Double]("hll_est"))
+  }
+
+  test("repeated evaluation is bit-identical (deterministic sketch)") {
+    val a = SketchOps.hllDistinctByGroup(
+      keyed(500), col("grp_in"), col("key"), 64, 0.709).head
+    val b = SketchOps.hllDistinctByGroup(
+      keyed(500), col("grp_in"), col("key"), 64, 0.709).head
+    assert(a.getAs[Double]("hll_raw") == b.getAs[Double]("hll_raw"))
+    assert(a.getAs[Double]("hll_est") == b.getAs[Double]("hll_est"))
+  }
+}

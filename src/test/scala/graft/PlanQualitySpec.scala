@@ -31,6 +31,8 @@ class PlanQualitySpec extends AnyFunSuite {
     "ann_topk_brute" -> "10-row query set, broadcast (brute-force EVAL BASELINE)",
     "ann_hard_negatives" ->
       "10-row query set (with labels), broadcast — label-mismatch mining",
+    "distinct_users_hll" ->
+      "64-row register-id table, broadcast (group × bucket expansion)",
     "doc_ann_topk" -> "5-row query set, broadcast (brute-force over hashed-BOW vectors)",
     "ann_topk_ivf" -> "16-row centroid table + 10-row query set, broadcast",
     "ann_topk_lsh" -> "10-row query set, broadcast",
