@@ -73,4 +73,61 @@ object SketchOps {
         round(abs(col("hll_est") - col("n_exact")) /
           col("n_exact").cast("double"), 6))
   }
+
+  /** K-minimum-values (bottom-k / KMV) sketch intersection estimate —
+    * the set-operation sketch HLL cannot provide: each side keeps only
+    * its k smallest distinct key hashes; the union's bottom-k of the
+    * two samples yields a union-cardinality estimate ((k−1)·2^60 /
+    * k-th hash) and the fraction of that union sample present in BOTH
+    * side samples estimates Jaccard, so intersection ≈ J · |A∪B| —
+    * audience overlap from two k-row sketches instead of a distinct
+    * join. Same determinism discipline as the HLL/CMS ops: fixed md5
+    * hashes (practically collision-free in 60 bits, totally ordered),
+    * so bottom-k is unique and both engines build the identical
+    * samples; floats appear only in the final estimate divisions.
+    *
+    * Scale shape: per-side bottom-k is a partial TakeOrdered (every
+    * partition forwards ≤ k rows); everything after runs on ≤ 2k rows.
+    * The exact intersection alongside is the eval baseline — dropped
+    * at production scale, exactly like the HLL exact column. */
+  def kmvOverlap(a: DataFrame, b: DataFrame, key: String,
+                 k: Int): DataFrame = {
+    def bottom(df: DataFrame) = df
+      .select(Hashing.md5Long(col(key).cast("string")).as("hv")).distinct()
+      .orderBy(col("hv").asc).limit(k)
+    // no .cache(): the samples are k-row TakeOrdereds, cheap to
+    // recompute per reuse — an unmanaged cache in a registered query
+    // would accumulate entries across bench repetitions
+    val ba = bottom(a)
+    val bb = bottom(b)
+    val unionSample = ba.unionByName(bb).select(col("hv")).distinct()
+      .orderBy(col("hv").asc).limit(k)
+    def estOf(df: DataFrame, kth: String, est: String) = df
+      .agg(max(col("hv")).as(kth), count(lit(1)).as(s"n_$kth"))
+      .select(col(kth), col(s"n_$kth"),
+        round((lit(k - 1.0) * lit(math.pow(2.0, 60))) / col(kth), 6)
+          .as(est))
+    val x = unionSample
+      .join(ba, Seq("hv"), "left_semi")
+      .join(bb, Seq("hv"), "left_semi")
+      .agg(count(lit(1)).as("x_in_both"))
+    val exact = a.select(col(key)).distinct()
+      .join(b.select(col(key)).distinct(), Seq(key), "inner")
+      .agg(count(lit(1)).as("n_inter"))
+    val ea = a.agg(countDistinct(col(key)).as("n_a"))
+    val eb = b.agg(countDistinct(col(key)).as("n_b"))
+    estOf(ba, "a_kth", "est_a")
+      .crossJoin(estOf(bb, "b_kth", "est_b"))
+      .crossJoin(estOf(unionSample, "u_kth", "est_union"))
+      .crossJoin(x).crossJoin(exact).crossJoin(ea).crossJoin(eb)
+      .select(col("n_a"), col("n_b"), col("n_inter"),
+        col("est_a"), col("est_b"), col("est_union"), col("x_in_both"),
+        round(col("x_in_both").cast("double") / k, 6).as("jaccard_est"),
+        round(round(col("x_in_both").cast("double") / k, 6) *
+          col("est_union"), 6).as("est_inter"))
+      .withColumn("rel_err",
+        // null, not a crash, when the true intersection is empty
+        round(abs(col("est_inter") - col("n_inter")) /
+          nullif(col("n_inter").cast("double"), lit(0d)), 6))
+  }
 }

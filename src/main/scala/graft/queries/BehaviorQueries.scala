@@ -109,6 +109,56 @@ object BehaviorQueries {
         |SELECT step, event_type, n_users,
         |round(n_users::DOUBLE / nullif(n_base::DOUBLE, 0), 6) AS conversion
         |FROM c CROSS JOIN b ORDER BY step"""
-        .stripMargin.replace("\n", " "))
+        .stripMargin.replace("\n", " ")),
+
+    // Audience-overlap from K-minimum-values sketches: day-1 vs day-2
+    // active-user sets intersected from two 32-row bottom-k samples
+    // (union estimate × sampled Jaccard) next to the exact overlap —
+    // the set-operation sketch HLL can't provide, with the md5 hash
+    // making both engines build the identical samples. Per-side
+    // bottom-k is a partial TakeOrdered (each partition forwards ≤ k
+    // rows); everything downstream runs on ≤ 2k rows.
+    Q("users_kmv_overlap",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(to_date(col("ts")).as("d"), col("user_id"))
+        graft.ops.SketchOps.kmvOverlap(
+          ev.filter(col("d") === lit("2024-01-01")),
+          ev.filter(col("d") === lit("2024-01-02")),
+          "user_id", 32)
+      },
+      s"""WITH ha AS (SELECT DISTINCT ${graft.functions.Hashing.sqlMd5Long(
+             "CAST(user_id AS VARCHAR)")} AS hv
+         |  FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'),
+         |hb AS (SELECT DISTINCT ${graft.functions.Hashing.sqlMd5Long(
+             "CAST(user_id AS VARCHAR)")} AS hv
+         |  FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02'),
+         |ba AS (SELECT hv FROM ha ORDER BY hv LIMIT 32),
+         |bb AS (SELECT hv FROM hb ORDER BY hv LIMIT 32),
+         |u AS (SELECT DISTINCT hv FROM
+         |  (SELECT hv FROM ba UNION ALL SELECT hv FROM bb)
+         |  ORDER BY hv LIMIT 32),
+         |ka AS (SELECT round(31.0 * (2.0 ** 60) / max(hv), 6) AS est_a FROM ba),
+         |kb AS (SELECT round(31.0 * (2.0 ** 60) / max(hv), 6) AS est_b FROM bb),
+         |ku AS (SELECT round(31.0 * (2.0 ** 60) / max(hv), 6) AS est_union FROM u),
+         |x AS (SELECT CAST(count(*) AS BIGINT) AS x_in_both FROM u
+         |  WHERE hv IN (SELECT hv FROM ba) AND hv IN (SELECT hv FROM bb)),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_inter FROM
+         |  (SELECT DISTINCT user_id FROM events
+         |   WHERE CAST(ts AS DATE) = DATE '2024-01-01') a
+         |  JOIN (SELECT DISTINCT user_id FROM events
+         |   WHERE CAST(ts AS DATE) = DATE '2024-01-02') b USING (user_id)),
+         |ea AS (SELECT count(DISTINCT user_id) AS n_a FROM events
+         |  WHERE CAST(ts AS DATE) = DATE '2024-01-01'),
+         |eb AS (SELECT count(DISTINCT user_id) AS n_b FROM events
+         |  WHERE CAST(ts AS DATE) = DATE '2024-01-02')
+         |SELECT n_a, n_b, n_inter, est_a, est_b, est_union, x_in_both,
+         |round(CAST(x_in_both AS DOUBLE) / 32, 6) AS jaccard_est,
+         |round(round(CAST(x_in_both AS DOUBLE) / 32, 6) * est_union, 6)
+         |  AS est_inter,
+         |round(abs(round(round(CAST(x_in_both AS DOUBLE) / 32, 6)
+         |  * est_union, 6) - n_inter)
+         |  / nullif(CAST(n_inter AS DOUBLE), 0), 6) AS rel_err
+         |FROM ka, kb, ku, x, ex, ea, eb""".stripMargin.replace("\n", " "))
   )
 }

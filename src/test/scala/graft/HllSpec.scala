@@ -65,4 +65,35 @@ class HllSpec extends AnyFunSuite with SparkTestBase {
     assert(a.getAs[Double]("hll_raw") == b.getAs[Double]("hll_raw"))
     assert(a.getAs[Double]("hll_est") == b.getAs[Double]("hll_est"))
   }
+
+  // ---- KMV bottom-k intersection ----
+
+  private def users(ids: Range) = ids.map(i => Tuple1(s"u_$i"))
+    .toDF("user_id")
+
+  test("KMV: identical sets estimate Jaccard 1 and intersection ≈ size") {
+    val r = SketchOps.kmvOverlap(users(1 to 300), users(1 to 300),
+      "user_id", 32).head
+    assert(r.getAs[Double]("jaccard_est") == 1.0)
+    assert(r.getAs[Long]("n_inter") == 300L)
+    val est = r.getAs[Double]("est_inter")
+    assert(math.abs(est - 300.0) / 300.0 < 0.6,
+      s"identical-set intersection estimate $est far from 300")
+  }
+
+  test("KMV: disjoint sets estimate Jaccard 0 and intersection 0") {
+    val r = SketchOps.kmvOverlap(users(1 to 200), users(1001 to 1200),
+      "user_id", 32).head
+    assert(r.getAs[Double]("jaccard_est") == 0.0)
+    assert(r.getAs[Double]("est_inter") == 0.0)
+    assert(r.getAs[Long]("n_inter") == 0L)
+  }
+
+  test("KMV: half-overlap lands between the extremes") {
+    val r = SketchOps.kmvOverlap(users(1 to 200), users(101 to 300),
+      "user_id", 32).head
+    val j = r.getAs[Double]("jaccard_est")
+    assert(j > 0.05 && j < 0.8, s"half-overlap Jaccard estimate $j")
+    assert(r.getAs[Long]("n_inter") == 100L)
+  }
 }
