@@ -30,9 +30,21 @@ object SketchOps {
     * eval baseline) is the only part that wouldn't scale, and at
     * production scale it is simply dropped. */
   def hllDistinctByGroup(df: DataFrame, group: Column, key: Column,
-                         m: Int, alpha: Double): DataFrame = {
+                         m: Int, alpha: Double): DataFrame =
+    hllEstimate(hllRegisters(df, group, key, m),
+      df.groupBy(group.as("grp")).agg(countDistinct(key).as("n_exact")),
+      m, alpha)
+
+  /** The per-(group, bucket) register maxima — the HLL's entire state.
+    * MAX is associative, commutative, and idempotent, so registers from
+    * any partitioning of the input (executors, micro-batches, daily
+    * increments) MAX-merge into exactly the registers of the whole —
+    * the property the streaming twin (streaming/StreamingSketch) leans
+    * on. Only observed buckets appear; [[hllEstimate]] back-fills the
+    * empty ones. */
+  def hllRegisters(df: DataFrame, group: Column, key: Column,
+                   m: Int): DataFrame = {
     require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
-    val spark = df.sparkSession
     val bits = java.lang.Long.numberOfTrailingZeros(m.toLong).toInt
     val hv = Hashing.md5Long(key.cast("string"))
     // integer bucket/remainder split: % and >> stay in int64 — a double
@@ -45,21 +57,28 @@ object SketchOps {
     // string in both engines, so its length IS the bit length
     // (rem = 0 → every remainder bit zero → rho = 61 − bits)
     val rz = 61 - bits
-    val rho = base
+    base
       .withColumn("rho", when(col("rem") === 0L, lit(rz))
         .otherwise(lit(rz) - length(bin(col("rem")))))
       .groupBy(col("grp"), col("bucket"))
-      .agg(max(col("rho")).as("r"))
+      .agg(max(col("rho")).cast("int").as("r"))
+  }
+
+  /** Estimate assembly from a register table (observed buckets only)
+    * plus the exact counts (grp, n_exact) eval baseline. */
+  def hllEstimate(registers: DataFrame, exact: DataFrame,
+                  m: Int, alpha: Double): DataFrame = {
+    val spark = registers.sparkSession
+    val bits = java.lang.Long.numberOfTrailingZeros(m.toLong).toInt
+    val rz = 61 - bits
     val buckets = spark.range(m).select(col("id").as("bucket"))
-    val reg = df.select(group.as("grp")).distinct()
+    val reg = registers.select(col("grp")).distinct()
       .crossJoin(broadcast(buckets))
-      .join(rho, Seq("grp", "bucket"), "left")
+      .join(registers, Seq("grp", "bucket"), "left")
       .withColumn("r", coalesce(col("r"), lit(0)))
     val sums = reg.groupBy(col("grp"))
       .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $rz - r)")).as("zsum"),
         sum(when(col("r") === 0, 1L).otherwise(0L)).as("v"))
-    val exact = df.groupBy(group.as("grp"))
-      .agg(countDistinct(key).as("n_exact"))
     val raw = lit(alpha) * m * m * lit(math.pow(2.0, rz)) / col("zsum")
     sums.join(exact, "grp")
       .select(col("grp"), col("n_exact"),

@@ -561,6 +561,37 @@ object AnalyticsQueries {
           col("trade_date"), col("user_id"), 64, 0.709)
         .withColumnRenamed("grp", "trade_date")
         .orderBy("trade_date"),
+      hllUsersOracle),
+
+    // Streaming twin of distinct_users_hll: each micro-batch appends
+    // its own per-(day, bucket) register maxima to a register log;
+    // read-back MAX-merges the log. MAX is associative + commutative +
+    // idempotent, so the merged registers — and therefore every
+    // estimate — are IDENTICAL to the batch computation under any
+    // micro-batch slicing or duplicate delivery, and the batch oracle
+    // applies verbatim. Per-batch appended state ≤ days×m rows
+    // regardless of batch size: the sketch IS the incremental operator.
+    Q("streaming_hll_users",
+      (s, dir) => {
+        val work = graft.util.Fs.workDir("graft_stream_hll", dir).toString
+        graft.util.Fs.deleteRec(work)
+        val merged = graft.streaming.StreamingSketch
+          .hllRegistersAvailableNow(s, dir, work, 64)
+        val exact = Tables.events(s, dir)
+          .select(to_date(col("ts")).as("grp"), col("user_id"))
+          .groupBy(col("grp"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        graft.ops.SketchOps.hllEstimate(merged, exact, 64, 0.709)
+          .withColumnRenamed("grp", "trade_date")
+          .orderBy("trade_date")
+      },
+      hllUsersOracle)
+  )
+
+  /** Shared oracle for the batch and streaming HLL queries — identical
+    * output contract, because MAX-merged registers are the batch
+    * registers. */
+  private lazy val hllUsersOracle: String =
       s"""WITH h AS (SELECT CAST(ts AS DATE) AS trade_date,
          |  user_id, ${graft.functions.Hashing.sqlMd5Long(
                "CAST(user_id AS VARCHAR)")} AS hv FROM events),
@@ -589,6 +620,5 @@ object AnalyticsQueries {
          |round(abs(round(CASE WHEN raw <= 2.5 * 64 AND v > 0
          |  THEN 64.0 * ln(64.0 / v) ELSE raw END, 6) - n_exact)
          |  / CAST(n_exact AS DOUBLE), 6) AS rel_err
-         |FROM j ORDER BY trade_date""".stripMargin.replace("\n", " "))
-  )
+         |FROM j ORDER BY trade_date""".stripMargin.replace("\n", " ")
 }

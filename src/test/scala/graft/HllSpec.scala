@@ -66,6 +66,28 @@ class HllSpec extends AnyFunSuite with SparkTestBase {
     assert(a.getAs[Double]("hll_est") == b.getAs[Double]("hll_est"))
   }
 
+  test("streaming register maintenance is micro-batch-slicing invariant") {
+    // events split into 4 parquet files, streamed one file per trigger:
+    // the MAX-merged register log must equal the batch registers over
+    // the same rows — the associative/commutative/idempotent argument,
+    // checked against the actual machinery
+    val src = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_hll_slice").toString
+    Tables.events(spark, src).repartition(4)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val work = s"$tmp/work"
+    val streamed = graft.streaming.StreamingSketch
+      .hllRegistersAvailableNow(spark, tmp, work, 64,
+        maxFilesPerTrigger = Some(1))
+    val batch = SketchOps.hllRegisters(
+      Tables.events(spark, tmp).select(
+        to_date(col("ts")).as("trade_date"), col("user_id")),
+      col("trade_date"), col("user_id"), 64)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed MAX-merged registers differ from batch registers")
+  }
+
   // ---- KMV bottom-k intersection ----
 
   private def users(ids: Range) = ids.map(i => Tuple1(s"u_$i"))

@@ -35,6 +35,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "64-row register-id table, broadcast (group × bucket expansion)",
     "users_kmv_overlap" ->
       "1-row aggregate cross joins over ≤32-row sketch samples",
+    "streaming_hll_users" ->
+      "64-row register-id table, broadcast (same assembly as the batch twin)",
     "doc_ann_topk" -> "5-row query set, broadcast (brute-force over hashed-BOW vectors)",
     "ann_topk_ivf" -> "16-row centroid table + 10-row query set, broadcast",
     "ann_topk_lsh" -> "10-row query set, broadcast",
