@@ -103,6 +103,89 @@ object RelationalQueries {
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin.replace("\n", " ")),
 
+    // Data-quality expectation suite (the dbt-test / DLT-expectations
+    // operator family): one row per declared expectation with violation
+    // and checked counts — nullability, value ranges, key uniqueness,
+    // referential integrity, accepted-value sets, freshness window.
+    // Each check is a single aggregate over its table (uniqueness =
+    // count minus distinct; referential integrity = a left join against
+    // the DISTINCT parent keys and a null count); the report is a
+    // 6-row union. At 100 TB each check stays one scan + one tiny agg,
+    // and the checks share no state, so they parallelize trivially.
+    Q("dq_expectations",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val orders = Tables.orders(s, dir)
+        val li = Tables.lineitem(s, dir)
+        val cust = Tables.customer(s, dir)
+        def report(name: String, agged: org.apache.spark.sql.DataFrame) =
+          agged.select(lit(name).as("check_name"),
+            col("n_violations").cast("long").as("n_violations"),
+            col("n_checked").cast("long").as("n_checked"),
+            (col("n_violations") === 0).cast("int").as("pass"))
+        val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+          "HOUSEHOLD", "MACHINERY")
+        val checks = Seq(
+          report("events_ts_in_window", ev.agg(
+            sum(when(col("ts") < lit("2024-01-01") ||
+              col("ts") >= lit("2024-02-01"), 1L).otherwise(0L))
+              .as("n_violations"),
+            count(lit(1)).as("n_checked"))),
+          report("events_user_id_not_null", ev.agg(
+            sum(when(col("user_id").isNull, 1L).otherwise(0L))
+              .as("n_violations"),
+            count(lit(1)).as("n_checked"))),
+          report("events_value_non_negative", ev.agg(
+            sum(when(col("value") < 0, 1L).otherwise(0L))
+              .as("n_violations"),
+            count(col("value")).as("n_checked"))),
+          report("orders_key_unique", orders.agg(
+            (count(lit(1)) - countDistinct(col("o_orderkey")))
+              .as("n_violations"),
+            count(lit(1)).as("n_checked"))),
+          report("lineitem_orderkey_in_orders", li
+            .select(col("l_orderkey"))
+            .join(orders.select(col("o_orderkey")).distinct(),
+              col("l_orderkey") === col("o_orderkey"), "left")
+            .agg(sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+              .as("n_violations"),
+              count(lit(1)).as("n_checked"))),
+          report("customer_segment_accepted", cust.agg(
+            sum(when(!col("c_mktsegment").isin(segs: _*), 1L)
+              .otherwise(0L)).as("n_violations"),
+            count(lit(1)).as("n_checked"))))
+        checks.reduce(_ unionByName _).orderBy("check_name")
+      },
+      s"""SELECT check_name, n_violations, n_checked,
+         |CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS pass
+         |FROM (
+         |SELECT 'events_ts_in_window' AS check_name,
+         |  CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-01'
+         |    OR ts >= TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violations,
+         |  CAST(count(*) AS BIGINT) AS n_checked FROM events
+         |UNION ALL SELECT 'events_user_id_not_null',
+         |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |  CAST(count(*) AS BIGINT) FROM events
+         |UNION ALL SELECT 'events_value_non_negative',
+         |  CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT),
+         |  CAST(count(value) AS BIGINT) FROM events
+         |UNION ALL SELECT 'orders_key_unique',
+         |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+         |  CAST(count(*) AS BIGINT) FROM orders
+         |UNION ALL SELECT 'lineitem_orderkey_in_orders',
+         |  CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |  CAST(count(*) AS BIGINT)
+         |  FROM lineitem l LEFT JOIN
+         |  (SELECT DISTINCT o_orderkey FROM orders) o
+         |  ON l.l_orderkey = o.o_orderkey
+         |UNION ALL SELECT 'customer_segment_accepted',
+         |  CAST(SUM(CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE', 'BUILDING',
+         |    'FURNITURE', 'HOUSEHOLD', 'MACHINERY') THEN 1 ELSE 0 END)
+         |    AS BIGINT),
+         |  CAST(count(*) AS BIGINT) FROM customer) u
+         |ORDER BY check_name""".stripMargin.replace("\n", " ")),
+
     // Top-k by aggregate (sort/limit; plans as TakeOrderedAndProject).
     Q("top_customers",
       (s, dir) => RelationalOps.topCustomers(

@@ -1030,6 +1030,76 @@ object SimilarityQueries {
          |FROM ranked WHERE rnk <= $K ORDER BY query_id, rank"""
         .stripMargin.replace("\n", " ")),
 
+    // Hybrid retrieval via reciprocal-rank fusion: the three approximate
+    // indexes (IVF cell probe, LSH bands, PQ ADC) each return their own
+    // top-k ranking; RRF fuses them — score = Σ 1/(60 + rank_r), missing
+    // retriever → 0 — and re-ranks. The standard hybrid-search combiner
+    // (it needs only ranks, never comparable scores, which is exactly
+    // why it works across heterogeneous indexes). All three inputs are
+    // ≤ |queries|·k rows, so the fusion join is trivially broadcastable
+    // at any corpus size; the cost is the three retrievals themselves.
+    Q("ann_topk_rrf",
+      (s, dir) => {
+        val nc = Staged.normCorpus(s, dir)
+        val iv = SimilarityOps.ivfTopKNormWith(nc,
+            Staged.ivfCentroids(s, dir, 16), QueryIds, K, 4)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").cast("int").as("r_ivf"))
+        val ls = SimilarityOps.lshTopKNorm(nc, QueryIds, K, 16, 4)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").cast("int").as("r_lsh"))
+        val pq = {
+          val (cb, codes) = Staged.pqIndex(s, dir, PqM, PqKsub)
+          SimilarityOps.pqAdcTopKCodes(codes, nc, cb, 64, PqM, PqKsub,
+              QueryIds, K)
+            .select(col("query_id"), col("neighbor_id"),
+              col("rank").cast("int").as("r_pq"))
+        }
+        val cands = iv.select("query_id", "neighbor_id")
+          .unionByName(ls.select("query_id", "neighbor_id"))
+          .unionByName(pq.select("query_id", "neighbor_id"))
+          .distinct()
+        val scored = cands
+          .join(iv, Seq("query_id", "neighbor_id"), "left")
+          .join(ls, Seq("query_id", "neighbor_id"), "left")
+          .join(pq, Seq("query_id", "neighbor_id"), "left")
+          .select(col("query_id"), col("neighbor_id"),
+            // fixed textual term order: the three-addend float sum is
+            // identical in both engines only because the order is
+            round(coalesce(lit(1.0) / (lit(60) + col("r_ivf")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("r_lsh")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("r_pq")), lit(0.0)), 6)
+              .as("rrf_score"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("rrf_score").desc, col("neighbor_id").asc)
+        scored.withColumn("rank", row_number().over(w).cast("int"))
+          .filter(col("rank") <= K)
+          .orderBy("query_id", "rank")
+      },
+      s"""WITH iv AS (SELECT query_id, neighbor_id, rank FROM ($ivfSql)),
+         |ls AS (SELECT query_id, neighbor_id, rank FROM ($lshSql)),
+         |pq AS (SELECT query_id, neighbor_id, rank FROM ($pqSql)),
+         |c AS (SELECT query_id, neighbor_id FROM iv
+         |  UNION SELECT query_id, neighbor_id FROM ls
+         |  UNION SELECT query_id, neighbor_id FROM pq),
+         |r AS (SELECT c.query_id, c.neighbor_id,
+         |  round(coalesce(1.0 / (60 + iv.rank), 0)
+         |    + coalesce(1.0 / (60 + ls.rank), 0)
+         |    + coalesce(1.0 / (60 + pq.rank), 0), 6) AS rrf_score
+         |  FROM c
+         |  LEFT JOIN iv ON c.query_id = iv.query_id
+         |    AND c.neighbor_id = iv.neighbor_id
+         |  LEFT JOIN ls ON c.query_id = ls.query_id
+         |    AND c.neighbor_id = ls.neighbor_id
+         |  LEFT JOIN pq ON c.query_id = pq.query_id
+         |    AND c.neighbor_id = pq.neighbor_id),
+         |k AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY rrf_score DESC, neighbor_id ASC) AS rnk FROM r)
+         |SELECT query_id, neighbor_id, rrf_score, CAST(rnk AS INT) AS rank
+         |FROM k WHERE rnk <= $K ORDER BY query_id, rank"""
+        .stripMargin.replace("\n", " ")),
+
     // Embedding covariance (upper triangle of the first 16 dims): the
     // distributed d×d Gram/covariance pass behind PCA whitening and
     // decorrelation of an embedding table. Each row explodes into its

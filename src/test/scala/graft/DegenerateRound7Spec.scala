@@ -65,6 +65,44 @@ class DegenerateRound7Spec extends AnyFunSuite with SparkTestBase {
     assert(out.count() == 2)
   }
 
+  test("DQ expectation aggregates detect planted violations") {
+    // the fixture is clean (all checks pass there); prove the checks
+    // actually FIRE by running the same aggregate shapes on dirty rows
+    val dirty = Seq(
+      (Some(1L), Some(10.0)), (None, Some(-3.0)), (Some(2L), None)
+    ).toDF("user_id", "value")
+    val r = dirty.agg(
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_viol"),
+      sum(when(col("value") < 0, 1L).otherwise(0L)).as("neg_viol"),
+      count(col("value")).as("n_value_checked")).head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L && r.getLong(2) == 2L)
+    // uniqueness: count − distinct flags the duplicate key
+    val dup = Seq(1L, 2L, 2L).toDF("k")
+      .agg((count(lit(1)) - countDistinct(col("k"))).as("v")).head
+    assert(dup.getLong(0) == 1L)
+    // referential integrity: the orphan child is the null-parent row
+    val child = Seq(10L, 11L).toDF("ck")
+    val parent = Seq(10L).toDF("pk")
+    val orphans = child.join(parent, col("ck") === col("pk"), "left")
+      .agg(sum(when(col("pk").isNull, 1L).otherwise(0L))).head.getLong(0)
+    assert(orphans == 1L)
+  }
+
+  test("RRF fusion output: dense ranks, scores inside the (0, 3/61] band") {
+    val r = SparkEntry.queries("ann_topk_rrf")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(r.nonEmpty)
+    val maxScore = 3.0 / 61 + 1e-9
+    r.foreach { x =>
+      val s = x.getAs[Double]("rrf_score")
+      assert(s > 0.0 && s <= maxScore, s"rrf score $s out of band")
+    }
+    r.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq ==
+        (1 to rows.length))
+    }
+  }
+
   test("late-priority semi join: no late lineitems → empty, not error") {
     val orders = Seq((1L, 10L, java.sql.Timestamp.valueOf("1996-08-01 00:00:00"), "1-URGENT"))
       .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")

@@ -37,6 +37,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "1-row aggregate cross joins over ≤32-row sketch samples",
     "streaming_hll_users" ->
       "64-row register-id table, broadcast (same assembly as the batch twin)",
+    "ann_topk_rrf" ->
+      "fuses three whitelisted retrievers; all fusion inputs ≤ queries×k rows",
     "doc_ann_topk" -> "5-row query set, broadcast (brute-force over hashed-BOW vectors)",
     "ann_topk_ivf" -> "16-row centroid table + 10-row query set, broadcast",
     "ann_topk_lsh" -> "10-row query set, broadcast",
