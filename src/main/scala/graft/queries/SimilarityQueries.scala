@@ -1039,65 +1039,32 @@ object SimilarityQueries {
     // ≤ |queries|·k rows, so the fusion join is trivially broadcastable
     // at any corpus size; the cost is the three retrievals themselves.
     Q("ann_topk_rrf",
+      (s, dir) => rrfTopK(s, dir).orderBy("query_id", "rank"),
+      s"SELECT * FROM ($rrfSql) ORDER BY query_id, rank"),
+
+    // Recall@k of the fused ranking vs the exact baseline — the same
+    // eval every single-index variant carries, answering the question
+    // fusion exists for: does agreement across indexes recover
+    // neighbors any one index misses?
+    Q("ann_recall_rrf",
       (s, dir) => {
-        val nc = Staged.normCorpus(s, dir)
-        val iv = SimilarityOps.ivfTopKNormWith(nc,
-            Staged.ivfCentroids(s, dir, 16), QueryIds, K, 4)
-          .select(col("query_id"), col("neighbor_id"),
-            col("rank").cast("int").as("r_ivf"))
-        val ls = SimilarityOps.lshTopKNorm(nc, QueryIds, K, 16, 4)
-          .select(col("query_id"), col("neighbor_id"),
-            col("rank").cast("int").as("r_lsh"))
-        val pq = {
-          val (cb, codes) = Staged.pqIndex(s, dir, PqM, PqKsub)
-          SimilarityOps.pqAdcTopKCodes(codes, nc, cb, 64, PqM, PqKsub,
-              QueryIds, K)
-            .select(col("query_id"), col("neighbor_id"),
-              col("rank").cast("int").as("r_pq"))
-        }
-        val cands = iv.select("query_id", "neighbor_id")
-          .unionByName(ls.select("query_id", "neighbor_id"))
-          .unionByName(pq.select("query_id", "neighbor_id"))
-          .distinct()
-        val scored = cands
-          .join(iv, Seq("query_id", "neighbor_id"), "left")
-          .join(ls, Seq("query_id", "neighbor_id"), "left")
-          .join(pq, Seq("query_id", "neighbor_id"), "left")
-          .select(col("query_id"), col("neighbor_id"),
-            // fixed textual term order: the three-addend float sum is
-            // identical in both engines only because the order is
-            round(coalesce(lit(1.0) / (lit(60) + col("r_ivf")), lit(0.0))
-              + coalesce(lit(1.0) / (lit(60) + col("r_lsh")), lit(0.0))
-              + coalesce(lit(1.0) / (lit(60) + col("r_pq")), lit(0.0)), 6)
-              .as("rrf_score"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))
-          .orderBy(col("rrf_score").desc, col("neighbor_id").asc)
-        scored.withColumn("rank", row_number().over(w).cast("int"))
-          .filter(col("rank") <= K)
-          .orderBy("query_id", "rank")
+        val brute = SimilarityOps
+          .bruteForceTopKNorm(Staged.normCorpus(s, dir), QueryIds, K)
+          .select(col("query_id"), col("neighbor_id"))
+        val fused = rrfTopK(s, dir)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        brute.join(fused, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_matched"))
+          .select(col("query_id"), col("n_matched"),
+            round(col("n_matched") / lit(K.toDouble), 6).as("recall_at_k"))
+          .orderBy("query_id")
       },
-      s"""WITH iv AS (SELECT query_id, neighbor_id, rank FROM ($ivfSql)),
-         |ls AS (SELECT query_id, neighbor_id, rank FROM ($lshSql)),
-         |pq AS (SELECT query_id, neighbor_id, rank FROM ($pqSql)),
-         |c AS (SELECT query_id, neighbor_id FROM iv
-         |  UNION SELECT query_id, neighbor_id FROM ls
-         |  UNION SELECT query_id, neighbor_id FROM pq),
-         |r AS (SELECT c.query_id, c.neighbor_id,
-         |  round(coalesce(1.0 / (60 + iv.rank), 0)
-         |    + coalesce(1.0 / (60 + ls.rank), 0)
-         |    + coalesce(1.0 / (60 + pq.rank), 0), 6) AS rrf_score
-         |  FROM c
-         |  LEFT JOIN iv ON c.query_id = iv.query_id
-         |    AND c.neighbor_id = iv.neighbor_id
-         |  LEFT JOIN ls ON c.query_id = ls.query_id
-         |    AND c.neighbor_id = ls.neighbor_id
-         |  LEFT JOIN pq ON c.query_id = pq.query_id
-         |    AND c.neighbor_id = pq.neighbor_id),
-         |k AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |  ORDER BY rrf_score DESC, neighbor_id ASC) AS rnk FROM r)
-         |SELECT query_id, neighbor_id, rrf_score, CAST(rnk AS INT) AS rank
-         |FROM k WHERE rnk <= $K ORDER BY query_id, rank"""
+      s"""SELECT b.query_id, CAST(count(i.neighbor_id) AS BIGINT) AS n_matched,
+         |round(count(i.neighbor_id) / ${K.toDouble}, 6) AS recall_at_k
+         |FROM ($bruteSql) b LEFT JOIN ($rrfSql) i
+         |ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id"""
         .stripMargin.replace("\n", " ")),
 
     // Embedding covariance (upper triangle of the first 16 dims): the
@@ -1167,6 +1134,74 @@ object SimilarityQueries {
        |  JOIN corpus cb ON vec_b = cb.vec_id),
        |blocked2 AS (SELECT * FROM scored WHERE cosine_sim >= 0.4)"""
       .stripMargin.replace("\n", " ")
+
+  /** Fused top-k ranking shared by ann_topk_rrf and its recall eval:
+    * IVF + LSH + PQ rankings combined with reciprocal-rank fusion
+    * (score = Σ 1/(60 + rank_r), missing retriever contributes 0) and
+    * re-ranked. All inputs ≤ |queries|·k rows. The three-addend float
+    * sum keeps a FIXED textual term order — that order (mirrored in
+    * [[rrfSql]]) is what makes the score identical in both engines. */
+  private def rrfTopK(s: org.apache.spark.sql.SparkSession,
+                      dir: String): org.apache.spark.sql.DataFrame = {
+    val nc = Staged.normCorpus(s, dir)
+    val iv = SimilarityOps.ivfTopKNormWith(nc,
+        Staged.ivfCentroids(s, dir, 16), QueryIds, K, 4)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("int").as("r_ivf"))
+    val ls = SimilarityOps.lshTopKNorm(nc, QueryIds, K, 16, 4)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("int").as("r_lsh"))
+    val pq = {
+      val (cb, codes) = Staged.pqIndex(s, dir, PqM, PqKsub)
+      SimilarityOps.pqAdcTopKCodes(codes, nc, cb, 64, PqM, PqKsub,
+          QueryIds, K)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("int").as("r_pq"))
+    }
+    val cands = iv.select("query_id", "neighbor_id")
+      .unionByName(ls.select("query_id", "neighbor_id"))
+      .unionByName(pq.select("query_id", "neighbor_id"))
+      .distinct()
+    val scored = cands
+      .join(iv, Seq("query_id", "neighbor_id"), "left")
+      .join(ls, Seq("query_id", "neighbor_id"), "left")
+      .join(pq, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("neighbor_id"),
+        round(coalesce(lit(1.0) / (lit(60) + col("r_ivf")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("r_lsh")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("r_pq")), lit(0.0)), 6)
+          .as("rrf_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= K)
+  }
+
+  /** Oracle twin of [[rrfTopK]] (no trailing ORDER BY — consumers add
+    * their own, same convention as bruteSql/ivfSql/lshSql/pqSql). */
+  private lazy val rrfSql: String =
+    s"""WITH iv AS (SELECT query_id, neighbor_id, rank FROM ($ivfSql)),
+       |ls AS (SELECT query_id, neighbor_id, rank FROM ($lshSql)),
+       |pq AS (SELECT query_id, neighbor_id, rank FROM ($pqSql)),
+       |c AS (SELECT query_id, neighbor_id FROM iv
+       |  UNION SELECT query_id, neighbor_id FROM ls
+       |  UNION SELECT query_id, neighbor_id FROM pq),
+       |r AS (SELECT c.query_id, c.neighbor_id,
+       |  round(coalesce(1.0 / (60 + iv.rank), 0)
+       |    + coalesce(1.0 / (60 + ls.rank), 0)
+       |    + coalesce(1.0 / (60 + pq.rank), 0), 6) AS rrf_score
+       |  FROM c
+       |  LEFT JOIN iv ON c.query_id = iv.query_id
+       |    AND c.neighbor_id = iv.neighbor_id
+       |  LEFT JOIN ls ON c.query_id = ls.query_id
+       |    AND c.neighbor_id = ls.neighbor_id
+       |  LEFT JOIN pq ON c.query_id = pq.query_id
+       |    AND c.neighbor_id = pq.neighbor_id),
+       |k AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY rrf_score DESC, neighbor_id ASC) AS rnk FROM r)
+       |SELECT query_id, neighbor_id, rrf_score, CAST(rnk AS INT) AS rank
+       |FROM k WHERE rnk <= $K""".stripMargin.replace("\n", " ")
 
   /** IVF-cell blocked near-dup pairs (nprobe 2 of 16 cells), as a WITH
     * prelude ending in the `blocked` relation — shared by the headline

@@ -37,6 +37,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "1-row aggregate cross joins over ≤32-row sketch samples",
     "streaming_hll_users" ->
       "64-row register-id table, broadcast (same assembly as the batch twin)",
+    "ann_recall_rrf" ->
+      "contains ann_topk_brute (eval baseline) + the whitelisted rrf fusion",
     "ann_topk_rrf" ->
       "fuses three whitelisted retrievers; all fusion inputs ≤ queries×k rows",
     "doc_ann_topk" -> "5-row query set, broadcast (brute-force over hashed-BOW vectors)",
