@@ -1046,6 +1046,34 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Dimension-wise standardization (z-scoring) of the first `d`
+    * embedding dimensions — the APPLICATION step of the covariance
+    * pass: per-dim mean/variance from one decimal-exact aggregation
+    * (identical doubles in both engines), broadcast back over the
+    * value stream, z = (x − mean)/√var. Two scans total (stats +
+    * apply) and the broadcast is d rows — corpus-size-independent.
+    * Zero-variance dims z-score to null (nullif), and the rounded z
+    * goes through the −0.0 normalizer since it crosses zero
+    * constantly. */
+  def standardizeDims(embeddings: DataFrame, d: Int): DataFrame = {
+    val vals = embeddings.select(col("vec_id"),
+      posexplode(expr(
+        s"slice(transform(embedding, x -> CAST(x AS DOUBLE)), 1, $d)")))
+      .toDF("vec_id", "i", "x")
+    val stats = vals.groupBy(col("i"))
+      .agg(count(lit(1)).as("n"),
+        Determinism.exactSum(col("x")).as("sx"),
+        Determinism.exactSum(col("x") * col("x")).as("sxx"))
+      .select(col("i"), (col("sx") / col("n")).as("mean"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"))
+          .as("variance"))
+    vals.join(broadcast(stats), Seq("i"))
+      .select(col("vec_id"), col("i").cast("int").as("i"),
+        Determinism.noNegZero(
+          round((col("x") - col("mean")) /
+            sqrt(nullif(col("variance"), lit(0d))), 6)).as("z"))
+  }
+
   /** Upper-triangular covariance of the first `d` embedding dimensions —
     * the distributed pass behind PCA whitening / decorrelation of an
     * embedding table. One narrow projection explodes each row into its

@@ -1067,6 +1067,31 @@ object SimilarityQueries {
          |GROUP BY b.query_id ORDER BY b.query_id"""
         .stripMargin.replace("\n", " ")),
 
+    // Dimension-wise standardization (the covariance pass APPLIED):
+    // z-score the first 16 dims against their own corpus statistics —
+    // the whitening/normalization step an embedding pipeline runs
+    // before training or indexing. Stats are one decimal-exact agg
+    // broadcast back as 16 rows; two scans total at any corpus size.
+    Q("embedding_standardize",
+      (s, dir) => SimilarityOps.standardizeDims(
+          Tables.embeddings(s, dir), 16)
+        .orderBy("vec_id", "i"),
+      s"""WITH vals AS (
+         |  SELECT vec_id, CAST(t.i AS INT) AS i,
+         |    CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE) AS x
+         |  FROM embeddings, range(0, 16) t(i)),
+         |st AS (SELECT i, CAST(count(*) AS BIGINT) AS n,
+         |  ${graft.ops.Determinism.sqlExactSum("x")} AS sx,
+         |  ${graft.ops.Determinism.sqlExactSum("x * x")} AS sxx
+         |  FROM vals GROUP BY i),
+         |m AS (SELECT i, sx / n AS mean,
+         |  (sxx - sx * sx / n) / n AS variance FROM st)
+         |SELECT vec_id, vals.i,
+         |${graft.ops.Determinism.sqlNoNegZero(
+             "round((x - mean) / sqrt(nullif(variance, 0)), 6)")} AS z
+         |FROM vals JOIN m ON vals.i = m.i
+         |ORDER BY vec_id, vals.i""".stripMargin.replace("\n", " ")),
+
     // Embedding covariance (upper triangle of the first 16 dims): the
     // distributed d×d Gram/covariance pass behind PCA whitening and
     // decorrelation of an embedding table. Each row explodes into its

@@ -118,6 +118,27 @@ class PiiEpochCovSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs === Map("ab" -> 3L, "ba" -> 2L))
   }
 
+  test("standardizeDims: z-scores have mean 0 and variance 1 per dim") {
+    val emb = Seq(
+      (1L, Array(1.0f, 10.0f)), (2L, Array(2.0f, 20.0f)),
+      (3L, Array(3.0f, 30.0f)), (4L, Array(4.0f, 40.0f))
+    ).toDF("vec_id", "embedding")
+    val z = graft.ops.SimilarityOps.standardizeDims(emb, 2)
+    val stats = z.groupBy("i")
+      .agg(avg("z").as("m"), avg(col("z") * col("z")).as("m2"))
+      .collect()
+    stats.foreach { r =>
+      assert(math.abs(r.getDouble(1)) < 1e-5, s"mean off: $r")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-4, s"variance off: $r")
+    }
+    // constant dim → null z (zero variance), not a crash
+    val const = Seq((1L, Array(5.0f)), (2L, Array(5.0f)))
+      .toDF("vec_id", "embedding")
+    val cz = graft.ops.SimilarityOps.standardizeDims(const, 1)
+      .select("z").collect()
+    assert(cz.length == 2 && cz.forall(_.isNullAt(0)))
+  }
+
   test("covariance output never carries IEEE -0.0 (compare-harness trap)") {
     // two antisymmetric dims whose covariance rounds to zero from below
     val emb = Seq(
