@@ -279,4 +279,96 @@ object MultimodalOps {
         col("media_id"), col("n_bytes"),
         (col("pos") + 1).cast("int").as("frame_idx"),
         col("digest"))
+
+  // ---- audio (real WAV codec round-trip) ----
+
+  final case class AudioMeta(media_id: Long, sample_rate: Int,
+                             n_samples: Long, amp_sum: Long,
+                             amp_min: Int, amp_max: Int,
+                             zero_crossings: Long)
+
+  /** Deterministic audio law: doc d is a mono 16-bit PCM clip at 8 kHz
+    * with 256 + d%256 samples, sample(i) = ((i·(3 + d%5) + d) mod 2048)
+    * − 1024 — integer-only (no trig), so the oracle re-derives every
+    * whole-clip statistic in closed form, while a decode bug (wrong
+    * endianness, dropped frames, sign error) shifts sum/min/max or the
+    * zero-crossing count. */
+  private[ops] def audN(id: Long): Int = (256 + id % 256).toInt
+  private[ops] def audSample(id: Long, i: Int): Int =
+    (((i.toLong * (3 + id % 5) + id) % 2048) - 1024).toInt
+
+  private val AudRate = 8000
+
+  /** Documents → WAV media table: one REAL RIFF/WAVE payload per
+    * doc_id, synthesized and containerized INSIDE executors via
+    * `javax.sound.sampled` — bytes never visit the driver (the audio
+    * twin of [[encodePngMedia]]). */
+  def encodeWavMedia(docs: DataFrame): DataFrame = {
+    val spark: SparkSession = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val n = audN(id)
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = audSample(id, i)
+          pcm(2 * i) = (s & 0xff).toByte            // little-endian
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          AudRate.toFloat, 16, 1, 2, AudRate.toFloat, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        ais.close()
+        (id, "audio/wav", bos.toByteArray)
+      }
+    }.toDF("media_id", "media_type", "payload")
+  }
+
+  /** REAL audio decode: parse the WAV container with
+    * `javax.sound.sampled`, read the PCM stream back, and compute
+    * whole-clip statistics — sample rate and frame count from the
+    * container header, absolute-amplitude sum/min/max and the
+    * zero-crossing count from the samples (the standard cheap audio
+    * features). Partition-batched; narrow, shuffle-free; a corrupt
+    * payload fails loudly (getAudioInputStream throws). try/finally
+    * releases the stream even when a payload dies mid-read. */
+  def decodeAudio(media: DataFrame): Dataset[AudioMeta] = {
+    val spark: SparkSession = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { m =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        try {
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"media ${m.media_id}: expected 16-bit mono PCM, got $fmt")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+          var crossings = 0L; var prev = 0; var i = 0
+          while (i < n) {
+            // 16-bit little-endian signed, matching the written format
+            val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+            sum += math.abs(s)
+            if (s < mn) mn = s
+            if (s > mx) mx = s
+            if (i > 0 && ((prev < 0 && s >= 0) || (prev >= 0 && s < 0)))
+              crossings += 1
+            prev = s
+            i += 1
+          }
+          AudioMeta(m.media_id, fmt.getSampleRate.toInt, n.toLong,
+            sum, mn, mx, crossings)
+        } finally ais.close()
+      }
+    }
+  }
 }

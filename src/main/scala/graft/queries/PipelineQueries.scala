@@ -47,6 +47,37 @@ object PipelineQueries {
          |FROM xy GROUP BY doc_id, wd, ht
          |ORDER BY media_id""".stripMargin.replace("\n", " ")),
 
+    // REAL audio codec round-trip: one RIFF/WAVE payload per doc
+    // synthesized + containerized in executors (javax.sound.sampled),
+    // decoded back through the same stack, whole-clip features
+    // (|amp| sum, min/max, zero crossings) computed from the decoded
+    // PCM. The integer sample law lets the oracle re-derive every
+    // statistic in closed form — a decode bug (endianness, sign,
+    // dropped frames) shifts them. Executor-side bytes, narrow map;
+    // completes the image/video/audio modality triple.
+    Q("multimodal_audio_stats",
+      (s, dir) => MultimodalOps.decodeAudio(
+          MultimodalOps.encodeWavMedia(Tables.documents(s, dir)))
+        .toDF().orderBy("media_id"),
+      s"""WITH d AS (SELECT doc_id, 256 + doc_id % 256 AS n,
+         |  3 + doc_id % 5 AS k FROM documents),
+         |sm AS (SELECT doc_id, n, k, unnest(range(0, n)) AS i FROM d),
+         |v AS (SELECT doc_id, n,
+         |  CAST((i * k + doc_id) % 2048 - 1024 AS INT) AS smp,
+         |  CASE WHEN i > 0 THEN
+         |    CAST(((i - 1) * k + doc_id) % 2048 - 1024 AS INT) END AS prev
+         |  FROM sm)
+         |SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+         |CAST(max(n) AS BIGINT) AS n_samples,
+         |CAST(SUM(abs(smp)) AS BIGINT) AS amp_sum,
+         |CAST(MIN(smp) AS INT) AS amp_min,
+         |CAST(MAX(smp) AS INT) AS amp_max,
+         |CAST(SUM(CASE WHEN prev IS NOT NULL
+         |  AND ((prev < 0 AND smp >= 0) OR (prev >= 0 AND smp < 0))
+         |  THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+         |FROM v GROUP BY doc_id ORDER BY media_id"""
+        .stripMargin.replace("\n", " ")),
+
     // Frame sampling: binary chunking, one scalar row per frame so the
     // result is flat-comparable (no array columns at the sink boundary).
     Q("multimodal_frames",

@@ -12,6 +12,38 @@ import org.scalatest.funsuite.AnyFunSuite
 class MultimodalFramesSpec extends AnyFunSuite with SparkTestBase {
   private val dir = "/root/testdata/sf0.001"
 
+  test("WAV round-trip: decoded stats equal the closed-form sample law") {
+    val docs = Tables.documents(spark, dir).limit(50)
+    val metas = MultimodalOps
+      .decodeAudio(MultimodalOps.encodeWavMedia(docs)).collect()
+    assert(metas.length == 50)
+    metas.foreach { a =>
+      val id = a.media_id
+      val n = (256 + id % 256).toInt
+      def smp(i: Int): Int =
+        (((i.toLong * (3 + id % 5) + id) % 2048) - 1024).toInt
+      val samples = (0 until n).map(smp)
+      assert(a.sample_rate == 8000 && a.n_samples == n.toLong)
+      assert(a.amp_sum == samples.map(s => math.abs(s).toLong).sum)
+      assert(a.amp_min == samples.min && a.amp_max == samples.max)
+      val cross = samples.sliding(2).count {
+        case Seq(p, s) => (p < 0 && s >= 0) || (p >= 0 && s < 0)
+        case _         => false
+      }
+      assert(a.zero_crossings == cross.toLong,
+        s"zero-crossing mismatch for clip $id")
+    }
+  }
+
+  test("audio decode fails loudly on a non-audio payload") {
+    import spark.implicits._
+    val bogus = Seq((1L, "audio/wav", Array[Byte](1, 2, 3, 4)))
+      .toDF("media_id", "media_type", "payload")
+    intercept[org.apache.spark.SparkException] {
+      MultimodalOps.decodeAudio(bogus).collect()
+    }
+  }
+
   test("GIF sequence round-trip: every frame decodes back to the law") {
     val docs = Tables.documents(spark, dir).limit(50)
     val frames = MultimodalOps
