@@ -331,6 +331,51 @@ object MultimodalOps {
     }.toDF("media_id", "media_type", "payload")
   }
 
+  /** REAL audio downsample: decode each WAV payload, keep every
+    * `factor`-th sample (out(i) = in(i·factor) — the one resampler
+    * with a closed-form output law; proper decimation filters have
+    * implementation-defined kernels), and re-containerize at the
+    * reduced rate INSIDE executors. Output schema = the media table's,
+    * so it composes with [[decodeAudio]] exactly the way
+    * [[resizePngMedia]] composes with [[decodeImage]]. */
+  def downsampleWavMedia(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val spark: SparkSession = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { m =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        try {
+          val fmt = in.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"media ${m.media_id}: expected 16-bit mono PCM, got $fmt")
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          val outN = (n + factor - 1) / factor
+          val pcm = new Array[Byte](outN * 2)
+          var i = 0
+          while (i < outN) {
+            pcm(2 * i) = bytes(2 * i * factor)
+            pcm(2 * i + 1) = bytes(2 * i * factor + 1)
+            i += 1
+          }
+          val outRate = fmt.getSampleRate / factor
+          val outFmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            outRate, 16, 1, 2, outRate, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), outFmt, outN.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          ais.close()
+          (m.media_id, m.media_type, bos.toByteArray)
+        } finally in.close()
+      }
+    }.toDF("media_id", "media_type", "payload")
+  }
+
   /** REAL audio decode: parse the WAV container with
     * `javax.sound.sampled`, read the PCM stream back, and compute
     * whole-clip statistics — sample rate and frame count from the

@@ -78,6 +78,36 @@ object PipelineQueries {
          |FROM v GROUP BY doc_id ORDER BY media_id"""
         .stripMargin.replace("\n", " ")),
 
+    // REAL audio resample: the full decode → keep-every-2nd-sample →
+    // re-containerize-at-half-rate → decode chain, law-verified (the
+    // audio twin of multimodal_resize; naive decimation is the one
+    // resampler with a closed-form output law the oracle can check).
+    Q("multimodal_audio_resample",
+      (s, dir) => MultimodalOps.decodeAudio(
+          MultimodalOps.downsampleWavMedia(
+            MultimodalOps.encodeWavMedia(Tables.documents(s, dir)), 2))
+        .toDF().orderBy("media_id"),
+      s"""WITH d AS (SELECT doc_id, 256 + doc_id % 256 AS n,
+         |  3 + doc_id % 5 AS k FROM documents),
+         |sm AS (SELECT doc_id, (n + 1) // 2 AS outn, k,
+         |  unnest(range(0, (n + 1) // 2)) AS j FROM d),
+         |v AS (SELECT doc_id, outn,
+         |  CAST((2 * j * k + doc_id) % 2048 - 1024 AS INT) AS smp,
+         |  CASE WHEN j > 0 THEN
+         |    CAST((2 * (j - 1) * k + doc_id) % 2048 - 1024 AS INT)
+         |  END AS prev
+         |  FROM sm)
+         |SELECT doc_id AS media_id, CAST(4000 AS INT) AS sample_rate,
+         |CAST(max(outn) AS BIGINT) AS n_samples,
+         |CAST(SUM(abs(smp)) AS BIGINT) AS amp_sum,
+         |CAST(MIN(smp) AS INT) AS amp_min,
+         |CAST(MAX(smp) AS INT) AS amp_max,
+         |CAST(SUM(CASE WHEN prev IS NOT NULL
+         |  AND ((prev < 0 AND smp >= 0) OR (prev >= 0 AND smp < 0))
+         |  THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+         |FROM v GROUP BY doc_id ORDER BY media_id"""
+        .stripMargin.replace("\n", " ")),
+
     // Frame sampling: binary chunking, one scalar row per frame so the
     // result is flat-comparable (no array columns at the sink boundary).
     Q("multimodal_frames",
