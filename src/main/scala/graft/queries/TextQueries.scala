@@ -268,22 +268,24 @@ object TextQueries {
     // checks counts AND the digest of the fully-redacted text. Pure
     // per-row regex in the Java∩RE2 dialect; narrow map, no shuffle.
     Q("pii_scan",
+      (s, dir) => TextOps.piiScan(
+          piiAugment(Tables.documents(s, dir))).orderBy("doc_id"),
+      piiOracle),
+
+    // Streaming twin of pii_scan — compliance in flight: the document
+    // stream passes through the identical regex detect/redact map per
+    // micro-batch (foreachBatch append sink). Per-row pure, so any
+    // micro-batch slicing yields the identical result and the batch
+    // oracle applies verbatim; only digests reach the sink.
+    Q("streaming_pii_scan",
       (s, dir) => {
-        val aug = Tables.documents(s, dir).select(col("doc_id"), concat(
-          col("text"),
-          when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
-            col("doc_id").cast("string"), lit("@example.org now")))
-            .otherwise(lit("")),
-          when(col("doc_id") % 11 === 0, concat(lit(" call 212-555-"),
-            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
-            lit(" soon"))).otherwise(lit("")),
-          when(col("doc_id") % 13 === 0, concat(lit(" host 10."),
-            (col("doc_id") % 256).cast("string"), lit(".0.1 up")))
-            .otherwise(lit("")),
-          when(col("doc_id") % 17 === 0, lit(" card 4111 1111 1111 1111 ok"))
-            .otherwise(lit(""))).as("text"))
-        TextOps.piiScan(aug).orderBy("doc_id")
-      }, piiOracle),
+        val work = graft.util.Fs.workDir("graft_stream_pii", dir).toString
+        graft.util.Fs.deleteRec(work)
+        graft.streaming.StreamingPii
+          .scanAvailableNow(s, dir, work, piiAugment)
+          .orderBy("doc_id")
+      },
+      piiOracle),
 
     // BPE tokenizer fit, step 1: the global adjacent-character-pair
     // frequency table (within whitespace words, non-distinct — a pair's
@@ -356,6 +358,27 @@ object TextQueries {
        |CAST(cms_est - exact_count AS BIGINT) AS overcount
        |FROM est ORDER BY token""".stripMargin.replace("\n", " ")
   }
+
+  /** Deterministic PII planting (batch and streaming scan share it, so
+    * both literally scan the same text): the fixture is word-salad, so
+    * both engines append the SAME doc_id-keyed email / phone / IPv4 /
+    * card spans before scanning — the regex machinery sees real
+    * nonzero hits and the oracle checks counts AND redacted digest. */
+  private def piiAugment(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.org now")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, concat(lit(" call 212-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" soon"))).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, concat(lit(" host 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0.1 up")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 17 === 0, lit(" card 4111 1111 1111 1111 ok"))
+        .otherwise(lit(""))).as("text"))
 
   /** Oracle for [[pii_scan]] — built from the same PiiPatterns table as
     * the Spark side so the regexes cannot drift. */
