@@ -132,6 +132,45 @@ object CorpusQueries {
     // sampler; both engines derive the identical expansion). Narrow
     // explode bounded at 5× input, no shuffle — the LLaMA-style
     // "dataset epochs" mixing shape at 100 TB.
+    // The pipeline's LAST MILE: materialize the corpus as hash-bucketed
+    // training shards (partitionBy(shard) parquet — one directory per
+    // shard, the layout a trainer's data loader consumes) and answer
+    // the per-shard manifest FROM the written shards, so the oracle
+    // proves the write was complete and partition-correct, not just
+    // that the plan was right. Deterministic hash sharding: no RNG,
+    // both engines derive the same manifest. At 100 TB this is the
+    // standard one-shuffle repartition-by-shard write; the manifest agg
+    // is 8 rows.
+    Q("corpus_shards_write",
+      (s, dir) => {
+        val work = graft.util.Fs.workDir("graft_shards", dir).toString
+        graft.util.Fs.deleteRec(work)
+        val sharded = Tables.documents(s, dir).select(
+          col("doc_id"), col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+          (Hashing.md5Long(col("doc_id").cast("string")) % 8)
+            .cast("int").as("shard"))
+        sharded.repartition(col("shard"))
+          .write.mode("overwrite").partitionBy("shard")
+          .parquet(s"$work/shards")
+        s.read.parquet(s"$work/shards")
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .select(col("shard").cast("int").as("shard"), col("n_docs"),
+            col("n_tokens"), col("min_doc"), col("max_doc"))
+          .orderBy("shard")
+      },
+      s"""SELECT CAST(${Hashing.sqlMd5Long(
+             "CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS shard,
+         |CAST(count(*) AS BIGINT) AS n_docs,
+         |CAST(SUM(len($toks)) AS BIGINT) AS n_tokens,
+         |min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM documents GROUP BY shard ORDER BY shard"""
+        .stripMargin.replace("\n", " ")),
+
     Q("corpus_epochs",
       (s, dir) => CorpusOps.epochExpansion(
           TextOps.qualityScore(Tables.documents(s, dir))
