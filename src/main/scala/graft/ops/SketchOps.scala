@@ -105,6 +105,12 @@ object SketchOps {
     * so bottom-k is unique and both engines build the identical
     * samples; floats appear only in the final estimate divisions.
     *
+    * Small-set rule: a sample holding fewer than k hashes IS its set —
+    * its exact count is the estimate (the (k−1)·2^60/kth formula
+    * assumes a full sample and would collapse to ~k−1 otherwise), and
+    * Jaccard divides by the union SAMPLE size, not k, so partially
+    * filled sketches don't silently deflate the overlap.
+    *
     * Scale shape: per-side bottom-k is a partial TakeOrdered (every
     * partition forwards ≤ k rows); everything after runs on ≤ 2k rows.
     * The exact intersection alongside is the eval baseline — dropped
@@ -124,7 +130,9 @@ object SketchOps {
     def estOf(df: DataFrame, kth: String, est: String) = df
       .agg(max(col("hv")).as(kth), count(lit(1)).as(s"n_$kth"))
       .select(col(kth), col(s"n_$kth"),
-        round((lit(k - 1.0) * lit(math.pow(2.0, 60))) / col(kth), 6)
+        when(col(s"n_$kth") < k, col(s"n_$kth").cast("double"))
+          .otherwise(round(
+            (lit(k - 1.0) * lit(math.pow(2.0, 60))) / col(kth), 6))
           .as(est))
     val x = unionSample
       .join(ba, Seq("hv"), "left_semi")
@@ -141,8 +149,9 @@ object SketchOps {
       .crossJoin(x).crossJoin(exact).crossJoin(ea).crossJoin(eb)
       .select(col("n_a"), col("n_b"), col("n_inter"),
         col("est_a"), col("est_b"), col("est_union"), col("x_in_both"),
-        round(col("x_in_both").cast("double") / k, 6).as("jaccard_est"),
-        round(round(col("x_in_both").cast("double") / k, 6) *
+        round(col("x_in_both").cast("double") / col("n_u_kth"), 6)
+          .as("jaccard_est"),
+        round(round(col("x_in_both").cast("double") / col("n_u_kth"), 6) *
           col("est_union"), 6).as("est_inter"))
       .withColumn("rel_err",
         // null, not a crash, when the true intersection is empty

@@ -167,16 +167,9 @@ object TextOps {
     * exact count, CMS estimate, overcount (est − exact, ≥ 0). */
   def cmsTokenEstimates(docs: DataFrame, d: Int, w: Int, topN: Int,
                         text: String = "text"): DataFrame = {
-    val coeffs = Hashing.affineCoeffs(d)
     val toks = docs.select(explode(tokens(col(text))).as("token"))
-    val h = Hashing.h31(col("token"))
-    val rowBuckets = array(coeffs.zipWithIndex.map { case ((a, b), i) =>
-      struct(lit(i).as("row_i"),
-        (Hashing.affine(h, a, b) % w).as("bucket")) }: _*)
-    val counters = toks.select(explode(rowBuckets).as("rb"))
-      .select(col("rb.row_i").as("row_i"), col("rb.bucket").as("bucket"))
-      .groupBy(col("row_i"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
+    val rowBuckets = cmsRowBuckets(d, w)
+    val counters = cmsCounters(toks, d, w)
     val probes = toks.groupBy(col("token"))
       .agg(count(lit(1)).as("exact_count"))
       .orderBy(col("exact_count").desc, col("token").asc)
@@ -191,6 +184,25 @@ object TextOps {
       .select(col("token"), col("exact_count"), col("cms_est"),
         (col("cms_est") - col("exact_count")).as("overcount"))
   }
+
+  /** The per-token (row_i, bucket) hash array shared by the counter
+    * build and the probe side — one source of truth for the sketch's
+    * hash placements. */
+  private def cmsRowBuckets(d: Int, w: Int): Column = {
+    val h = Hashing.h31(col("token"))
+    array(Hashing.affineCoeffs(d).zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("row_i"),
+        (Hashing.affine(h, a, b) % w).as("bucket")) }: _*)
+  }
+
+  /** The raw CMS counter table (row_i, bucket, c) over a `token` column
+    * — the sketch itself, exposed so specs can assert structural
+    * invariants (per-row mass conservation) on the actual counters. */
+  def cmsCounters(toks: DataFrame, d: Int, w: Int): DataFrame =
+    toks.select(explode(cmsRowBuckets(d, w)).as("rb"))
+      .select(col("rb.row_i").as("row_i"), col("rb.bucket").as("bucket"))
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
 
   /** PII patterns, in redaction-application order. Regex stays in the
     * dialect subset Java and RE2 (DuckDB) share: word boundaries,

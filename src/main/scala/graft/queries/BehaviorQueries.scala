@@ -138,9 +138,13 @@ object BehaviorQueries {
          |u AS (SELECT DISTINCT hv FROM
          |  (SELECT hv FROM ba UNION ALL SELECT hv FROM bb)
          |  ORDER BY hv LIMIT 32),
-         |ka AS (SELECT round(31.0 * (2.0 ** 60) / max(hv), 6) AS est_a FROM ba),
-         |kb AS (SELECT round(31.0 * (2.0 ** 60) / max(hv), 6) AS est_b FROM bb),
-         |ku AS (SELECT round(31.0 * (2.0 ** 60) / max(hv), 6) AS est_union FROM u),
+         |ka AS (SELECT CASE WHEN count(*) < 32 THEN CAST(count(*) AS DOUBLE)
+         |  ELSE round(31.0 * (2.0 ** 60) / max(hv), 6) END AS est_a FROM ba),
+         |kb AS (SELECT CASE WHEN count(*) < 32 THEN CAST(count(*) AS DOUBLE)
+         |  ELSE round(31.0 * (2.0 ** 60) / max(hv), 6) END AS est_b FROM bb),
+         |ku AS (SELECT count(*) AS n_u,
+         |  CASE WHEN count(*) < 32 THEN CAST(count(*) AS DOUBLE)
+         |  ELSE round(31.0 * (2.0 ** 60) / max(hv), 6) END AS est_union FROM u),
          |x AS (SELECT CAST(count(*) AS BIGINT) AS x_in_both FROM u
          |  WHERE hv IN (SELECT hv FROM ba) AND hv IN (SELECT hv FROM bb)),
          |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_inter FROM
@@ -153,10 +157,10 @@ object BehaviorQueries {
          |eb AS (SELECT count(DISTINCT user_id) AS n_b FROM events
          |  WHERE CAST(ts AS DATE) = DATE '2024-01-02')
          |SELECT n_a, n_b, n_inter, est_a, est_b, est_union, x_in_both,
-         |round(CAST(x_in_both AS DOUBLE) / 32, 6) AS jaccard_est,
-         |round(round(CAST(x_in_both AS DOUBLE) / 32, 6) * est_union, 6)
+         |round(CAST(x_in_both AS DOUBLE) / n_u, 6) AS jaccard_est,
+         |round(round(CAST(x_in_both AS DOUBLE) / n_u, 6) * est_union, 6)
          |  AS est_inter,
-         |round(abs(round(round(CAST(x_in_both AS DOUBLE) / 32, 6)
+         |round(abs(round(round(CAST(x_in_both AS DOUBLE) / n_u, 6)
          |  * est_union, 6) - n_inter)
          |  / nullif(CAST(n_inter AS DOUBLE), 0), 6) AS rel_err
          |FROM ka, kb, ku, x, ex, ea, eb""".stripMargin.replace("\n", " "))

@@ -40,12 +40,21 @@ class CmsSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("total sketch mass per row equals the stream length") {
-    // conservation: every row of counters sums to N tokens — the
-    // property that makes sketches mergeable across partitions
-    val toks = docs.selectExpr("explode(split(trim(text), '\\\\s+'))")
+    // conservation: every hash row's counters sum to N tokens — the
+    // property that makes sketches mergeable across partitions.
+    // Asserted on the ACTUAL counter table (w=2 — both buckets carry
+    // partial mass), not on probe exact counts, which only restate the
+    // token counts.
+    val toks = docs.selectExpr(
+      "explode(split(trim(text), '\\\\s+')) AS token")
     val n = toks.count()
-    val probes = TextOps.cmsTokenEstimates(docs, 1, 2, 10)
-      .agg(org.apache.spark.sql.functions.sum("exact_count")).head.getLong(0)
-    assert(probes == n)
+    val d = 4
+    val perRow = TextOps.cmsCounters(toks, d, 2)
+      .groupBy("row_i")
+      .agg(org.apache.spark.sql.functions.sum("c").as("mass"))
+      .collect()
+    assert(perRow.length == d, "a hash row emitted no counters")
+    perRow.foreach(r => assert(r.getAs[Long]("mass") == n,
+      s"row ${r.getAs[Int]("row_i")} mass ${r.getAs[Long]("mass")} != $n"))
   }
 }

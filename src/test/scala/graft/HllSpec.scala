@@ -111,6 +111,21 @@ class HllSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Long]("n_inter") == 0L)
   }
 
+  test("KMV: samples below k are exact — estimates equal true counts") {
+    // 10- and 15-key sets under a k=32 sketch: the full-sample formula
+    // ((k−1)·2^60/kth) would report ~31 regardless of the true size;
+    // the small-set rule must return the sample counts themselves and
+    // divide Jaccard by the union sample size, not k
+    val r = SketchOps.kmvOverlap(users(1 to 10), users(6 to 15),
+      "user_id", 32).head
+    assert(r.getAs[Double]("est_a") == 10.0)
+    assert(r.getAs[Double]("est_b") == 10.0)
+    assert(r.getAs[Double]("est_union") == 15.0)
+    assert(math.abs(r.getAs[Double]("jaccard_est") - 5.0 / 15.0) < 1e-5)
+    assert(math.abs(r.getAs[Double]("est_inter") - 5.0) < 0.01)
+    assert(r.getAs[Long]("n_inter") == 5L)
+  }
+
   test("KMV: half-overlap lands between the extremes") {
     val r = SketchOps.kmvOverlap(users(1 to 200), users(101 to 300),
       "user_id", 32).head

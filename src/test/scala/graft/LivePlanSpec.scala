@@ -57,14 +57,18 @@ class LivePlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"Q5 degenerated to a non-equi join:\n$plan")
-    // every dim-side join (region→nation, customer, supplier) must ride
-    // a broadcast — the region-pruned sets are tiny at any corpus scale
+    // the structural property (derived from the plan's own join count,
+    // not a pinned exchange tally that AQE/threshold/Spark-version
+    // changes would flip without a semantic regression): of all the
+    // joins in the plan, at most ONE — lineitem⨝orders, the only
+    // fact-fact pair — may be a shuffle join; every other join (the
+    // region-pruned dims) must ride a broadcast at any corpus scale
     val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
-    assert(bhj >= 3, s"expected >=3 broadcast joins (dims), got $bhj:\n$plan")
-    // shuffles: the lineitem⨝orders fact join (2 exchanges) + the final
-    // n_name agg (1) + the output sort — never a dim-side shuffle storm
-    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(shuffles <= 3, s"expected <=3 hash exchanges, got $shuffles:\n$plan")
+    val shuffled = "SortMergeJoin".r.findAllIn(plan).length +
+      "ShuffledHashJoin".r.findAllIn(plan).length
+    assert(bhj + shuffled >= 4, s"Q5 lost joins entirely:\n$plan")
+    assert(shuffled <= 1,
+      s"expected at most 1 shuffle join (fact⨝fact), got $shuffled of ${bhj + shuffled}:\n$plan")
   }
 
   test("hot aggregation queries stay inside whole-stage codegen") {

@@ -261,4 +261,23 @@ class StreamingSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.count() > 0, "no join matches — widen the window")
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
+
+  test("streaming PII sink is replay-safe: redelivered batches don't duplicate") {
+    val work = s"${System.getProperty("java.io.tmpdir")}/graft_pii_replay"
+    deleteRec(work)
+    val aug = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("doc_id"), col("text"))
+    val n1 = graft.streaming.StreamingPii
+      .scanAvailableNow(spark, sf, work, aug).count()
+    assert(n1 > 0, "first run scanned nothing")
+    // wipe the checkpoint but keep the sink: the rerun redelivers every
+    // micro-batch with the same batchIds — exactly foreachBatch's
+    // at-least-once failure mode. The batchId-keyed sink must skip the
+    // already-committed directories instead of appending duplicates.
+    deleteRec(s"$work/ckpt")
+    val r2 = graft.streaming.StreamingPii
+      .scanAvailableNow(spark, sf, work, aug)
+    assert(r2.count() == n1, "replayed batches appended duplicate rows")
+    assert(r2.select("doc_id").distinct().count() == n1)
+  }
 }
