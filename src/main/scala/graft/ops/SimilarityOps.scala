@@ -77,6 +77,29 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Exact-cosine rerank of an externally produced candidate set
+    * (query_id, neighbor_id) — stage 2 of the standard two-stage
+    * retrieval pattern: cheap approximate indexes nominate, the true
+    * metric ranks. Candidate cardinality is the caller's contract
+    * (≤ |queries| · Σ per-index k for a fused union), so the exact
+    * pass touches a vanishing fraction of the corpus at any scale:
+    * queries broadcast, candidates hash-join the corpus on vec_id,
+    * one window per query over ≤ a few dozen rows. */
+  def rerankExactTopKNorm(corpus: DataFrame, cands: DataFrame,
+                          queryIds: Seq[Long], k: Int): DataFrame = {
+    val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("n_emb").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    cands.join(broadcast(queries), Seq("query_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("n_emb")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dotCosine(col("q_emb"), col("n_emb")).as("cosine_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** The top-`nprobe` nearest-cell column against a FIXED centroid
     * table: collects the (nCells-bounded — n/targetCellSize rows, a few
     * MB per million corpus vectors) centroid matrix to the driver and

@@ -367,27 +367,11 @@ object PipelineQueries {
     // indexes; plan-asserted in PlanQualitySpec).
     Q("warehouse_catalog",
       (s, dir) => {
-        // drop catalog entry AND the physical location: a fresh session
-        // doesn't know the previous run's table, so DROP alone leaves a
-        // stale directory that blocks the managed-table CREATE
-        Seq("graft_wh_ticks", "graft_wh_daily").foreach { t =>
-          s.sql(s"DROP TABLE IF EXISTS $t")
-          graft.util.Fs.deleteRec(
-            s.conf.get("spark.sql.warehouse.dir")
-              .stripPrefix("file:") + s"/$t")
-        }
-        val ticks = graft.ops.TickOps
-          .normalizeEvents(Tables.events(s, dir))
-          .withColumn("trade_date", to_date(col("event_ts")))
-        graft.ops.WarehouseOps.refreshCatalogTable(ticks, "graft_wh_ticks")
-        val day2 = "2024-01-02"
-        graft.ops.WarehouseOps.refreshCatalogTable(
-          ticks.filter(col("trade_date") === lit(day2))
-            .withColumn("price", col("price") * 2), "graft_wh_ticks")
-        graft.ops.WarehouseOps.saveBucketedDim(
-          graft.ops.TickOps.dailyOhlc(
-            graft.ops.TickOps.normalizeEvents(Tables.events(s, dir))),
-          "graft_wh_daily")
+        // tables land once per session (Staged.warehouseTables: the
+        // S8-S11 DDL build — partitioned+bucketed ticks with one date
+        // re-landed at doubled prices, plus the co-bucketed daily dim);
+        // the registered query is the catalog READ under test
+        Staged.warehouseTables(s, dir)
         s.table("graft_wh_ticks")
           .groupBy(col("symbol"), col("trade_date"))
           .agg(count(lit(1)).as("n_rows"),

@@ -310,6 +310,27 @@ object SimilarityQueries {
                            dir: String): (Int, Int) =
     ivf2Params(Staged.corpusCount(s, dir) * 4 / 5)
 
+  /** Force this family's staged artifacts (Staged.prewarm hook):
+    * normalized corpus + count, flat and two-level centroids, the
+    * cell-partitioned layout, the PQ codebook/codes, and the frozen
+    * maintenance index with its post-append state. Parameter derivation
+    * is the registered queries' own (ivf2Params / annIdxParams), so a
+    * knob change can't silently leave an artifact cold. */
+  private[queries] def prewarm(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val n = Staged.corpusCount(s, dir) // forces normCorpus
+    Staged.ivfCentroids(s, dir, 16).count()
+    Staged.ivfCentroids(s, dir, ivf2Params(n)._1).count()
+    Staged.ivfLayout(s, dir, 16)
+    val (cb, codes) = Staged.pqIndex(s, dir, PqM, PqKsub)
+    cb.count(); codes.count()
+    val (ak1, ak2) = annIdxParams(s, dir)
+    val (sc, ch, ex) = Staged.annIndex(s, dir, ak1, ak2)
+    sc.count(); ch.count(); ex.count()
+    val (ar, mem, hot) = Staged.annAppendState(s, dir, ak1, ak2, HotFactor)
+    ar.count(); mem.count(); hot.count()
+  }
+
   /** Shared WITH prelude for the incremental-maintenance oracles:
     * historical corpus (4/5 slice) → super centroids → children →
     * historical assignment (`cassign`) + arriving-batch assignment
@@ -1030,22 +1051,26 @@ object SimilarityQueries {
          |FROM ranked WHERE rnk <= $K ORDER BY query_id, rank"""
         .stripMargin.replace("\n", " ")),
 
-    // Hybrid retrieval via reciprocal-rank fusion: the three approximate
-    // indexes (IVF cell probe, LSH bands, PQ ADC) each return their own
-    // top-k ranking; RRF fuses them — score = Σ 1/(60 + rank_r), missing
-    // retriever → 0 — and re-ranks. The standard hybrid-search combiner
-    // (it needs only ranks, never comparable scores, which is exactly
-    // why it works across heterogeneous indexes). All three inputs are
-    // ≤ |queries|·k rows, so the fusion join is trivially broadcastable
-    // at any corpus size; the cost is the three retrievals themselves.
+    // Hybrid retrieval via WEIGHTED reciprocal-rank fusion: the three
+    // approximate indexes (IVF cell probe, LSH bands, PQ ADC) each
+    // return their own top-k ranking; fusion scores
+    // Σ w_r/(60 + rank_r) with each index weighted by its measured
+    // recall (WIvf/WLsh/WPq — see their doc for the dominance floor
+    // that makes fused membership provably ≥ the best index, where
+    // equal weights measured 0.70 vs IVF's 0.87). Rank-only, so it
+    // works across heterogeneous indexes with incomparable scores. All
+    // three inputs are ≤ |queries|·k rows, so the fusion join is
+    // trivially broadcastable at any corpus size; the cost is the
+    // three retrievals themselves.
     Q("ann_topk_rrf",
       (s, dir) => rrfTopK(s, dir).orderBy("query_id", "rank"),
       s"SELECT * FROM ($rrfSql) ORDER BY query_id, rank"),
 
     // Recall@k of the fused ranking vs the exact baseline — the same
-    // eval every single-index variant carries, answering the question
-    // fusion exists for: does agreement across indexes recover
-    // neighbors any one index misses?
+    // eval every single-index variant carries. With the recall-derived
+    // weights this measures the designed floor (fused = best index's
+    // membership, 0.87); the variant that RECOVERS neighbors a single
+    // index misses is ann_recall_hybrid_rerank (0.97).
     Q("ann_recall_rrf",
       (s, dir) => {
         val brute = SimilarityOps
@@ -1063,6 +1088,51 @@ object SimilarityQueries {
       s"""SELECT b.query_id, CAST(count(i.neighbor_id) AS BIGINT) AS n_matched,
          |round(count(i.neighbor_id) / ${K.toDouble}, 6) AS recall_at_k
          |FROM ($bruteSql) b LEFT JOIN ($rrfSql) i
+         |ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id"""
+        .stripMargin.replace("\n", " ")),
+
+    // Hybrid retrieval, stage 2 — the fusion that actually BEATS its
+    // best input: the three indexes only NOMINATE (candidate union,
+    // ≤ 3k per query); the true cosine metric ranks. Rank-blending
+    // (RRF) is capped at the best single index's recall because
+    // membership patterns carry all its signal (LSH∩PQ-only agreement
+    // is 22% true here), but the exact metric separates the union's
+    // true neighbors from every index's false positives — measured
+    // recall@10 0.97 vs IVF's 0.87 (the union ceiling) at sf0.01.
+    // This is the production two-stage shape: at 100 TB the indexes do
+    // the corpus-scale pruning and the exact pass touches ≤ 3k
+    // vectors per query.
+    Q("ann_topk_hybrid_rerank",
+      (s, dir) => SimilarityOps.rerankExactTopKNorm(
+          Staged.normCorpus(s, dir), hybridCandidates(s, dir), QueryIds, K)
+        .select(col("query_id"), col("neighbor_id"), col("cosine_sim"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("query_id", "rank"),
+      s"SELECT * FROM ($hybridSql) ORDER BY query_id, rank"),
+
+    // Recall@k of the reranked hybrid vs the exact baseline — the eval
+    // that justifies shipping the two-stage operator: fused-and-
+    // reranked ≥ every single index (HybridRerankSpec pins ≥; the
+    // measured gap is +0.10 over IVF at sf0.01).
+    Q("ann_recall_hybrid_rerank",
+      (s, dir) => {
+        val brute = SimilarityOps
+          .bruteForceTopKNorm(Staged.normCorpus(s, dir), QueryIds, K)
+          .select(col("query_id"), col("neighbor_id"))
+        val fused = SimilarityOps.rerankExactTopKNorm(
+            Staged.normCorpus(s, dir), hybridCandidates(s, dir), QueryIds, K)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        brute.join(fused, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_matched"))
+          .select(col("query_id"), col("n_matched"),
+            round(col("n_matched") / lit(K.toDouble), 6).as("recall_at_k"))
+          .orderBy("query_id")
+      },
+      s"""SELECT b.query_id, CAST(count(i.neighbor_id) AS BIGINT) AS n_matched,
+         |round(count(i.neighbor_id) / ${K.toDouble}, 6) AS recall_at_k
+         |FROM ($bruteSql) b LEFT JOIN ($hybridSql) i
          |ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
          |GROUP BY b.query_id ORDER BY b.query_id"""
         .stripMargin.replace("\n", " ")),
@@ -1160,14 +1230,37 @@ object SimilarityQueries {
        |blocked2 AS (SELECT * FROM scored WHERE cosine_sim >= 0.4)"""
       .stripMargin.replace("\n", " ")
 
-  /** Fused top-k ranking shared by ann_topk_rrf and its recall eval:
-    * IVF + LSH + PQ rankings combined with reciprocal-rank fusion
-    * (score = Σ 1/(60 + rank_r), missing retriever contributes 0) and
-    * re-ranked. All inputs ≤ |queries|·k rows. The three-addend float
-    * sum keeps a FIXED textual term order — that order (mirrored in
-    * [[rrfSql]]) is what makes the score identical in both engines. */
-  private def rrfTopK(s: org.apache.spark.sql.SparkSession,
-                      dir: String): org.apache.spark.sql.DataFrame = {
+  /** RRF weights = each index's measured recall@10 on the standing
+    * eval queries (ann_recall_ivf / ann_recall_lsh / ann_recall_pq at
+    * sf0.01: 0.87 / 0.47 / 0.28) — the offline tuning step a
+    * production fusion runs on its sampled ground-truth evals.
+    *
+    * The weights are chosen to satisfy the dominance inequality
+    * WIvf / (60 + K) > (WLsh + WPq) / (60 + 1): the WORST-ranked item
+    * of the best index outscores the BEST-ranked item that only the
+    * two weaker indexes agree on, so fused top-K membership provably
+    * never drops below the best single index at any corpus — the
+    * weaker indexes reorder WITHIN that membership by corroboration
+    * (equal weights lacked this floor and measured fused recall 0.70
+    * vs IVF's 0.87: LSH∩PQ-only agreement is 22% true on the fixture,
+    * and unweighted RRF promoted exactly those). The measured ceiling
+    * of any rank-blend here is the best index itself — membership-
+    * pattern precision caps it — which is why the operator that
+    * actually beats IVF is the exact-rerank stage
+    * (`ann_topk_hybrid_rerank`: candidate-union recall 0.97). */
+  // `final val` with a literal = compile-time constant: the oracle
+  // strings are built during object init, BEFORE ordinary vals
+  // declared below `all` would be assigned (a plain val here
+  // interpolated as 0.0 into the SQL)
+  private final val WIvf = 0.87
+  private final val WLsh = 0.47
+  private final val WPq = 0.28
+
+  /** The three per-index top-K rankings the fusion family consumes,
+    * each ≤ |queries|·K rows: (IVF probe, LSH bands, PQ ADC). */
+  private def indexRankings(s: org.apache.spark.sql.SparkSession,
+                            dir: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val nc = Staged.normCorpus(s, dir)
     val iv = SimilarityOps.ivfTopKNormWith(nc,
         Staged.ivfCentroids(s, dir, 16), QueryIds, K, 4)
@@ -1183,18 +1276,38 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("int").as("r_pq"))
     }
-    val cands = iv.select("query_id", "neighbor_id")
+    (iv, ls, pq)
+  }
+
+  /** Distinct candidate union of the three index rankings — the
+    * nomination set both fusion variants rank (≤ 3·|queries|·K rows). */
+  private def hybridCandidates(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val (iv, ls, pq) = indexRankings(s, dir)
+    iv.select("query_id", "neighbor_id")
       .unionByName(ls.select("query_id", "neighbor_id"))
       .unionByName(pq.select("query_id", "neighbor_id"))
       .distinct()
-    val scored = cands
+  }
+
+  /** Fused top-k ranking shared by ann_topk_rrf and its recall eval:
+    * IVF + LSH + PQ rankings combined with WEIGHTED reciprocal-rank
+    * fusion (score = Σ w_r/(60 + rank_r), missing retriever
+    * contributes 0; weights [[WIvf]]/[[WLsh]]/[[WPq]]) and re-ranked.
+    * All inputs ≤ |queries|·k rows. The three-addend float sum keeps a
+    * FIXED textual term order — that order (mirrored in [[rrfSql]]) is
+    * what makes the score identical in both engines. */
+  private def rrfTopK(s: org.apache.spark.sql.SparkSession,
+                      dir: String): org.apache.spark.sql.DataFrame = {
+    val (iv, ls, pq) = indexRankings(s, dir)
+    val scored = hybridCandidates(s, dir)
       .join(iv, Seq("query_id", "neighbor_id"), "left")
       .join(ls, Seq("query_id", "neighbor_id"), "left")
       .join(pq, Seq("query_id", "neighbor_id"), "left")
       .select(col("query_id"), col("neighbor_id"),
-        round(coalesce(lit(1.0) / (lit(60) + col("r_ivf")), lit(0.0))
-          + coalesce(lit(1.0) / (lit(60) + col("r_lsh")), lit(0.0))
-          + coalesce(lit(1.0) / (lit(60) + col("r_pq")), lit(0.0)), 6)
+        round(coalesce(lit(WIvf) / (lit(60) + col("r_ivf")), lit(0.0))
+          + coalesce(lit(WLsh) / (lit(60) + col("r_lsh")), lit(0.0))
+          + coalesce(lit(WPq) / (lit(60) + col("r_pq")), lit(0.0)), 6)
           .as("rrf_score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -1202,6 +1315,29 @@ object SimilarityQueries {
     scored.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= K)
   }
+
+  /** Oracle twin of [[hybridCandidates]] + rerankExactTopKNorm (no
+    * trailing ORDER BY — consumers add their own): candidate union of
+    * the three index rankings, scored by the true cosine, top-K per
+    * query. */
+  private lazy val hybridSql: String =
+    s"""WITH iv AS (SELECT query_id, neighbor_id FROM ($ivfSql)),
+       |ls AS (SELECT query_id, neighbor_id FROM ($lshSql)),
+       |pq AS (SELECT query_id, neighbor_id FROM ($pqSql)),
+       |c AS (SELECT query_id, neighbor_id FROM iv
+       |  UNION SELECT query_id, neighbor_id FROM ls
+       |  UNION SELECT query_id, neighbor_id FROM pq),
+       |corpus AS ($normCorpus),
+       |q AS (SELECT vec_id AS query_id, n_emb AS q_emb
+       |  FROM corpus WHERE vec_id IN $idList),
+       |scored AS (SELECT c.query_id, c.neighbor_id,
+       |  ${dotCosine("q.q_emb", "e.n_emb")} AS cosine_sim
+       |  FROM c JOIN q ON c.query_id = q.query_id
+       |  JOIN corpus e ON c.neighbor_id = e.vec_id),
+       |k AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk FROM scored)
+       |SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rank
+       |FROM k WHERE rnk <= $K""".stripMargin.replace("\n", " ")
 
   /** Oracle twin of [[rrfTopK]] (no trailing ORDER BY — consumers add
     * their own, same convention as bruteSql/ivfSql/lshSql/pqSql). */
@@ -1213,9 +1349,9 @@ object SimilarityQueries {
        |  UNION SELECT query_id, neighbor_id FROM ls
        |  UNION SELECT query_id, neighbor_id FROM pq),
        |r AS (SELECT c.query_id, c.neighbor_id,
-       |  round(coalesce(1.0 / (60 + iv.rank), 0)
-       |    + coalesce(1.0 / (60 + ls.rank), 0)
-       |    + coalesce(1.0 / (60 + pq.rank), 0), 6) AS rrf_score
+       |  round(coalesce(CAST($WIvf AS DOUBLE) / (60 + iv.rank), 0)
+       |    + coalesce(CAST($WLsh AS DOUBLE) / (60 + ls.rank), 0)
+       |    + coalesce(CAST($WPq AS DOUBLE) / (60 + pq.rank), 0), 6) AS rrf_score
        |  FROM c
        |  LEFT JOIN iv ON c.query_id = iv.query_id
        |    AND c.neighbor_id = iv.neighbor_id

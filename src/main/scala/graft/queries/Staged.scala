@@ -62,6 +62,7 @@ object Staged {
     drop(simhashMemo); drop(clusterMemo); drop(minhashMemo)
     countMemo.filterInPlace { case (k, _) => k._1 != s }
     layoutMemo.filterInPlace { case (k, _) => k._1 != s }
+    warehouseMemo.filterInPlace { case (k, _) => k._1 != s }
     indexMemo.filterInPlace { case (k, (a, b)) =>
       val keep = k.productElement(0) != s
       if (!keep) { safeUnpersist(a); safeUnpersist(b) }
@@ -322,6 +323,63 @@ object Staged {
     })
   }
 
+  private val warehouseMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
+
+  /** One-time catalog build for `warehouse_catalog`: the partitioned +
+    * bucketed tick table (all dates landed, one date re-landed with
+    * doubled prices via dynamic-partition overwrite) and the
+    * co-bucketed daily-OHLC dim. Memoized per (session, dir) like
+    * every other staged artifact, so bench reps time the catalog
+    * QUERY — the zero-exchange bucketed agg+join under test — not
+    * DROP/rebuild DDL churn (the r7 bench billed the rebuild to every
+    * rep: 3.96 s, the slowest row, for a ≤1.5 s query). The build path
+    * itself stays covered: the first call per session performs the
+    * full S8-S11 DDL sequence, and WarehouseSpec drives
+    * refreshCatalogTable/saveBucketedDim directly. */
+  def warehouseTables(s: SparkSession, dir: String): Unit = {
+    registerCleanup(s)
+    warehouseMemo.getOrElseUpdate((s, dir), {
+      import org.apache.spark.sql.functions.{col, lit, to_date}
+      // drop catalog entry AND the physical location: a fresh session
+      // doesn't know the previous run's table, so DROP alone leaves a
+      // stale directory that blocks the managed-table CREATE
+      Seq("graft_wh_ticks", "graft_wh_daily").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        graft.util.Fs.deleteRec(
+          s.conf.get("spark.sql.warehouse.dir")
+            .stripPrefix("file:") + s"/$t")
+      }
+      val ticks = graft.ops.TickOps
+        .normalizeEvents(Tables.events(s, dir))
+        .withColumn("trade_date", to_date(col("event_ts")))
+      graft.ops.WarehouseOps.refreshCatalogTable(ticks, "graft_wh_ticks")
+      val day2 = "2024-01-02"
+      graft.ops.WarehouseOps.refreshCatalogTable(
+        ticks.filter(col("trade_date") === lit(day2))
+          .withColumn("price", col("price") * 2), "graft_wh_ticks")
+      graft.ops.WarehouseOps.saveBucketedDim(
+        graft.ops.TickOps.dailyOhlc(
+          graft.ops.TickOps.normalizeEvents(Tables.events(s, dir))),
+        "graft_wh_daily")
+      true
+    })
+    ()
+  }
+
+  /** Materialize every session-staged artifact the registry's queries
+    * share, so timed bench repetitions measure the queries, not a
+    * cold staging build billed to whichever query runs first
+    * alphabetically (minhash_est_error paid the signature build three
+    * rounds straight). One call per (session, dir); each underlying
+    * getter is itself memoized, so this is idempotent and the
+    * registered queries are untouched. */
+  def prewarm(s: SparkSession, dir: String): Unit = {
+    DedupQueries.prewarm(s, dir)
+    SimilarityQueries.prewarm(s, dir)
+    warehouseTables(s, dir)
+  }
+
   /** Unpersist every staged block and drop all memo entries. */
   def clear(): Unit = {
     memo.values.foreach(_.unpersist())
@@ -340,6 +398,6 @@ object Staged {
     memo.clear(); corpusMemo.clear(); centroidMemo.clear()
     simhashMemo.clear(); clusterMemo.clear(); indexMemo.clear()
     countMemo.clear(); annIndexMemo.clear(); pqMemo.clear()
-    annAppendMemo.clear(); layoutMemo.clear()
+    annAppendMemo.clear(); layoutMemo.clear(); warehouseMemo.clear()
   }
 }
