@@ -63,6 +63,7 @@ object Staged {
     countMemo.filterInPlace { case (k, _) => k._1 != s }
     layoutMemo.filterInPlace { case (k, _) => k._1 != s }
     warehouseMemo.filterInPlace { case (k, _) => k._1 != s }
+    bpeMemo.filterInPlace { case (k, _) => k._1 != s }
     indexMemo.filterInPlace { case (k, (a, b)) =>
       val keep = k.productElement(0) != s
       if (!keep) { safeUnpersist(a); safeUnpersist(b) }
@@ -323,6 +324,33 @@ object Staged {
     })
   }
 
+  private val bpeMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Int), Seq[graft.ops.BpeMerge]]
+
+  /** The trained BPE merge list at `nMerges` — the tokenizer MODEL,
+    * trained once per session+dir and shared by `bpe_merges` and
+    * `corpus_tokenize`. Training input is the corpus-wide
+    * word-frequency table, capped to the 100k most frequent words
+    * (count desc, word asc — the deterministic GPT-2-style trainer
+    * truncation; the fixture's 31-word vocabulary never hits it), then
+    * sorted by word so the driver-side loop sees a canonical order. */
+  def bpeMerges(s: SparkSession, dir: String,
+                nMerges: Int): Seq[graft.ops.BpeMerge] = {
+    registerCleanup(s)
+    bpeMemo.getOrElseUpdate((s, dir, nMerges), {
+      import org.apache.spark.sql.functions.col
+      val wf = graft.ops.BpeOps
+        .wordFrequencies(Tables.documents(s, dir))
+        .orderBy(col("f").desc, col("w").asc)
+        .limit(100000)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+        .sortBy(_._1)
+      graft.ops.BpeOps.train(wf, nMerges)
+    })
+  }
+
   private val warehouseMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
 
@@ -377,6 +405,7 @@ object Staged {
   def prewarm(s: SparkSession, dir: String): Unit = {
     DedupQueries.prewarm(s, dir)
     SimilarityQueries.prewarm(s, dir)
+    TextQueries.prewarm(s, dir)
     warehouseTables(s, dir)
   }
 
@@ -399,5 +428,6 @@ object Staged {
     simhashMemo.clear(); clusterMemo.clear(); indexMemo.clear()
     countMemo.clear(); annIndexMemo.clear(); pqMemo.clear()
     annAppendMemo.clear(); layoutMemo.clear(); warehouseMemo.clear()
+    bpeMemo.clear()
   }
 }

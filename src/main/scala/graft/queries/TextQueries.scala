@@ -16,6 +16,18 @@ object TextQueries {
   private val CmsDepth = 4
   private val CmsWidth = 16
 
+  // BPE merge budget (final val: interpolated into oracle SQL during
+  // object init — see the WIvf note in SimilarityQueries)
+  private final val BpeNMerges = 16
+
+  /** Force this family's staged artifacts (Staged.prewarm hook): the
+    * trained BPE merge list both tokenizer queries share. */
+  private[queries] def prewarm(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    Staged.bpeMerges(s, dir, BpeNMerges)
+    ()
+  }
+
   val all: Seq[Q] = Seq(
 
     // Token counting: whitespace + BPE-ish regex tokenizers.
@@ -314,6 +326,73 @@ object TextQueries {
          |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 50"""
         .stripMargin.replace("\n", " ")),
 
+    // BPE tokenizer fit, step 2 — the TRAINED MODEL: the greedy merge
+    // loop run to a 16-merge vocabulary over the corpus word-frequency
+    // table (ops.BpeOps.train — semantics pinned in its doc; the
+    // oracle replays the identical loop as a recursive CTE over a
+    // single list-state row, so merge selection, tie-breaks, and the
+    // two-pass application all hash-match). Integer-only arithmetic:
+    // no float drift anywhere. The word-freq input is the one corpus
+    // scan; the loop itself touches only the vocabulary-bounded table
+    // (the merge list IS the model — driver-held by design, like the
+    // IVF centroid matrix).
+    Q("bpe_merges",
+      (s, dir) => {
+        import s.implicits._
+        Staged.bpeMerges(s, dir, BpeNMerges)
+          .map(m => (m.idx, m.left, m.right, m.left + m.right, m.count))
+          .toDF("merge_idx", "left_sym", "right_sym", "merged", "pair_count")
+          .orderBy("merge_idx")
+      },
+      s"""${bpeTrainerWith}
+         |SELECT m.i AS merge_idx, m.l AS left_sym, m.r AS right_sym,
+         |m.l || m.r AS merged, m.c AS pair_count
+         |FROM (SELECT unnest(merges) AS m FROM st
+         |  WHERE i = (SELECT max(i) FROM st))
+         |ORDER BY merge_idx""".stripMargin.replace("\n", " ")),
+
+    // The tokenizer APPLIED corpus-wide (completing fit → apply): every
+    // document rewritten to its BPE token sequence with the learned
+    // merges, reported as per-doc stats + the md5 of the canonical
+    // spaced form — the digest pins the full tokenization of every
+    // document against the oracle. Spark-side apply is a chain of
+    // 2·nMerges codegen'd replaces (a pure narrow map: zero shuffles
+    // over the corpus at any scale); the oracle re-derives the same
+    // merges and applies them through a per-merge recursive CTE.
+    Q("corpus_tokenize",
+      (s, dir) => graft.ops.BpeOps.tokenizeStats(
+          Tables.documents(s, dir), Staged.bpeMerges(s, dir, BpeNMerges))
+        .orderBy("doc_id"),
+      s"""${bpeTrainerWith},
+         |merges_t AS (SELECT m.i AS mi, m.l AS l, m.r AS r
+         |  FROM (SELECT unnest(merges) AS m FROM st
+         |    WHERE i = (SELECT max(i) FROM st))),
+         |d0 AS (SELECT doc_id,
+         |  ' ' || array_to_string(list_transform($toks, t ->
+         |    array_to_string(string_split(t, ''), ' ')), ' | ') || ' ' AS s,
+         |  len($toks) AS n_words,
+         |  list_sum(list_transform($toks, t -> length(t))) AS n_chars
+         |  FROM documents),
+         |ap AS (
+         |  SELECT doc_id, n_words, n_chars, 0 AS k, s FROM d0
+         |  UNION ALL
+         |  SELECT ap.doc_id, ap.n_words, ap.n_chars, ap.k + 1,
+         |    replace(replace(ap.s,
+         |      ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' '),
+         |      ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ')
+         |  FROM ap JOIN merges_t m ON m.mi = ap.k),
+         |fin AS (SELECT doc_id, n_words, n_chars, s FROM ap
+         |  WHERE k = (SELECT count(*) FROM merges_t))
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |CAST(n_chars AS BIGINT) AS n_chars,
+         |CAST(len(list_filter(string_split(trim(s), ' '), x -> x <> '|'))
+         |  AS BIGINT) AS n_bpe_tokens,
+         |round(CAST(n_chars AS DOUBLE) /
+         |  len(list_filter(string_split(trim(s), ' '), x -> x <> '|')), 6)
+         |  AS chars_per_token,
+         |md5(trim(s)) AS tokens_digest
+         |FROM fin ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
     // Count-min sketch heavy hitters: d=4 hash rows × w=16 buckets over
     // the token stream, estimate = min over rows — the mergeable
     // frequency sketch for vocabularies that fit nowhere. Hashes are
@@ -329,6 +408,57 @@ object TextQueries {
         .orderBy("token"),
       cmsOracle)
   )
+
+  /** Shared oracle prelude replaying ops.BpeOps.train as a recursive
+    * CTE (ends in `st`; the final state row's `merges` list is the
+    * model): word-freq table → spaced words → per step, count adjacent
+    * pairs (overlapping, freq-weighted) via list lambdas over a
+    * single-row list state, pick (count DESC, combined-key ASC), apply
+    * the merge with the same two replace passes the Scala trainer and
+    * the Spark-side apply chain use. chr(1) joins pair keys so the
+    * VARCHAR tie-break equals the Scala combined-string compare. */
+  private lazy val bpeTrainerWith: String =
+    s"""WITH RECURSIVE
+       |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM
+       |  (SELECT unnest($toks) AS w FROM documents) t GROUP BY w),
+       |w0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ')
+       |  || ' ' AS s, f FROM wf),
+       |st AS (
+       |  SELECT 0 AS i, list({'s': s, 'f': f} ORDER BY s) AS words,
+       |    CAST([] AS STRUCT(i INT, l VARCHAR, r VARCHAR, c BIGINT)[])
+       |      AS merges
+       |  FROM w0
+       |  UNION ALL
+       |  SELECT i + 1,
+       |    list_transform(words, w -> {'s':
+       |      replace(replace(w.s,
+       |        ' ' || best.l || ' ' || best.r || ' ',
+       |        ' ' || best.l || best.r || ' '),
+       |        ' ' || best.l || ' ' || best.r || ' ',
+       |        ' ' || best.l || best.r || ' '),
+       |      'f': w.f}),
+       |    list_append(merges, {'i': i, 'l': best.l, 'r': best.r,
+       |      'c': best.c})
+       |  FROM (
+       |    SELECT i, words, merges,
+       |      (SELECT {'l': split_part(q.p, chr(1), 1),
+       |               'r': split_part(q.p, chr(1), 2), 'c': q.c}
+       |       FROM (
+       |        SELECT p, list_sum(list_transform(apf, x ->
+       |          CASE WHEN x.p = p THEN x.f ELSE 0 END)) AS c
+       |        FROM (SELECT unnest(list_distinct(
+       |          list_transform(apf, x -> x.p))) AS p)
+       |        ORDER BY c DESC, p ASC LIMIT 1) q) AS best
+       |    FROM (
+       |      SELECT i, words, merges,
+       |        flatten(list_transform(words, w ->
+       |          list_transform(range(1, len(string_split(trim(w.s), ' '))),
+       |            j -> {'p': string_split(trim(w.s), ' ')[j] || chr(1)
+       |                    || string_split(trim(w.s), ' ')[j+1],
+       |                  'f': w.f}))) AS apf
+       |      FROM st WHERE i < $BpeNMerges)
+       |  ) WHERE best.l IS NOT NULL
+       |)""".stripMargin.replace("\n", " ")
 
   /** Oracle for [[freq_tokens_cms]] — same affine coefficients as the
     * Spark side (one source of truth: Hashing.affineCoeffs). */
