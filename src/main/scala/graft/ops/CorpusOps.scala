@@ -59,6 +59,64 @@ object CorpusOps {
           .as("n_chunks"))
   }
 
+  /** Fixed-length training-sequence spans over a GLOBAL doc_id-ordered
+    * token stream (the GPT-style "concatenate everything, chop every
+    * `seqLen` tokens" packing; docs cross sequence boundaries and the
+    * spans are the loader's bookkeeping): per doc, its exclusive token
+    * offset `o` and the [s0, s1] range of sequences it touches.
+    *
+    * The global prefix sum is HIERARCHICAL — the naive
+    * Window.orderBy(doc_id) collapses the whole corpus into one task.
+    * Here: (1) within-bucket exclusive prefix per `bucketWidth`-wide
+    * doc_id bucket (distributed, one window partition per bucket);
+    * (2) bucket totals prefixed by a second window over #buckets rows
+    * (corpus/bucketWidth — at 10^10 docs and width 2^20 that is 10^4
+    * rows; add a third level before that ever becomes the bottleneck);
+    * (3) offset = bucket offset + within offset. Two corpus-bounded
+    * shuffles total, no single-task stage.
+    *
+    * `docTokens` carries (doc_id, n) — token counts from any
+    * tokenizer; the registered queries feed it the trained-BPE counts
+    * so packing composes with the fit→apply pipeline. Zero-token docs
+    * are dropped (they occupy no span). */
+  def packSpans(docTokens: DataFrame, seqLen: Long,
+                bucketWidth: Long = 1024L): DataFrame = {
+    val dt = docTokens.filter(col("n") > 0)
+      .withColumn("bucket", floor(col("doc_id") / bucketWidth).cast("long"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = dt.withColumn("w_off",
+      coalesce(sum(col("n")).over(wIn), lit(0L)))
+    val wB = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bOff = dt.groupBy(col("bucket")).agg(sum(col("n")).as("b_n"))
+      .withColumn("b_off", coalesce(sum(col("b_n")).over(wB), lit(0L)))
+      .select(col("bucket"), col("b_off"))
+    within.join(bOff, Seq("bucket"))
+      .withColumn("o", col("b_off") + col("w_off"))
+      .select(col("doc_id"), col("n"), col("o"),
+        floor(col("o") / seqLen).cast("long").as("s0"),
+        floor((col("o") + col("n") - 1) / seqLen).cast("long").as("s1"))
+  }
+
+  /** Per-sequence manifest from [[packSpans]] output: how many docs
+    * touch the sequence, how many START in it (the boundary
+    * bookkeeping a loader needs to mask cross-doc attention), the
+    * first/last doc, and the token fill — `seqLen` for every sequence
+    * but the last. Bounded explode (a doc adds ≤ n/seqLen + 1 rows);
+    * one hash-agg on seq_id. */
+  def packManifest(spans: DataFrame, seqLen: Long): DataFrame =
+    spans.select(col("doc_id"), col("n"), col("o"), col("s0"), col("s1"),
+        explode(sequence(col("s0"), col("s1"))).as("seq_id"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s0") === col("seq_id"), 1L).otherwise(0L))
+          .as("n_starts"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(least((col("seq_id") + 1) * seqLen, col("o") + col("n"))
+          - greatest(col("seq_id") * seqLen, col("o"))).as("n_tokens"))
+
   /** Epoch-weighted corpus expansion — the deterministic form of
     * quality-weighted sampling used when mixing a training set: a doc
     * with quality score q is repeated `floor(4q) + 1` times (1–5

@@ -19,6 +19,50 @@ object CorpusQueries {
     * docs, which is what the oracle needs to actually check. */
   private val ChunkTokens = 64L
 
+  /** Training-sequence length for the BPE-token packing pass — small
+    * enough that fixture docs regularly CROSS sequence boundaries (the
+    * bookkeeping under test). final val: interpolated into oracle SQL
+    * at object init. */
+  private final val PackSeqLen = 128L
+
+  /** Per-doc trained-BPE token counts (doc_id, n) — the packing
+    * queries' input, composing packing with the fit→apply tokenizer. */
+  private def bpeDocTokens(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.ops.BpeOps.tokenizeStats(Tables.documents(s, dir),
+        Staged.bpeMerges(s, dir, TextQueries.BpeNMerges))
+      .select(col("doc_id"), col("n_bpe_tokens").as("n"))
+
+  /** Oracle prelude: TextQueries.bpeApplyWith extended to the packed
+    * span table (`spans(doc_id, n, o, s0, s1)`) — BPE token counts,
+    * global doc_id-ordered exclusive prefix sum, sequence range per
+    * doc. The oracle's single global window is semantically identical
+    * to the Spark side's hierarchical two-level prefix. */
+  private lazy val packSpansWith: String =
+    s"""${TextQueries.bpeApplyWith},
+       |dt AS (SELECT doc_id, CAST(len(list_filter(
+       |  string_split(trim(s), ' '), x -> x <> '|')) AS BIGINT) AS n
+       |  FROM fin),
+       |off AS (SELECT doc_id, n,
+       |  coalesce(sum(n) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+       |  FROM dt WHERE n > 0),
+       |spans AS (SELECT doc_id, n, CAST(o AS BIGINT) AS o,
+       |  CAST(o // $PackSeqLen AS BIGINT) AS s0,
+       |  CAST((o + n - 1) // $PackSeqLen AS BIGINT) AS s1
+       |  FROM off)""".stripMargin.replace("\n", " ")
+
+  /** Shared manifest tail over an exploded span relation `x(doc_id, n,
+    * o, s0, s1, seq_id)`. */
+  private lazy val packManifestSelect: String =
+    s"""SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |CAST(sum(CASE WHEN s0 = seq_id THEN 1 ELSE 0 END) AS BIGINT)
+       |  AS n_starts,
+       |min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |CAST(sum(least((seq_id + 1) * $PackSeqLen, o + n)
+       |  - greatest(seq_id * $PackSeqLen, o)) AS BIGINT) AS n_tokens
+       |FROM x GROUP BY seq_id""".stripMargin.replace("\n", " ")
+
   val all: Seq[Q] = Seq(
 
     // Benchmark decontamination: flag training docs sharing any word
@@ -170,6 +214,70 @@ object CorpusQueries {
          |min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM documents GROUP BY shard ORDER BY shard"""
         .stripMargin.replace("\n", " ")),
+
+    // Sequence packing — the real last mile between "tokenized corpus"
+    // and "what the trainer reads": concatenate the (trained-BPE)
+    // token stream in doc_id order, chop every PackSeqLen tokens, and
+    // report the per-sequence manifest — docs touching, docs STARTING
+    // (the cross-doc attention-mask bookkeeping), first/last doc, and
+    // fill (= PackSeqLen everywhere but the tail; BoundarySpec-style
+    // invariants live in PackSpec). The global prefix sum runs as a
+    // hierarchical two-level window (CorpusOps.packSpans) — never a
+    // single-task global sort; the oracle's plain global cumsum is the
+    // semantic spec.
+    Q("corpus_pack_sequences",
+      (s, dir) => CorpusOps.packManifest(
+          CorpusOps.packSpans(bpeDocTokens(s, dir), PackSeqLen), PackSeqLen)
+        .orderBy("seq_id"),
+      s"""$packSpansWith,
+         |x AS (SELECT doc_id, n, o, s0, s1,
+         |  unnest(generate_series(s0, s1)) AS seq_id FROM spans)
+         |$packManifestSelect ORDER BY seq_id"""
+        .stripMargin.replace("\n", " ")),
+
+    // ...and the MATERIALIZED form: the exploded (sequence, doc) span
+    // rows — each with its within-sequence token offset, the loader's
+    // actual input — written as pack_shard-partitioned parquet
+    // (shard = seq_id % 8, the standard one-shuffle partitionBy
+    // write), and the manifest answered FROM the written files, so the
+    // oracle proves the shards are complete and partition-correct,
+    // exactly like corpus_shards_write proves the doc shards.
+    Q("corpus_pack_write",
+      (s, dir) => {
+        val work = graft.util.Fs.workDir("graft_pack", dir).toString
+        graft.util.Fs.deleteRec(work)
+        val spans = CorpusOps.packSpans(bpeDocTokens(s, dir), PackSeqLen)
+        val rows = spans.select(col("doc_id"), col("n"), col("o"),
+            col("s0"), explode(sequence(col("s0"), col("s1"))).as("seq_id"))
+          .select(col("seq_id"), col("doc_id"), col("s0"),
+            (greatest(col("seq_id") * PackSeqLen, col("o"))
+              - col("seq_id") * PackSeqLen).as("tok_start"),
+            (least((col("seq_id") + 1) * PackSeqLen, col("o") + col("n"))
+              - greatest(col("seq_id") * PackSeqLen, col("o"))).as("n_tok"),
+            (col("seq_id") % 8).cast("int").as("pack_shard"))
+        rows.repartition(col("pack_shard"))
+          .write.mode("overwrite").partitionBy("pack_shard")
+          .parquet(s"$work/packed")
+        s.read.parquet(s"$work/packed")
+          .groupBy(col("seq_id"), col("pack_shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("s0") === col("seq_id"), 1L).otherwise(0L))
+              .as("n_starts"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"),
+            sum(col("n_tok")).as("n_tokens"))
+          .select(col("seq_id"), col("pack_shard"), col("n_docs"),
+            col("n_starts"), col("first_doc"), col("last_doc"),
+            col("n_tokens"))
+          .orderBy("seq_id")
+      },
+      s"""$packSpansWith,
+         |x AS (SELECT doc_id, n, o, s0, s1,
+         |  unnest(generate_series(s0, s1)) AS seq_id FROM spans),
+         |m AS ($packManifestSelect)
+         |SELECT seq_id, CAST(seq_id % 8 AS INT) AS pack_shard, n_docs,
+         |n_starts, first_doc, last_doc, n_tokens
+         |FROM m ORDER BY seq_id""".stripMargin.replace("\n", " ")),
 
     Q("corpus_epochs",
       (s, dir) => CorpusOps.epochExpansion(

@@ -17,8 +17,9 @@ object TextQueries {
   private val CmsWidth = 16
 
   // BPE merge budget (final val: interpolated into oracle SQL during
-  // object init — see the WIvf note in SimilarityQueries)
-  private final val BpeNMerges = 16
+  // object init — see the WIvf note in SimilarityQueries); shared with
+  // the sequence-packing queries so both families tokenize identically
+  private[queries] final val BpeNMerges = 16
 
   /** Force this family's staged artifacts (Staged.prewarm hook): the
     * trained BPE merge list both tokenizer queries share. */
@@ -363,26 +364,7 @@ object TextQueries {
       (s, dir) => graft.ops.BpeOps.tokenizeStats(
           Tables.documents(s, dir), Staged.bpeMerges(s, dir, BpeNMerges))
         .orderBy("doc_id"),
-      s"""${bpeTrainerWith},
-         |merges_t AS (SELECT m.i AS mi, m.l AS l, m.r AS r
-         |  FROM (SELECT unnest(merges) AS m FROM st
-         |    WHERE i = (SELECT max(i) FROM st))),
-         |d0 AS (SELECT doc_id,
-         |  ' ' || array_to_string(list_transform($toks, t ->
-         |    array_to_string(string_split(t, ''), ' ')), ' | ') || ' ' AS s,
-         |  len($toks) AS n_words,
-         |  list_sum(list_transform($toks, t -> length(t))) AS n_chars
-         |  FROM documents),
-         |ap AS (
-         |  SELECT doc_id, n_words, n_chars, 0 AS k, s FROM d0
-         |  UNION ALL
-         |  SELECT ap.doc_id, ap.n_words, ap.n_chars, ap.k + 1,
-         |    replace(replace(ap.s,
-         |      ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' '),
-         |      ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ')
-         |  FROM ap JOIN merges_t m ON m.mi = ap.k),
-         |fin AS (SELECT doc_id, n_words, n_chars, s FROM ap
-         |  WHERE k = (SELECT count(*) FROM merges_t))
+      s"""$bpeApplyWith
          |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
          |CAST(n_chars AS BIGINT) AS n_chars,
          |CAST(len(list_filter(string_split(trim(s), ' '), x -> x <> '|'))
@@ -459,6 +441,36 @@ object TextQueries {
        |      FROM st WHERE i < $BpeNMerges)
        |  ) WHERE best.l IS NOT NULL
        |)""".stripMargin.replace("\n", " ")
+
+  /** Trainer + corpus-wide apply (ends in `fin(doc_id, n_words,
+    * n_chars, s)` — each document's fully merged spaced form): the
+    * trained merges re-derived from `st`, then applied to every
+    * document through a per-merge recursive join, mirroring
+    * ops.BpeOps.spacedDoc + applyMerges. Shared by corpus_tokenize
+    * and the sequence-packing oracles (CorpusQueries), so the
+    * tokenization both families verify against cannot drift. */
+  private[queries] lazy val bpeApplyWith: String =
+    s"""$bpeTrainerWith,
+       |merges_t AS (SELECT m.i AS mi, m.l AS l, m.r AS r
+       |  FROM (SELECT unnest(merges) AS m FROM st
+       |    WHERE i = (SELECT max(i) FROM st))),
+       |d0 AS (SELECT doc_id,
+       |  ' ' || array_to_string(list_transform($toks, t ->
+       |    array_to_string(string_split(t, ''), ' ')), ' | ') || ' ' AS s,
+       |  len($toks) AS n_words,
+       |  list_sum(list_transform($toks, t -> length(t))) AS n_chars
+       |  FROM documents),
+       |ap AS (
+       |  SELECT doc_id, n_words, n_chars, 0 AS k, s FROM d0
+       |  UNION ALL
+       |  SELECT ap.doc_id, ap.n_words, ap.n_chars, ap.k + 1,
+       |    replace(replace(ap.s,
+       |      ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' '),
+       |      ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ')
+       |  FROM ap JOIN merges_t m ON m.mi = ap.k),
+       |fin AS (SELECT doc_id, n_words, n_chars, s FROM ap
+       |  WHERE k = (SELECT count(*) FROM merges_t))"""
+      .stripMargin.replace("\n", " ")
 
   /** Oracle for [[freq_tokens_cms]] — same affine coefficients as the
     * Spark side (one source of truth: Hashing.affineCoeffs). */
