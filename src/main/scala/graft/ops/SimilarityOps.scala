@@ -1107,6 +1107,29 @@ object SimilarityOps {
     * decimals (Determinism.exactSum) so partial-agg order can't skew the
     * float totals; the final cov arithmetic is on identical doubles in
     * both engines. Population covariance: (E[xy] − E[x]E[y]). */
+  /** Project embeddings onto a fitted PCA basis (PcaOps.fit), centered
+    * on the exact-decimal corpus dimension means. The apply side of
+    * covariance → fit: (means, basis) are one broadcast row + k·d plan
+    * literals, the projection itself a codegen'd narrow map — zero
+    * corpus shuffles at any scale. Each p_k is the ascending-dim
+    * left-associated Σ (x_i − mean_i)·loading_ki rounded to 6 dp,
+    * mirrored term-for-term by the oracle's generated SQL. */
+  def pcaProject(embeddings: DataFrame,
+                 model: graft.ops.PcaOps.PcaModel): DataFrame = {
+    val d = model.components(0).length
+    def x(i: Int) = col("embedding").getItem(i).cast("double")
+    val meanCols = (0 until d).map(i =>
+      (Determinism.exactSum(x(i)) / count(lit(1))).as(s"m$i"))
+    val meansRow = embeddings.agg(meanCols.head, meanCols.tail: _*)
+    val projs = model.components.toSeq.zipWithIndex.map { case (q, k) =>
+      Determinism.noNegZero(round(
+        (0 until d).map(i => (x(i) - col(s"m$i")) * lit(q(i)))
+          .reduceLeft(_ + _), 6)).as(s"p$k")
+    }
+    embeddings.crossJoin(broadcast(meansRow))
+      .select(col("vec_id") +: projs: _*)
+  }
+
   def covariancePairs(embeddings: DataFrame, d: Int): DataFrame = {
     val pairs = embeddings
       .select(explode(expr(

@@ -1174,22 +1174,169 @@ object SimilarityQueries {
       (s, dir) => SimilarityOps.covariancePairs(
           Tables.embeddings(s, dir), 16)
         .orderBy("i", "j"),
-      s"""WITH p AS (
-         |  SELECT CAST(t1.i AS INT) AS i, CAST(t2.j AS INT) AS j,
-         |    CAST(embedding[CAST(t1.i AS INT) + 1] AS DOUBLE) AS xi,
-         |    CAST(embedding[CAST(t2.j AS INT) + 1] AS DOUBLE) AS xj
-         |  FROM embeddings, range(0, 16) t1(i), range(0, 16) t2(j)
-         |  WHERE t2.j >= t1.i),
-         |a AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n,
-         |  ${graft.ops.Determinism.sqlExactSum("xi")} AS sx,
-         |  ${graft.ops.Determinism.sqlExactSum("xj")} AS sy,
-         |  ${graft.ops.Determinism.sqlExactSum("xi * xj")} AS sxy
-         |  FROM p GROUP BY i, j)
+      s"""WITH $covPairsWith
          |SELECT i, j, n,
          |${graft.ops.Determinism.sqlNoNegZero("round((sxy - sx * sy / n) / n, 6)")} AS cov
          |FROM a ORDER BY i, j"""
-        .stripMargin.replace("\n", " "))
+        .stripMargin.replace("\n", " ")),
+
+    // PCA fit — the covariance pass CONSUMED: the top-4 basis of the
+    // 16-dim covariance by fixed-budget orthogonal iteration
+    // (PcaOps.fit: 100 power steps per component, each iterate
+    // Gram-Schmidt'ed against the published components, λ = Rayleigh
+    // on the original covariance = captured variance). The oracle
+    // replays the identical iteration as a recursive CTE over one
+    // list-state row, so the basis hash-matches with NO pinned
+    // data-derived constants — the model survives fixture
+    // regeneration. Distributed cost is ONE covariance scan; the
+    // iteration runs on the d×d matrix (driver-side by design, like
+    // the IVF centroid training).
+    Q("pca_components",
+      (s, dir) => {
+        import s.implicits._
+        val m = Staged.pcaModel(s, dir, PcaK, PcaIters)
+        (for (k <- 0 until PcaK; i <- 0 until 16)
+          yield (k, i, m.components(k)(i), m.variances(k)))
+          .toDF("component", "i", "loading", "explained_var")
+          .orderBy("component", "i")
+      },
+      s"""$pcaModelWith
+         |SELECT CAST(t1.k AS INT) AS component, CAST(t2.i AS INT) AS i,
+         |comps[CAST(t1.k AS INT) * 16 + CAST(t2.i AS INT) + 1] AS loading,
+         |lams[CAST(t1.k AS INT) + 1] AS explained_var
+         |FROM model, range(0, $PcaK) t1(k), range(0, 16) t2(i)
+         |ORDER BY component, i""".stripMargin.replace("\n", " ")),
+
+    // ...and APPLIED: every embedding projected onto the fitted basis
+    // (centered on the corpus dimension means, the exact-decimal mean
+    // the standardize pass uses). Completes covariance → standardize →
+    // fit → project. The apply is a narrow map over a broadcast
+    // (means, basis) pair — zero corpus shuffles at any scale; the
+    // 4-double output is the dimensionality-reduced representation a
+    // downstream index or probe trains on.
+    Q("embedding_pca_project",
+      (s, dir) => SimilarityOps.pcaProject(Tables.embeddings(s, dir),
+          Staged.pcaModel(s, dir, PcaK, PcaIters))
+        .orderBy("vec_id"),
+      s"""$pcaModelWith,
+         |means AS (SELECT i, sx / n AS mean FROM a WHERE i = j),
+         |mrow AS (SELECT ${(0 until 16).map(i =>
+             s"max(CASE WHEN i = $i THEN mean END) AS m$i").mkString(", ")}
+         |  FROM means)
+         |SELECT vec_id, ${(0 until PcaK).map(pcaProjSql).mkString(", ")}
+         |FROM embeddings, model, mrow
+         |ORDER BY vec_id""".stripMargin.replace("\n", " "))
   )
+
+  /** Generated projection expression for component `k`: ascending-dim
+    * left-associated Σ (x_i − mean_i)·loading_ki, rounded 6 dp —
+    * mirrors SimilarityOps.pcaProject's reduceLeft exactly. */
+  private def pcaProjSql(k: Int): String = {
+    val terms = (0 until 16).map(i =>
+      s"(CAST(embedding[${i + 1}] AS DOUBLE) - m$i) * comps[${k * 16 + i + 1}]")
+    graft.ops.Determinism.sqlNoNegZero(
+      s"round(${terms.mkString(" + ")}, 6)") + s" AS p$k"
+  }
+
+  // PCA geometry (final vals: interpolated into oracle SQL at init)
+  private final val PcaK = 4
+  private final val PcaIters = 100
+  private final val PcaD = 16
+
+  /** Shared covariance prelude (CTEs `p` and `a`) — the exact-decimal
+    * pair sums embedding_covariance and the PCA model both read. */
+  private lazy val covPairsWith: String =
+    s"""p AS (
+       |  SELECT CAST(t1.i AS INT) AS i, CAST(t2.j AS INT) AS j,
+       |    CAST(embedding[CAST(t1.i AS INT) + 1] AS DOUBLE) AS xi,
+       |    CAST(embedding[CAST(t2.j AS INT) + 1] AS DOUBLE) AS xj
+       |  FROM embeddings, range(0, $PcaD) t1(i), range(0, $PcaD) t2(j)
+       |  WHERE t2.j >= t1.i),
+       |a AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+       |  ${graft.ops.Determinism.sqlExactSum("xi")} AS sx,
+       |  ${graft.ops.Determinism.sqlExactSum("xj")} AS sy,
+       |  ${graft.ops.Determinism.sqlExactSum("xi * xj")} AS sxy
+       |  FROM p GROUP BY i, j)""".stripMargin.replace("\n", " ")
+
+  /** Oracle replay of PcaOps.fit as a recursive CTE (ends in
+    * `model(comps, lams)`): the covariance matrix flattened to one
+    * 256-double list-state row, then PcaK×(PcaIters+1) single-row
+    * steps — matvec, classical Gram-Schmidt against published
+    * components, normalize; at each component boundary, sign-fix,
+    * publish rounded, λ = Rayleigh. Every sum is generated as an
+    * ascending-index left-associated `+` chain, so the IEEE op order
+    * matches the Scala loops term for term and no intermediate
+    * rounding is needed for the engines to agree bit-for-bit. */
+  private lazy val pcaModelWith: String = {
+    val D = PcaD
+    def cix(i: Int, j: Int) = s"c[${i * D + j + 1}]"
+    val wz = (0 until D).map(i =>
+      "(" + (0 until D).map(j => s"${cix(i, j)} * v[${j + 1}]")
+        .mkString(" + ") + ")").mkString(", ")
+    val dps = (0 until PcaK - 1).map(m =>
+      s"(CASE WHEN len(comps) >= ${(m + 1) * D} THEN " +
+        (0 until D).map(i => s"w[${i + 1}] * comps[${m * D + i + 1}]")
+          .mkString(" + ") + " ELSE 0.0 END)").mkString(", ")
+    val worth = (0 until D).map(i =>
+      s"(w[${i + 1}] - (" +
+        (0 until PcaK - 1).map(m =>
+          s"dp[${m + 1}] * (CASE WHEN len(comps) >= ${(m + 1) * D} " +
+            s"THEN comps[${m * D + i + 1}] ELSE 0.0 END)")
+          .mkString(" + ") + "))").mkString(", ")
+    val nrm = (0 until D).map(i => s"wo[${i + 1}] * wo[${i + 1}]")
+      .mkString(" + ")
+    val vnext = (0 until D).map(i => s"wo[${i + 1}] / nrm").mkString(", ")
+    val mx = "greatest(" +
+      (0 until D).map(i => s"abs(v[${i + 1}])").mkString(", ") + ")"
+    val sgn = "CASE " + (0 until D).map(i =>
+      s"WHEN abs(v[${i + 1}]) = mx THEN " +
+        s"(CASE WHEN v[${i + 1}] < 0 THEN -1.0 ELSE 1.0 END)")
+      .mkString(" ") + " ELSE 1.0 END"
+    val svl = (0 until D).map(i => s"sgn * v[${i + 1}]").mkString(", ")
+    val lam = (0 until D).map(i =>
+      s"sv[${i + 1}] * (" +
+        (0 until D).map(j => s"${cix(i, j)} * sv[${j + 1}]")
+          .mkString(" + ") + ")").mkString(" + ")
+    val startl = Seq.fill(D)(
+      s"CAST(${1.0 / math.sqrt(D.toDouble)} AS DOUBLE)").mkString(", ")
+    val pub = (0 until D).map(i => s"(round(sv[${i + 1}], 6) + 0.0)")
+      .mkString(", ")
+    s"""WITH RECURSIVE $covPairsWith,
+       |cv AS (SELECT i, j,
+       |  ${graft.ops.Determinism.sqlNoNegZero(
+             "round((sxy - sx * sy / n) / n, 6)")} AS cov FROM a),
+       |full_c AS (
+       |  SELECT r.i AS i, c.j AS j, cv.cov
+       |  FROM range(0, $D) r(i), range(0, $D) c(j)
+       |  JOIN cv ON cv.i = least(r.i, c.j) AND cv.j = greatest(r.i, c.j)),
+       |cmat AS (SELECT list(cov ORDER BY i * $D + j) AS c FROM full_c),
+       |st AS (
+       |  SELECT 0 AS kk, 0 AS t, (SELECT c FROM cmat) AS c,
+       |    [$startl] AS v,
+       |    CAST([] AS DOUBLE[]) AS comps, CAST([] AS DOUBLE[]) AS lams
+       |  UNION ALL
+       |  SELECT
+       |    CASE WHEN t = $PcaIters THEN kk + 1 ELSE kk END,
+       |    CASE WHEN t = $PcaIters THEN 0 ELSE t + 1 END,
+       |    c,
+       |    CASE WHEN t = $PcaIters THEN [$startl]
+       |         WHEN nrm = 0 THEN v ELSE [$vnext] END,
+       |    CASE WHEN t = $PcaIters THEN comps || [$pub] ELSE comps END,
+       |    CASE WHEN t = $PcaIters
+       |      THEN list_append(lams, (round(lam, 6) + 0.0)) ELSE lams END
+       |  FROM (
+       |    SELECT *, ($lam) AS lam FROM (
+       |      SELECT *, [$svl] AS sv FROM (
+       |        SELECT *, ($sgn) AS sgn FROM (
+       |          SELECT *, ($mx) AS mx, sqrt($nrm) AS nrm FROM (
+       |            SELECT *, [$worth] AS wo FROM (
+       |              SELECT *, [$dps] AS dp FROM (
+       |                SELECT kk, t, c, v, comps, lams, [$wz] AS w
+       |                FROM st WHERE kk < $PcaK)))))))
+       |),
+       |model AS (SELECT comps, lams FROM st WHERE kk = $PcaK AND t = 0)"""
+      .stripMargin.replace("\n", " ")
+  }
 
   /** Two-level blocked near-dup pairs (4 super × 4 children, nprobe 2
     * supers), as a WITH prelude ending in `blocked2` — mirrors

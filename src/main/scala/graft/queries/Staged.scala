@@ -64,6 +64,7 @@ object Staged {
     layoutMemo.filterInPlace { case (k, _) => k._1 != s }
     warehouseMemo.filterInPlace { case (k, _) => k._1 != s }
     bpeMemo.filterInPlace { case (k, _) => k._1 != s }
+    pcaMemo.filterInPlace { case (k, _) => k._1 != s }
     indexMemo.filterInPlace { case (k, (a, b)) =>
       val keep = k.productElement(0) != s
       if (!keep) { safeUnpersist(a); safeUnpersist(b) }
@@ -351,6 +352,29 @@ object Staged {
     })
   }
 
+  private val pcaMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Int, Int), graft.ops.PcaOps.PcaModel]
+
+  /** The fitted PCA basis over the first 16 embedding dims — one
+    * distributed covariance pass (the same rounded values
+    * embedding_covariance publishes) + the driver-side fixed-budget
+    * orthogonal iteration (PcaOps.fit). Shared by pca_components and
+    * embedding_pca_project; the model is k·16 doubles. */
+  def pcaModel(s: SparkSession, dir: String, k: Int,
+               iters: Int): graft.ops.PcaOps.PcaModel = {
+    registerCleanup(s)
+    pcaMemo.getOrElseUpdate((s, dir, k, iters), {
+      val rows = graft.ops.SimilarityOps
+        .covariancePairs(Tables.embeddings(s, dir), 16)
+        .collect()
+        .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j"),
+          r.getAs[Double]("cov"))).toSeq
+      graft.ops.PcaOps.fit(
+        graft.ops.PcaOps.matrixFromUpper(rows, 16), k, iters)
+    })
+  }
+
   private val warehouseMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
 
@@ -428,6 +452,6 @@ object Staged {
     simhashMemo.clear(); clusterMemo.clear(); indexMemo.clear()
     countMemo.clear(); annIndexMemo.clear(); pqMemo.clear()
     annAppendMemo.clear(); layoutMemo.clear(); warehouseMemo.clear()
-    bpeMemo.clear()
+    bpeMemo.clear(); pcaMemo.clear()
   }
 }
