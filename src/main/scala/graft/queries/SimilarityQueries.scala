@@ -329,6 +329,8 @@ object SimilarityQueries {
     sc.count(); ch.count(); ex.count()
     val (ar, mem, hot) = Staged.annAppendState(s, dir, ak1, ak2, HotFactor)
     ar.count(); mem.count(); hot.count()
+    Staged.pcaModel(s, dir, PcaK, PcaIters)
+    ()
   }
 
   /** Shared WITH prelude for the incremental-maintenance oracles:
