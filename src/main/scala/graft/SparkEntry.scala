@@ -11,20 +11,25 @@ import graft.queries.{AnalyticsQueries, BehaviorQueries, CorpusQueries, DedupQue
   */
 object SparkEntry {
 
+  /** Registry grouped by owning family (the queries object that
+    * defines each Q) — provenance for the generated QUERIES.md index
+    * and anything else that wants per-family structure. */
+  def families: Seq[(String, Seq[Q])] = Seq(
+    "TickQueries" -> TickQueries.all,
+    "RelationalQueries" -> RelationalQueries.all,
+    "TextQueries" -> TextQueries.all,
+    "CorpusQueries" -> CorpusQueries.all,
+    "DedupQueries" -> DedupQueries.all,
+    "SimilarityQueries" -> SimilarityQueries.all,
+    "PipelineQueries" -> PipelineQueries.all,
+    "ExtraQueries" -> ExtraQueries.all,
+    "AnalyticsQueries" -> AnalyticsQueries.all,
+    "SourceQueries" -> SourceQueries.all,
+    "BehaviorQueries" -> BehaviorQueries.all,
+    "LinkageQueries" -> LinkageQueries.all)
+
   /** All registered capabilities. */
-  def registry: Seq[Q] =
-    TickQueries.all ++
-    RelationalQueries.all ++
-    TextQueries.all ++
-    CorpusQueries.all ++
-    DedupQueries.all ++
-    SimilarityQueries.all ++
-    PipelineQueries.all ++
-    ExtraQueries.all ++
-    AnalyticsQueries.all ++
-    SourceQueries.all ++
-    BehaviorQueries.all ++
-    LinkageQueries.all
+  def registry: Seq[Q] = families.flatMap(_._2)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Hourly OHLC bars over the normalized tick stream — the reference's
