@@ -1130,6 +1130,31 @@ object SimilarityOps {
       .select(col("vec_id") +: projs: _*)
   }
 
+  /** Candidate generation in PCA space: nearest-`c` by squared L2 over
+    * the k projected coordinates (p0..p{k-1} from [[pcaProject]]) —
+    * the dim-reduction retrieval path: the scan touches k doubles per
+    * vector instead of the full embedding (the PCA analog of PQ's
+    * ADC byte scan), and the exact metric reranks the survivors.
+    * Queries broadcast; distance terms are ascending-component
+    * left-associated so the oracle's generated SQL ranks identically. */
+  def pcaCandidates(proj: DataFrame, queryIds: Seq[Long], c: Int,
+                    k: Int): DataFrame = {
+    val q = proj.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id") +:
+        (0 until k).map(i => col(s"p$i").as(s"q$i")): _*)
+    val dist = (0 until k).map(i =>
+      (col(s"p$i") - col(s"q$i")) * (col(s"p$i") - col(s"q$i")))
+      .reduceLeft(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    proj.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dist.as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= c)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
   def covariancePairs(embeddings: DataFrame, d: Int): DataFrame = {
     val pairs = embeddings
       .select(explode(expr(

@@ -26,12 +26,11 @@ object CorpusQueries {
   private final val PackSeqLen = 128L
 
   /** Per-doc trained-BPE token counts (doc_id, n) — the packing
-    * queries' input, composing packing with the fit→apply tokenizer. */
+    * queries' input, composing packing with the fit→apply tokenizer;
+    * session-staged (Staged.bpeDocTokens) since three queries read it. */
   private def bpeDocTokens(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    graft.ops.BpeOps.tokenizeStats(Tables.documents(s, dir),
-        Staged.bpeMerges(s, dir, TextQueries.BpeNMerges))
-      .select(col("doc_id"), col("n_bpe_tokens").as("n"))
+    Staged.bpeDocTokens(s, dir)
 
   /** Oracle prelude: TextQueries.bpeApplyWith extended to the packed
     * span table (`spans(doc_id, n, o, s0, s1)`) — BPE token counts,

@@ -1221,14 +1221,117 @@ object SimilarityQueries {
           Staged.pcaModel(s, dir, PcaK, PcaIters))
         .orderBy("vec_id"),
       s"""$pcaModelWith,
-         |means AS (SELECT i, sx / n AS mean FROM a WHERE i = j),
-         |mrow AS (SELECT ${(0 until 16).map(i =>
-             s"max(CASE WHEN i = $i THEN mean END) AS m$i").mkString(", ")}
-         |  FROM means)
+         |$pcaMeansWith
          |SELECT vec_id, ${(0 until PcaK).map(pcaProjSql).mkString(", ")}
          |FROM embeddings, model, mrow
-         |ORDER BY vec_id""".stripMargin.replace("\n", " "))
+         |ORDER BY vec_id""".stripMargin.replace("\n", " ")),
+
+    // Dim-reduction retrieval — the PCA model as an ANN index: the
+    // candidate scan ranks by squared L2 over the 4 projected doubles
+    // (k doubles per vector instead of the 64-float embedding — the
+    // PCA analog of PQ's byte-code ADC scan), nearest 40 per query,
+    // then the exact cosine reranks — the same two-stage shape as
+    // ann_topk_hybrid_rerank.
+    //
+    // HONEST MEASURED VERDICT (the BucketPayoff pattern): on THIS
+    // fixture recall@10 is 0.22, and the engine's own diagnostics say
+    // why before you run a single query — pca_components' explained
+    // variances are near-flat (Σλ/trace ≈ 0.26 over 4 of 16 dims: the
+    // synthetic embeddings are nearly isotropic, so no 4-dim shadow
+    // preserves neighborhoods; PcaAnnSpec pins the spectrum→recall
+    // agreement). On real embedding tables — whose spectra decay
+    // steeply — the identical operator composes into the standard
+    // reduced-width first-pass scan; the applicability TEST is what
+    // ships here: read the spectrum, then the recall eval, before
+    // trusting any dim-reduction index.
+    Q("ann_topk_pca",
+      (s, dir) => {
+        val model = Staged.pcaModel(s, dir, PcaK, PcaIters)
+        val cands = SimilarityOps.pcaCandidates(
+          SimilarityOps.pcaProject(Tables.embeddings(s, dir), model),
+          QueryIds, PcaCandK, PcaK)
+        SimilarityOps.rerankExactTopKNorm(
+            Staged.normCorpus(s, dir), cands, QueryIds, K)
+          .select(col("query_id"), col("neighbor_id"), col("cosine_sim"),
+            col("rank").cast("int").as("rank"))
+          .orderBy("query_id", "rank")
+      },
+      s"SELECT * FROM ($pcaAnnSql) ORDER BY query_id, rank"),
+
+    // Recall@k of the PCA-space index vs the exact baseline — how much
+    // neighborhood structure 4 principal components keep, measured the
+    // same way every other index variant is. On this near-isotropic
+    // fixture the answer is "not enough" (0.22) — which is the eval
+    // doing its job; see ann_topk_pca's verdict note.
+    Q("ann_recall_pca",
+      (s, dir) => {
+        val brute = SimilarityOps
+          .bruteForceTopKNorm(Staged.normCorpus(s, dir), QueryIds, K)
+          .select(col("query_id"), col("neighbor_id"))
+        val model = Staged.pcaModel(s, dir, PcaK, PcaIters)
+        val cands = SimilarityOps.pcaCandidates(
+          SimilarityOps.pcaProject(Tables.embeddings(s, dir), model),
+          QueryIds, PcaCandK, PcaK)
+        val pca = SimilarityOps.rerankExactTopKNorm(
+            Staged.normCorpus(s, dir), cands, QueryIds, K)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        brute.join(pca, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_matched"))
+          .select(col("query_id"), col("n_matched"),
+            round(col("n_matched") / lit(K.toDouble), 6).as("recall_at_k"))
+          .orderBy("query_id")
+      },
+      s"""SELECT b.query_id, CAST(count(i.neighbor_id) AS BIGINT) AS n_matched,
+         |round(count(i.neighbor_id) / ${K.toDouble}, 6) AS recall_at_k
+         |FROM ($bruteSql) b LEFT JOIN ($pcaAnnSql) i
+         |ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id"""
+        .stripMargin.replace("\n", " "))
   )
+
+  /** PCA-space candidate width (≥ 4·K so the exact rerank has slack). */
+  private final val PcaCandK = 40
+
+  /** Corpus dimension means + the one-row pivot the projection reads
+    * (needs `a` from covPairsWith in scope). */
+  private lazy val pcaMeansWith: String =
+    s"""means AS (SELECT i, sx / n AS mean FROM a WHERE i = j),
+       |mrow AS (SELECT ${(0 until 16).map(i =>
+           s"max(CASE WHEN i = $i THEN mean END) AS m$i").mkString(", ")}
+       |  FROM means)""".stripMargin.replace("\n", " ")
+
+  /** Oracle twin of pcaCandidates + rerankExactTopKNorm (no trailing
+    * ORDER BY): project everything, nearest-PcaCandK by ascending-
+    * component left-associated squared L2, exact-cosine rerank. */
+  private lazy val pcaAnnSql: String = {
+    val dist = (0 until PcaK).map(i =>
+      s"((pr.p$i - qp.q$i) * (pr.p$i - qp.q$i))").mkString(" + ")
+    s"""$pcaModelWith,
+       |$pcaMeansWith,
+       |pr AS (SELECT vec_id, ${(0 until PcaK).map(pcaProjSql).mkString(", ")}
+       |  FROM embeddings, model, mrow),
+       |qp AS (SELECT vec_id AS query_id,
+       |  ${(0 until PcaK).map(i => s"p$i AS q$i").mkString(", ")}
+       |  FROM pr WHERE vec_id IN $idList),
+       |cd AS (SELECT qp.query_id, pr.vec_id AS neighbor_id, $dist AS dist
+       |  FROM pr JOIN qp ON pr.vec_id <> qp.query_id),
+       |ck AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dist ASC, neighbor_id ASC) AS rn FROM cd)
+       |  WHERE rn <= $PcaCandK),
+       |corpus AS ($normCorpus),
+       |qe AS (SELECT vec_id AS query_id, n_emb AS q_emb
+       |  FROM corpus WHERE vec_id IN $idList),
+       |sc AS (SELECT ck.query_id, ck.neighbor_id,
+       |  ${dotCosine("qe.q_emb", "e.n_emb")} AS cosine_sim
+       |  FROM ck JOIN qe ON ck.query_id = qe.query_id
+       |  JOIN corpus e ON ck.neighbor_id = e.vec_id),
+       |kk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk FROM sc)
+       |SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rank
+       |FROM kk WHERE rnk <= $K""".stripMargin.replace("\n", " ")
+  }
 
   /** Generated projection expression for component `k`: ascending-dim
     * left-associated Σ (x_i − mean_i)·loading_ki, rounded 6 dp —

@@ -65,6 +65,11 @@ object Staged {
     warehouseMemo.filterInPlace { case (k, _) => k._1 != s }
     bpeMemo.filterInPlace { case (k, _) => k._1 != s }
     pcaMemo.filterInPlace { case (k, _) => k._1 != s }
+    bpeTokMemo.filterInPlace { case (k, df) =>
+      val keep = k._1 != s
+      if (!keep) safeUnpersist(df)
+      keep
+    }
     indexMemo.filterInPlace { case (k, (a, b)) =>
       val keep = k.productElement(0) != s
       if (!keep) { safeUnpersist(a); safeUnpersist(b) }
@@ -352,6 +357,25 @@ object Staged {
     })
   }
 
+  private val bpeTokMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Per-doc trained-BPE token counts (doc_id, n) — the tokenizer
+    * APPLIED and reduced to the count the packing family consumes,
+    * cached once per session+dir (three registered queries read it; at
+    * scale: the column a pipeline materializes next to the tokenized
+    * shards). */
+  def bpeDocTokens(s: SparkSession, dir: String): DataFrame = {
+    registerCleanup(s)
+    bpeTokMemo.getOrElseUpdate((s, dir), {
+      import org.apache.spark.sql.functions.col
+      graft.ops.BpeOps.tokenizeStats(Tables.documents(s, dir),
+          bpeMerges(s, dir, TextQueries.BpeNMerges))
+        .select(col("doc_id"), col("n_bpe_tokens").as("n"))
+        .cache()
+    })
+  }
+
   private val pcaMemo =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, Int, Int), graft.ops.PcaOps.PcaModel]
@@ -453,5 +477,6 @@ object Staged {
     countMemo.clear(); annIndexMemo.clear(); pqMemo.clear()
     annAppendMemo.clear(); layoutMemo.clear(); warehouseMemo.clear()
     bpeMemo.clear(); pcaMemo.clear()
+    bpeTokMemo.values.foreach(safeUnpersist); bpeTokMemo.clear()
   }
 }

@@ -22,10 +22,12 @@ object TextQueries {
   private[queries] final val BpeNMerges = 16
 
   /** Force this family's staged artifacts (Staged.prewarm hook): the
-    * trained BPE merge list both tokenizer queries share. */
+    * trained BPE merge list + the applied per-doc token counts the
+    * tokenizer and packing queries share. */
   private[queries] def prewarm(
       s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     Staged.bpeMerges(s, dir, BpeNMerges)
+    Staged.bpeDocTokens(s, dir).count()
     ()
   }
 
@@ -364,16 +366,24 @@ object TextQueries {
       (s, dir) => graft.ops.BpeOps.tokenizeStats(
           Tables.documents(s, dir), Staged.bpeMerges(s, dir, BpeNMerges))
         .orderBy("doc_id"),
-      s"""$bpeApplyWith
-         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-         |CAST(n_chars AS BIGINT) AS n_chars,
-         |CAST(len(list_filter(string_split(trim(s), ' '), x -> x <> '|'))
-         |  AS BIGINT) AS n_bpe_tokens,
-         |round(CAST(n_chars AS DOUBLE) /
-         |  len(list_filter(string_split(trim(s), ' '), x -> x <> '|')), 6)
-         |  AS chars_per_token,
-         |md5(trim(s)) AS tokens_digest
-         |FROM fin ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      corpusTokenizeSql),
+
+    // Streaming twin of corpus_tokenize — the tokenizer applied IN
+    // FLIGHT with the FROZEN merge model (trained once on the standing
+    // corpus, exactly how production tokenizers deploy): each document
+    // micro-batch runs the identical per-row-pure replace chain through
+    // the replay-safe batch_id-keyed sink, so any micro-batch slicing
+    // yields the same rows and the batch oracle applies verbatim.
+    Q("streaming_tokenize",
+      (s, dir) => {
+        val work = graft.util.Fs.workDir("graft_stream_bpe", dir).toString
+        graft.util.Fs.deleteRec(work)
+        val merges = Staged.bpeMerges(s, dir, BpeNMerges)
+        graft.streaming.StreamingDocApply.applyAvailableNow(s, dir, work,
+            b => graft.ops.BpeOps.tokenizeStats(b, merges))
+          .orderBy("doc_id")
+      },
+      corpusTokenizeSql),
 
     // Count-min sketch heavy hitters: d=4 hash rows × w=16 buckets over
     // the token stream, estimate = min over rows — the mergeable
@@ -471,6 +481,21 @@ object TextQueries {
        |fin AS (SELECT doc_id, n_words, n_chars, s FROM ap
        |  WHERE k = (SELECT count(*) FROM merges_t))"""
       .stripMargin.replace("\n", " ")
+
+  /** Shared oracle for corpus_tokenize and its streaming twin (the
+    * transform is per-row pure, so the batch SQL applies verbatim to
+    * the streamed result). */
+  private lazy val corpusTokenizeSql: String =
+    s"""$bpeApplyWith
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |CAST(n_chars AS BIGINT) AS n_chars,
+       |CAST(len(list_filter(string_split(trim(s), ' '), x -> x <> '|'))
+       |  AS BIGINT) AS n_bpe_tokens,
+       |round(CAST(n_chars AS DOUBLE) /
+       |  len(list_filter(string_split(trim(s), ' '), x -> x <> '|')), 6)
+       |  AS chars_per_token,
+       |md5(trim(s)) AS tokens_digest
+       |FROM fin ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
   /** Oracle for [[freq_tokens_cms]] — same affine coefficients as the
     * Spark side (one source of truth: Hashing.affineCoeffs). */

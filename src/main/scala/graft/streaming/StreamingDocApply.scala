@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Generic per-row-pure document-stream apply with a REPLAY-SAFE
+  * append sink — the machinery behind the streaming twins of batch
+  * document passes (`streaming_pii_scan`, `streaming_tokenize`): the
+  * documents table streams in micro-batches, each batch runs the SAME
+  * pure per-row transform the batch query uses, and results land in a
+  * `batch_id=N`-keyed parquet sink.
+  *
+  * Because the transform is per-row pure (no state, no watermark), any
+  * micro-batch slicing yields the identical row set and the BATCH
+  * oracle applies verbatim to the streamed result. Replay safety: a
+  * batch directory already carrying a _SUCCESS marker is a redelivered
+  * micro-batch (foreachBatch's at-least-once contract) and is skipped;
+  * a partial directory (crash mid-write) is cleared and rewritten —
+  * so duplicate delivery cannot append duplicate rows. */
+object StreamingDocApply {
+
+  /** Stream `dir`'s documents through `transform` into
+    * `workDir`/applied and return the read-back result. `transform`
+    * must be per-row pure; its output schema seeds the sink so a
+    * zero-row stream reads back empty instead of path-not-found. */
+  def applyAvailableNow(spark: SparkSession, dir: String, workDir: String,
+                        transform: DataFrame => DataFrame,
+                        maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val out = s"$workDir/applied"
+    transform(graft.Tables.documents(spark, dir).limit(0))
+      .write.mode("append").parquet(s"$out/batch_id=-1")
+    val reader = spark.readStream
+      .schema(spark.read.parquet(s"$dir/documents.parquet").schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(s"$dir/documents.parque*")
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val dest = s"$out/batch_id=$batchId"
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(dest, "_SUCCESS"))) {
+          graft.util.Fs.deleteRec(dest)
+          transform(b).write.mode("overwrite").parquet(dest)
+        }
+      }
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // batch_id is sink bookkeeping (partition-discovered), not output
+    spark.read.parquet(out).drop("batch_id")
+  }
+}

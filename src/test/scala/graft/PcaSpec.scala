@@ -62,6 +62,30 @@ class PcaSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("spectrum diagnostic and PCA-ANN recall eval agree (honest negative)") {
+    // the applicability test dim-reduction retrieval ships with: a
+    // near-flat spectrum (captured-variance fraction well under half)
+    // must come WITH a weak recall eval — if either side moves without
+    // the other, the diagnostic story is broken. The synthetic
+    // embeddings are near-isotropic by construction, so both hold on
+    // any regenerated fixture.
+    val trace = ops.SimilarityOps.covariancePairs(
+        Tables.embeddings(spark, sf), 16)
+      .filter(col("i") === col("j"))
+      .agg(sum(col("cov"))).head.getDouble(0)
+    val captured = vars.values.sum
+    val fraction = captured / trace
+    assert(fraction > 0 && fraction < 0.5,
+      f"fixture no longer near-isotropic (fraction $fraction%.3f) — " +
+        "revisit the ann_topk_pca verdict note")
+    val recalls = SparkEntry.queries("ann_recall_pca")(spark, sf)
+      .select("recall_at_k").collect().map(_.getDouble(0))
+    val mean = recalls.sum / recalls.length
+    assert(mean < 0.6,
+      f"PCA-ANN recall $mean%.2f no longer weak on a flat spectrum — " +
+        "the diagnostic no longer predicts the eval")
+  }
+
   test("fit is insensitive to upper-triangle row order") {
     val rows = ops.SimilarityOps.covariancePairs(
         Tables.embeddings(spark, sf), 16).collect()

@@ -66,7 +66,17 @@ class PlanQualitySpec extends AnyFunSuite {
     "doc_logprob" -> "1-row corpus-token-count scalar, broadcast",
     "ann_index_hot_cells" -> "1-row hot-threshold scalar, broadcast",
     "ann_index_post_split" ->
-      "1-row hot-threshold scalar, broadcast (hot-cell selection)")
+      "1-row hot-threshold scalar, broadcast (hot-cell selection)",
+    "ann_topk_hybrid_rerank" ->
+      "10-row query set, broadcast (exact rerank over the ≤3k-row candidate union)",
+    "ann_recall_hybrid_rerank" ->
+      "contains ann_topk_brute (eval baseline) + the whitelisted hybrid rerank",
+    "embedding_pca_project" ->
+      "1-row broadcast (means, basis) row — the projection model",
+    "ann_topk_pca" ->
+      "1-row model/means rows + 10-row projected query set, broadcast",
+    "ann_recall_pca" ->
+      "contains ann_topk_brute (eval baseline) + the whitelisted pca probe")
 
   private def sections: Seq[(String, String)] = {
     val parts = plans.split("\n## ").toSeq.drop(1)
