@@ -455,4 +455,55 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Maximal duplicated token SPANS between document pairs — the exact-
+    * substring dedup signal (Lee et al. 2022's "Deduplicating Training
+    * Data Makes Language Models Better" shape): every shared run of
+    * ≥ `w` consecutive tokens, reported with both positions and its
+    * full maximal length, so a pipeline can surgically cut repeated
+    * passages instead of dropping whole near-dup documents.
+    *
+    * Pipeline: (1) hash every w-token window (60-bit md5 of the
+    * space-joined window — one narrow explode, ~n windows per doc);
+    * (2) drop windows whose gram appears in > `maxDf` docs (the
+    * boilerplate/hot-gram posting cap, same discipline as the
+    * MinHash band caps — without it one ubiquitous phrase makes the
+    * join quadratic); (3) equality self-join on the hash (doc_a <
+    * doc_b) → matched (pos_a, pos_b) grid points; (4) merge
+    * consecutive matches on each (pair, pos_a−pos_b) DIAGONAL into
+    * maximal spans with the gaps-and-islands trick (pos_a −
+    * row_number() is constant exactly on a run). Every stage is an
+    * equality-keyed join/agg or a per-(pair, diagonal) window over
+    * already-matched rows — never all-pairs; matched volume is bounded
+    * by the df cap times window count. */
+  def substringSpans(docs: DataFrame, w: Int, maxDf: Int,
+                     text: String = "text"): DataFrame = {
+    val g = docs
+      .select(col("doc_id"), graft.ops.TextOps.tokens(col(text)).as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("toks")) - w),
+          i => struct(i.cast("int").as("pos"),
+            Hashing.md5Long(concat_ws(" ", slice(col("toks"), i + 1, lit(w))))
+              .as("gram")))).as("gp"))
+      .select(col("doc_id"), col("gp.pos").as("pos"), col("gp.gram").as("gram"))
+    val keep = g.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs").between(2, maxDf))
+      .select("gram")
+    val gg = g.join(keep, Seq("gram"))
+    val pairs = gg.as("a").join(gg.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+    val wdw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a").asc)
+    pairs.withColumn("diag", col("pos_a") - col("pos_b"))
+      .withColumn("island", col("pos_a") - row_number().over(wdw))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+      .agg(min(col("pos_a")).as("a_start"), min(col("pos_b")).as("b_start"),
+        (max(col("pos_a")) - min(col("pos_a")) + w).cast("long").as("span_len"))
+      .select("doc_a", "doc_b", "a_start", "b_start", "span_len")
+  }
 }

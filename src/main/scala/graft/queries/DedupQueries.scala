@@ -339,8 +339,57 @@ object DedupQueries {
           .incrementalScreenAvailableNow(s, dir, work, K, NH, BAND, TH)
           .orderBy("doc_id")
       },
-      incrementalOracleSql)
+      incrementalOracleSql),
+
+    // Exact-substring span dedup (the Lee-et-al "dedup training data"
+    // signal): every MAXIMAL shared run of ≥8 consecutive tokens
+    // between two docs, with both start positions and the full run
+    // length — the operator that lets a pipeline CUT repeated passages
+    // instead of dropping documents (doc-level Jaccard can't see a
+    // 90-token verbatim quote inside two otherwise-different docs).
+    // Window-hash inverted index → hot-gram df cap (2..50 docs) →
+    // equality self-join → per-(pair, diagonal) gaps-and-islands
+    // merge; every stage equality-keyed or windowed over matched rows
+    // only (DedupOps.substringSpans). Fixture yields real structure:
+    // 25 spans up to 93 tokens from the planted near-dups.
+    Q("dedup_substring_spans",
+      (s, dir) => DedupOps.substringSpans(
+          Tables.documents(s, dir), SpanW, SpanMaxDf)
+        .orderBy("doc_a", "doc_b", "a_start", "b_start"),
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents
+         |  WHERE len($toks) >= $SpanW),
+         |g AS (SELECT doc_id, CAST(x.i AS INT) AS pos,
+         |  ${Hashing.sqlMd5Long(
+             s"array_to_string(toks[CAST(x.i AS INT)+1:CAST(x.i AS INT)+$SpanW], ' ')")}
+         |    AS gram
+         |  FROM t, LATERAL (SELECT unnest(range(0, len(toks) - $SpanW + 1))
+         |    AS i) x),
+         |df AS (SELECT gram FROM (
+         |  SELECT gram, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY gram)
+         |  WHERE n_docs BETWEEN 2 AND $SpanMaxDf),
+         |gg AS (SELECT g.* FROM g JOIN df USING (gram)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.pos AS pos_a, b.pos AS pos_b
+         |  FROM gg a JOIN gg b
+         |  ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         |isl AS (SELECT doc_a, doc_b, pos_a, pos_b,
+         |  pos_a - pos_b AS diag,
+         |  pos_a - row_number() OVER (PARTITION BY doc_a, doc_b,
+         |    pos_a - pos_b ORDER BY pos_a) AS island
+         |  FROM pairs)
+         |SELECT doc_a, doc_b, CAST(min(pos_a) AS INT) AS a_start,
+         |CAST(min(pos_b) AS INT) AS b_start,
+         |CAST(max(pos_a) - min(pos_a) + $SpanW AS BIGINT) AS span_len
+         |FROM isl GROUP BY doc_a, doc_b, diag, island
+         |ORDER BY doc_a, doc_b, a_start, b_start"""
+        .stripMargin.replace("\n", " "))
   )
+
+  /** Substring-span window width (minimum duplicated run length) and
+    * the hot-gram document-frequency cap. */
+  private final val SpanW = 8
+  private final val SpanMaxDf = 50
 
   /** Batch-vs-corpus incremental screen oracle — shared verbatim by the
     * batch and streaming forms (per-doc independence makes them equal). */
