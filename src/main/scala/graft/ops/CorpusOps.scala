@@ -117,6 +117,44 @@ object CorpusOps {
         sum(least((col("seq_id") + 1) * seqLen, col("o") + col("n"))
           - greatest(col("seq_id") * seqLen, col("o"))).as("n_tokens"))
 
+  /** Temperature-weighted mixture sampling (the multilingual-LLM
+    * "sample language l with probability ∝ p_l^α" rebalancing,
+    * α < 1 upweights tail languages) — done deterministically: each
+    * language's quota is floor(T · p_l^α / Σ p^α) with T = ⌊N/2⌋, and
+    * the quota is filled by the smallest `md5(doc_id)` hashes (the
+    * engine-portable stand-in for a seeded sampler, same discipline as
+    * corpus_epochs). Float care: the Σ over languages runs as an
+    * ORDERED window frame (deterministic accumulation order — a plain
+    * agg's partial order could flip a floor boundary) and the quota
+    * expression is rounded to 6 dp before floor so both engines floor
+    * the identical double.
+    *
+    * Scale shape: two tiny aggs (one row per language) + one per-lang
+    * rank window over the corpus — the rank is the only corpus-wide
+    * shuffle, keyed by language (salt a mega-language before ranking
+    * at extreme skew). */
+  def temperatureMix(docs: DataFrame, alpha: Double): DataFrame = {
+    val all = Window.orderBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val quotas = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_l"))
+      .withColumn("n_total", sum(col("n_l")).over(all))
+      .withColumn("w",
+        pow(col("n_l").cast("double") / col("n_total"), alpha))
+      .withColumn("sw", sum(col("w")).over(all))
+      .select(col("lang"), col("n_l"),
+        floor(round((floor(col("n_total") / 2) * col("w")) / col("sw"), 6))
+          .cast("long").as("quota"))
+    val byHash = Window.partitionBy(col("lang"))
+      .orderBy(graft.functions.Hashing.md5Long(col("doc_id").cast("string"))
+        .asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("samp_rank", row_number().over(byHash).cast("long"))
+      .join(quotas, Seq("lang"))
+      .filter(col("samp_rank") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("samp_rank"), col("quota"))
+  }
+
   /** Epoch-weighted corpus expansion — the deterministic form of
     * quality-weighted sampling used when mixing a training set: a doc
     * with quality score q is repeated `floor(4q) + 1` times (1–5

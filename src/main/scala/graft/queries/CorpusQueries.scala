@@ -278,6 +278,35 @@ object CorpusQueries {
          |n_starts, first_doc, last_doc, n_tokens
          |FROM m ORDER BY seq_id""".stripMargin.replace("\n", " ")),
 
+    // Temperature-weighted mixture sampling (α = 0.5): the
+    // multilingual rebalancing that samples language l ∝ p_l^α —
+    // tail languages upweighted relative to their raw share — done
+    // with zero RNG: per-language quotas from the α-tempered shares,
+    // filled by smallest md5(doc_id) (the portable seeded-sampler
+    // stand-in). The full selected set hash-matches the oracle, so
+    // quota arithmetic AND the per-language fill are both pinned.
+    Q("corpus_temperature_mix",
+      (s, dir) => CorpusOps.temperatureMix(Tables.documents(s, dir), 0.5)
+        .orderBy("doc_id"),
+      s"""WITH q0 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l
+         |  FROM documents GROUP BY lang),
+         |q1 AS (SELECT lang, n_l, sum(n_l) OVER (ORDER BY lang
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |  AS n_total FROM q0),
+         |q2 AS (SELECT lang, n_l, n_total,
+         |  pow(CAST(n_l AS DOUBLE) / n_total, 0.5) AS w FROM q1),
+         |q3 AS (SELECT lang, n_l,
+         |  CAST(floor(round(((n_total // 2) * w) / sum(w) OVER (
+         |    ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |    UNBOUNDED FOLLOWING), 6)) AS BIGINT) AS quota FROM q2),
+         |r AS (SELECT doc_id, lang, CAST(row_number() OVER (
+         |  PARTITION BY lang ORDER BY ${Hashing.sqlMd5Long(
+             "CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS BIGINT)
+         |  AS samp_rank FROM documents)
+         |SELECT r.doc_id, r.lang, r.samp_rank, q3.quota
+         |FROM r JOIN q3 USING (lang) WHERE samp_rank <= quota
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
     Q("corpus_epochs",
       (s, dir) => CorpusOps.epochExpansion(
           TextOps.qualityScore(Tables.documents(s, dir))

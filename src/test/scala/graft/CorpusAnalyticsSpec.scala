@@ -136,6 +136,35 @@ class CorpusAnalyticsSpec extends AnyFunSuite with SparkTestBase {
       "symbol", "event_ts", "price").collect().head.getDouble(2) == 9.0)
   }
 
+  test("temperature mix: tail languages gain share, head languages lose it") {
+    import org.apache.spark.sql.functions._
+    val raw = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sel = SparkEntry.queries("corpus_temperature_mix")(spark, sf)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nRaw = raw.values.sum.toDouble
+    val nSel = sel.values.sum.toDouble
+    // total ≈ N/2 up to one floor per language
+    assert(math.abs(nSel - nRaw / 2) <= raw.size,
+      s"selected $nSel of $nRaw — target was N/2")
+    // α = 0.5 compresses shares toward uniform: the rarest language's
+    // selected share must rise vs its raw share, the commonest's fall
+    val tail = raw.minBy(_._2)._1
+    val head = raw.maxBy(_._2)._1
+    assert(raw(tail) < raw(head), "fixture langs are uniform — test vacuous")
+    assert(sel(tail) / nSel > raw(tail) / nRaw,
+      s"tail lang $tail share did not increase")
+    assert(sel(head) / nSel < raw(head) / nRaw,
+      s"head lang $head share did not decrease")
+    // each language's fill is the exact prefix of its hash ranking
+    val byRank = SparkEntry.queries("corpus_temperature_mix")(spark, sf)
+      .groupBy("lang").agg(max("samp_rank").as("mx"), count(lit(1)).as("n"))
+      .collect()
+    byRank.foreach(r => assert(r.getAs[Long]("mx") == r.getAs[Long]("n"),
+      s"${r.getString(0)}: ranks are not a dense prefix"))
+  }
+
   test("corpus_split is a deterministic 100-bucket hash partition of docs") {
     val out1 = SparkEntry.queries("corpus_split")(spark, sf).collect()
     val out2 = SparkEntry.queries("corpus_split")(spark, sf).collect()
