@@ -506,4 +506,41 @@ object DedupOps {
         (max(col("pos_a")) - min(col("pos_a")) + w).cast("long").as("span_len"))
       .select("doc_a", "doc_b", "a_start", "b_start", "span_len")
   }
+
+  /** Per-document duplicated-token coverage from [[substringSpans]]
+    * output: each doc's span intervals (from BOTH pair roles) merged
+    * into disjoint regions (classic interval union: per-doc running
+    * max-end window → region grouping), reported as duplicated-token
+    * count, region count, and fraction of the doc — the "how much of
+    * this document is copied text" statistic that decides cut-vs-drop.
+    * `tokenCounts` carries (doc_id, n_tokens). Work is bounded by the
+    * span table (already pair-capped), one per-doc window + hash-agg. */
+  def substringCoverage(spans: DataFrame, tokenCounts: DataFrame): DataFrame = {
+    val iv = spans.select(col("doc_a").as("doc_id"),
+        col("a_start").cast("long").as("st"),
+        (col("a_start") + col("span_len") - 1).as("en"))
+      .unionByName(spans.select(col("doc_b").as("doc_id"),
+        col("b_start").cast("long").as("st"),
+        (col("b_start") + col("span_len") - 1).as("en")))
+    val byStart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("st").asc, col("en").asc)
+    val merged = iv
+      .withColumn("prev_max",
+        max(col("en")).over(byStart.rowsBetween(Long.MinValue, -1)))
+      .withColumn("new_region",
+        when(col("prev_max").isNull || col("st") > col("prev_max") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("region", sum(col("new_region"))
+        .over(byStart.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("doc_id"), col("region"))
+      .agg(min(col("st")).as("st"), max(col("en")).as("en"))
+    merged.groupBy(col("doc_id"))
+      .agg(sum(col("en") - col("st") + 1).as("n_dup_tokens"),
+        count(lit(1)).as("n_regions"))
+      .join(tokenCounts, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"),
+        col("n_regions"),
+        round(col("n_dup_tokens").cast("double") / col("n_tokens"), 6)
+          .as("dup_frac"))
+  }
 }

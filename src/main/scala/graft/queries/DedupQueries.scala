@@ -356,35 +356,86 @@ object DedupQueries {
       (s, dir) => DedupOps.substringSpans(
           Tables.documents(s, dir), SpanW, SpanMaxDf)
         .orderBy("doc_a", "doc_b", "a_start", "b_start"),
-      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents
-         |  WHERE len($toks) >= $SpanW),
-         |g AS (SELECT doc_id, CAST(x.i AS INT) AS pos,
-         |  ${Hashing.sqlMd5Long(
-             s"array_to_string(toks[CAST(x.i AS INT)+1:CAST(x.i AS INT)+$SpanW], ' ')")}
-         |    AS gram
-         |  FROM t, LATERAL (SELECT unnest(range(0, len(toks) - $SpanW + 1))
-         |    AS i) x),
-         |df AS (SELECT gram FROM (
-         |  SELECT gram, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY gram)
-         |  WHERE n_docs BETWEEN 2 AND $SpanMaxDf),
-         |gg AS (SELECT g.* FROM g JOIN df USING (gram)),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.pos AS pos_a, b.pos AS pos_b
-         |  FROM gg a JOIN gg b
-         |  ON a.gram = b.gram AND a.doc_id < b.doc_id),
-         |isl AS (SELECT doc_a, doc_b, pos_a, pos_b,
-         |  pos_a - pos_b AS diag,
-         |  pos_a - row_number() OVER (PARTITION BY doc_a, doc_b,
-         |    pos_a - pos_b ORDER BY pos_a) AS island
-         |  FROM pairs)
-         |SELECT doc_a, doc_b, CAST(min(pos_a) AS INT) AS a_start,
-         |CAST(min(pos_b) AS INT) AS b_start,
-         |CAST(max(pos_a) - min(pos_a) + $SpanW AS BIGINT) AS span_len
-         |FROM isl GROUP BY doc_a, doc_b, diag, island
+      s"""$spansWith
+         |SELECT * FROM spans
          |ORDER BY doc_a, doc_b, a_start, b_start"""
-        .stripMargin.replace("\n", " "))
+        .stripMargin.replace("\n", " ")),
+
+    // ...and the per-document profile the spans feed: each doc's span
+    // intervals (both pair roles) unioned into disjoint regions →
+    // duplicated-token count / region count / fraction of the doc —
+    // the "how much of this document is copied text" statistic that
+    // decides cut-vs-drop per doc. Interval union is the per-doc
+    // running-max-end window over the (already pair-capped) span
+    // table; one window + two hash-aggs past that.
+    Q("dedup_span_coverage",
+      (s, dir) => DedupOps.substringCoverage(
+          DedupOps.substringSpans(Tables.documents(s, dir), SpanW, SpanMaxDf),
+          Tables.documents(s, dir).select(col("doc_id"),
+            size(graft.ops.TextOps.tokens(col("text"))).cast("long")
+              .as("n_tokens")))
+        .orderBy("doc_id"),
+      s"""$spansWith,
+         |iv AS (
+         |  SELECT doc_a AS doc_id, CAST(a_start AS BIGINT) AS st,
+         |    a_start + span_len - 1 AS en FROM spans
+         |  UNION ALL
+         |  SELECT doc_b AS doc_id, CAST(b_start AS BIGINT) AS st,
+         |    b_start + span_len - 1 AS en FROM spans),
+         |o AS (SELECT doc_id, st, en,
+         |  max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |  FROM iv),
+         |r AS (SELECT doc_id, st, en,
+         |  sum(CASE WHEN prev_max IS NULL OR st > prev_max + 1
+         |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+         |    ORDER BY st, en ROWS UNBOUNDED PRECEDING) AS region
+         |  FROM o),
+         |m AS (SELECT doc_id, region, min(st) AS st, max(en) AS en
+         |  FROM r GROUP BY doc_id, region),
+         |cov AS (SELECT doc_id,
+         |  CAST(sum(en - st + 1) AS BIGINT) AS n_dup_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_regions
+         |  FROM m GROUP BY doc_id),
+         |tc AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT cov.doc_id, tc.n_tokens, cov.n_dup_tokens, cov.n_regions,
+         |round(CAST(cov.n_dup_tokens AS DOUBLE) / tc.n_tokens, 6) AS dup_frac
+         |FROM cov JOIN tc ON cov.doc_id = tc.doc_id
+         |ORDER BY cov.doc_id""".stripMargin.replace("\n", " "))
   )
+
+  /** Shared spans prelude (ends in `spans(doc_a, doc_b, a_start,
+    * b_start, span_len)`) — mirrors DedupOps.substringSpans; read by
+    * the span query and the coverage profile so the two can't drift. */
+  private lazy val spansWith: String =
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents
+       |  WHERE len($toks) >= $SpanW),
+       |g AS (SELECT doc_id, CAST(x.i AS INT) AS pos,
+       |  ${Hashing.sqlMd5Long(
+           s"array_to_string(toks[CAST(x.i AS INT)+1:CAST(x.i AS INT)+$SpanW], ' ')")}
+       |    AS gram
+       |  FROM t, LATERAL (SELECT unnest(range(0, len(toks) - $SpanW + 1))
+       |    AS i) x),
+       |df AS (SELECT gram FROM (
+       |  SELECT gram, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY gram)
+       |  WHERE n_docs BETWEEN 2 AND $SpanMaxDf),
+       |gg AS (SELECT g.* FROM g JOIN df USING (gram)),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.pos AS pos_a, b.pos AS pos_b
+       |  FROM gg a JOIN gg b
+       |  ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |isl AS (SELECT doc_a, doc_b, pos_a, pos_b,
+       |  pos_a - pos_b AS diag,
+       |  pos_a - row_number() OVER (PARTITION BY doc_a, doc_b,
+       |    pos_a - pos_b ORDER BY pos_a) AS island
+       |  FROM pairs),
+       |spans AS (SELECT doc_a, doc_b, CAST(min(pos_a) AS INT) AS a_start,
+       |  CAST(min(pos_b) AS INT) AS b_start,
+       |  CAST(max(pos_a) - min(pos_a) + $SpanW AS BIGINT) AS span_len
+       |  FROM isl GROUP BY doc_a, doc_b, diag, island)"""
+      .stripMargin.replace("\n", " ")
 
   /** Substring-span window width (minimum duplicated run length) and
     * the hot-gram document-frequency cap. */

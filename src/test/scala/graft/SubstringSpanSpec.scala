@@ -56,6 +56,27 @@ class SubstringSpanSpec extends AnyFunSuite with SparkTestBase {
     assert(r.length == 3) // (2,5) (2,9) (5,9)
   }
 
+  test("coverage merges overlapping and adjacent regions, counts each token once") {
+    import org.apache.spark.sql.functions._
+    // doc 1 vs docs 2 and 3: two overlapping shared runs in doc 1
+    // ('c d e' at 2..4 and 'd e f' at 3..5 → one region 2..5), plus an
+    // adjacent run ('g h i' at 6..8 → merges into 2..8)
+    val docs = Seq(
+      (1L, "x y c d e f g h i z"),
+      (2L, "c d e q q q q q q q"),
+      (3L, "q d e f q g h i q q")).toDF("doc_id", "text")
+    val spans = DedupOps.substringSpans(docs, 3, 50)
+    val tc = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val cov = DedupOps.substringCoverage(spans, tc)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_dup_tokens"),
+        r.getAs[Long]("n_regions"), r.getAs[Double]("dup_frac"))).toMap
+    // doc 1: region 2..5 (c d e f) + adjacent 6..8 (g h i) merge → 2..8
+    assert(cov(1L) == ((7L, 1L, 0.7)), s"doc1 coverage was ${cov(1L)}")
+    assert(cov(2L)._1 == 3L && cov(3L)._2 == 2L)
+  }
+
   test("fixture yields the planted long spans") {
     val out = SparkEntry.queries("dedup_substring_spans")(
       spark, "/root/testdata/sf0.001")
