@@ -45,9 +45,10 @@ final case class BpeMerge(idx: Int, left: String, right: String, count: Long)
   */
 object BpeOps {
 
-  /** Corpus-wide word frequencies — the trainer's (bounded) input. */
+  /** Corpus-wide word frequencies — the trainer's (bounded) input
+    * (empty tokens excluded, [[neTokens]]'s rule). */
   def wordFrequencies(docs: DataFrame, text: String = "text"): DataFrame =
-    docs.select(explode(TextOps.tokens(col(text))).as("w"))
+    docs.select(explode(neTokens(col(text))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
 
   /** The fit loop: `nMerges` greedy merges over a word-frequency table.
@@ -97,10 +98,18 @@ object BpeOps {
     * empty element differs between engines). */
   def spacedDoc(text: Column): Column =
     concat(lit(" "),
-      array_join(transform(TextOps.tokens(text), t =>
+      array_join(transform(neTokens(text), t =>
         array_join(transform(sequence(lit(1), length(t)),
           i => substring(t, i, lit(1))), " ")), " | "),
       lit(" "))
+
+  /** Non-empty tokens — the BPE pipeline's uniform token rule: a
+    * fully-empty/whitespace document yields zero tokens, not [""]
+    * (whose spaced form diverges between engines: Spark's
+    * sequence(1, 0) DESCENDS where DuckDB's string_split('','') is
+    * empty). Mirrored by list_filter(length > 0) in the oracle. */
+  private def neTokens(text: Column): Column =
+    filter(TextOps.tokens(text), t => length(t) > 0)
 
   /** Chain the learned merges over a spaced form: two replace passes
     * per merge, in merge order — 2·nMerges codegen'd string ops. */
@@ -121,14 +130,17 @@ object BpeOps {
                     text: String = "text"): DataFrame = {
     val s = applyMerges(spacedDoc(col(text)), merges)
     docs.select(col("doc_id"),
-      size(TextOps.tokens(col(text))).cast("long").as("n_words"),
-      aggregate(transform(TextOps.tokens(col(text)), t => length(t)),
+      size(neTokens(col(text))).cast("long").as("n_words"),
+      aggregate(transform(neTokens(col(text)), t => length(t)),
         lit(0L), (acc, x) => acc + x).as("n_chars"),
-      size(filter(split(trim(s), " "), x => x =!= "|"))
+      size(filter(split(trim(s), " "), x => x =!= "|" && x =!= ""))
         .cast("long").as("n_bpe_tokens"),
       md5(trim(s)).as("tokens_digest"))
+      // nullif: a zero-token doc reports null compression in BOTH
+      // engines (Spark's non-ANSI x/0 is null, DuckDB's is inf)
       .withColumn("chars_per_token",
-        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
+        round(col("n_chars").cast("double") /
+          nullif(col("n_bpe_tokens"), lit(0L)), 6))
       .select(col("doc_id"), col("n_words"), col("n_chars"),
         col("n_bpe_tokens"), col("chars_per_token"), col("tokens_digest"))
   }

@@ -40,8 +40,8 @@ object CorpusQueries {
   private lazy val packSpansWith: String =
     s"""${TextQueries.bpeApplyWith},
        |dt AS (SELECT doc_id, CAST(len(list_filter(
-       |  string_split(trim(s), ' '), x -> x <> '|')) AS BIGINT) AS n
-       |  FROM fin),
+       |  string_split(trim(s), ' '), x -> x <> '|' AND x <> ''))
+       |  AS BIGINT) AS n FROM fin),
        |off AS (SELECT doc_id, n,
        |  coalesce(sum(n) OVER (ORDER BY doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o

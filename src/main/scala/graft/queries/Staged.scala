@@ -412,7 +412,13 @@ object Staged {
     * rep: 3.96 s, the slowest row, for a ≤1.5 s query). The build path
     * itself stays covered: the first call per session performs the
     * full S8-S11 DDL sequence, and WarehouseSpec drives
-    * refreshCatalogTable/saveBucketedDim directly. */
+    * refreshCatalogTable/saveBucketedDim directly.
+    *
+    * Caveat: the catalog table NAMES are session-global while the memo
+    * key is (session, dir) — a session that interleaves two fixture
+    * dirs would leave the tables holding the LAST dir's data. The
+    * driver and every spec use one dir per warehouse query session;
+    * a multi-dir service should clearSession between dirs. */
   def warehouseTables(s: SparkSession, dir: String): Unit = {
     registerCleanup(s)
     warehouseMemo.getOrElseUpdate((s, dir), {

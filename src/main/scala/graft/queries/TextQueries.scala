@@ -412,7 +412,8 @@ object TextQueries {
   private lazy val bpeTrainerWith: String =
     s"""WITH RECURSIVE
        |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM
-       |  (SELECT unnest($toks) AS w FROM documents) t GROUP BY w),
+       |  (SELECT unnest($toks) AS w FROM documents) t
+       |  WHERE length(w) > 0 GROUP BY w),
        |w0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ')
        |  || ' ' AS s, f FROM wf),
        |st AS (
@@ -465,10 +466,13 @@ object TextQueries {
        |  FROM (SELECT unnest(merges) AS m FROM st
        |    WHERE i = (SELECT max(i) FROM st))),
        |d0 AS (SELECT doc_id,
-       |  ' ' || array_to_string(list_transform($toks, t ->
+       |  ' ' || array_to_string(list_transform(
+       |    list_filter($toks, t -> length(t) > 0), t ->
        |    array_to_string(string_split(t, ''), ' ')), ' | ') || ' ' AS s,
-       |  len($toks) AS n_words,
-       |  list_sum(list_transform($toks, t -> length(t))) AS n_chars
+       |  len(list_filter($toks, t -> length(t) > 0)) AS n_words,
+       |  coalesce(list_sum(list_transform(
+       |    list_filter($toks, t -> length(t) > 0), t -> length(t))), 0)
+       |    AS n_chars
        |  FROM documents),
        |ap AS (
        |  SELECT doc_id, n_words, n_chars, 0 AS k, s FROM d0
@@ -489,11 +493,11 @@ object TextQueries {
     s"""$bpeApplyWith
        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
        |CAST(n_chars AS BIGINT) AS n_chars,
-       |CAST(len(list_filter(string_split(trim(s), ' '), x -> x <> '|'))
-       |  AS BIGINT) AS n_bpe_tokens,
-       |round(CAST(n_chars AS DOUBLE) /
-       |  len(list_filter(string_split(trim(s), ' '), x -> x <> '|')), 6)
-       |  AS chars_per_token,
+       |CAST(len(list_filter(string_split(trim(s), ' '),
+       |  x -> x <> '|' AND x <> '')) AS BIGINT) AS n_bpe_tokens,
+       |round(CAST(n_chars AS DOUBLE) / nullif(
+       |  len(list_filter(string_split(trim(s), ' '),
+       |    x -> x <> '|' AND x <> '')), 0), 6) AS chars_per_token,
        |md5(trim(s)) AS tokens_digest
        |FROM fin ORDER BY doc_id""".stripMargin.replace("\n", " ")
 

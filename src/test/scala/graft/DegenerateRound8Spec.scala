@@ -28,6 +28,24 @@ class DegenerateRound8Spec extends AnyFunSuite with SparkTestBase {
       "n_bpe_tokens", "chars_per_token", "tokens_digest"))
   }
 
+  test("empty-text docs tokenize to zero tokens with null compression") {
+    // the uniform non-empty-token rule: "" must NOT become [""], whose
+    // spaced form diverges between engines (Spark sequence(1,0)
+    // descends; DuckDB string_split('','') is empty)
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "ab ab"))
+      .toDF("doc_id", "text")
+    val out = BpeOps.tokenizeStats(docs,
+      Seq(graft.ops.BpeMerge(0, "a", "b", 1L))).orderBy("doc_id").collect()
+    Seq(0, 1).foreach { i =>
+      assert(out(i).getAs[Long]("n_words") == 0)
+      assert(out(i).getAs[Long]("n_chars") == 0)
+      assert(out(i).getAs[Long]("n_bpe_tokens") == 0)
+      assert(out(i).isNullAt(out(i).fieldIndex("chars_per_token")),
+        "division by zero tokens must be null, not inf/NaN")
+    }
+    assert(out(2).getAs[Long]("n_bpe_tokens") == 2)
+  }
+
   test("packSpans drops zero-token docs and packs a single doc alone") {
     val dt = Seq((1L, 0L), (2L, 5L)).toDF("doc_id", "n")
     val spans = CorpusOps.packSpans(dt, 16L).collect()
