@@ -28,6 +28,7 @@ object DedupQueries {
     Staged.minhashSigs(s, dir, K, NH).count()
     Staged.simhashSigs(s, dir, 32).count()
     Staged.dupClusters(s, dir, K, TH).count()
+    Staged.substringSpans(s, dir, SpanW, SpanMaxDf).count()
   }
 
   val all: Seq[Q] = Seq(
@@ -353,8 +354,7 @@ object DedupQueries {
     // only (DedupOps.substringSpans). Fixture yields real structure:
     // 25 spans up to 93 tokens from the planted near-dups.
     Q("dedup_substring_spans",
-      (s, dir) => DedupOps.substringSpans(
-          Tables.documents(s, dir), SpanW, SpanMaxDf)
+      (s, dir) => Staged.substringSpans(s, dir, SpanW, SpanMaxDf)
         .orderBy("doc_a", "doc_b", "a_start", "b_start"),
       s"""$spansWith
          |SELECT * FROM spans
@@ -370,7 +370,7 @@ object DedupQueries {
     // table; one window + two hash-aggs past that.
     Q("dedup_span_coverage",
       (s, dir) => DedupOps.substringCoverage(
-          DedupOps.substringSpans(Tables.documents(s, dir), SpanW, SpanMaxDf),
+          Staged.substringSpans(s, dir, SpanW, SpanMaxDf),
           Tables.documents(s, dir).select(col("doc_id"),
             size(graft.ops.TextOps.tokens(col("text"))).cast("long")
               .as("n_tokens")))

@@ -70,6 +70,11 @@ object Staged {
       if (!keep) safeUnpersist(df)
       keep
     }
+    spanMemo.filterInPlace { case (k, df) =>
+      val keep = k._1 != s
+      if (!keep) safeUnpersist(df)
+      keep
+    }
     indexMemo.filterInPlace { case (k, (a, b)) =>
       val keep = k.productElement(0) != s
       if (!keep) { safeUnpersist(a); safeUnpersist(b) }
@@ -357,6 +362,24 @@ object Staged {
     })
   }
 
+  private val spanMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Int, Int), DataFrame]
+
+  /** Exact-substring span table at (w, maxDf), built once per
+    * session+dir — the gram index + diagonal merge feeds both the span
+    * query and the per-doc coverage profile (the staged table an
+    * exact-substring dedup pipeline writes before cutting). The
+    * above-threshold span set is small (pair-capped), so caching it is
+    * cheap. */
+  def substringSpans(s: SparkSession, dir: String, w: Int,
+                     maxDf: Int): DataFrame = {
+    registerCleanup(s)
+    spanMemo.getOrElseUpdate((s, dir, w, maxDf),
+      graft.ops.DedupOps
+        .substringSpans(Tables.documents(s, dir), w, maxDf).cache())
+  }
+
   private val bpeTokMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -484,5 +507,6 @@ object Staged {
     annAppendMemo.clear(); layoutMemo.clear(); warehouseMemo.clear()
     bpeMemo.clear(); pcaMemo.clear()
     bpeTokMemo.values.foreach(safeUnpersist); bpeTokMemo.clear()
+    spanMemo.values.foreach(safeUnpersist); spanMemo.clear()
   }
 }
