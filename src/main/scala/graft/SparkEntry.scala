@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, BehaviorQueries, CorpusQueries, DedupQueries, ExtraQueries, LinkageQueries, PipelineQueries, RelationalQueries, SimilarityQueries, SourceQueries, TextQueries, TickQueries}
+import graft.queries.{AnalyticsQueries, BehaviorQueries, CorpusQueries, DedupQueries, ExtraQueries, LinkageQueries, PipelineQueries, ClassifierQueries, RelationalQueries, RetrievalQueries, SimilarityQueries, SourceQueries, TextQueries, TickQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,6 +20,8 @@ object SparkEntry {
     "TextQueries" -> TextQueries.all,
     "CorpusQueries" -> CorpusQueries.all,
     "DedupQueries" -> DedupQueries.all,
+    "RetrievalQueries" -> RetrievalQueries.all,
+    "ClassifierQueries" -> ClassifierQueries.all,
     "SimilarityQueries" -> SimilarityQueries.all,
     "PipelineQueries" -> PipelineQueries.all,
     "ExtraQueries" -> ExtraQueries.all,

@@ -25,6 +25,10 @@ object CorpusQueries {
     * at object init. */
   private final val PackSeqLen = 128L
 
+  /** Per-cluster quota for the cluster-balanced sampler (final val:
+    * interpolated into oracle SQL at object init). */
+  private final val SampPerCell = 8
+
   /** Per-doc trained-BPE token counts (doc_id, n) — the packing
     * queries' input, composing packing with the fit→apply tokenizer;
     * session-staged (Staged.bpeDocTokens) since three queries read it. */
@@ -323,6 +327,50 @@ object CorpusQueries {
                "CAST(doc_id AS VARCHAR) || ':' || CAST(epoch_idx AS VARCHAR)")} % 8 AS INT)
          |  AS shard
          |FROM x ORDER BY doc_id, epoch_idx"""
-        .stripMargin.replace("\n", " "))
+        .stripMargin.replace("\n", " ")),
+
+    // Cluster-balanced (diversity-preserving) corpus sampling: a
+    // uniform per-cluster quota over the IVF cells instead of a
+    // corpus-uniform draw — the DataComp/SemDedup-style selector that
+    // keeps tail clusters represented when head clusters dominate the
+    // raw distribution. Deterministic pseudo-random order within a
+    // cluster via the portable md5 hash (the temperature-mix sampler
+    // convention). At scale: assignment is the linear IVF pass with
+    // broadcast centroids; the per-cell window sees ≤ |cell| rows and
+    // emits ≤ m — skewed head cells cost their scan, never their
+    // quadratic.
+    Q("cluster_balanced_sample",
+      (s, dir) => {
+        val assigned = graft.ops.SimilarityOps.ivfAssignNormWith(
+          Staged.normCorpus(s, dir), Staged.ivfCentroids(s, dir, 16))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cell"))
+          .orderBy(col("h").asc, col("vec_id").asc)
+        assigned.select(col("cell"), col("vec_id"),
+            Hashing.h31(col("vec_id").cast("string")).as("h"))
+          .withColumn("samp_rank", row_number().over(w))
+          .filter(col("samp_rank") <= SampPerCell)
+          .select(col("cell"), col("samp_rank").cast("int").as("samp_rank"),
+            col("vec_id"))
+          .orderBy("cell", "samp_rank")
+      },
+      s"""WITH corpus AS (${OracleFrags.normCorpus}),
+         |cents AS (SELECT * FROM ${OracleFrags.ivfCentroids(16)}),
+         |assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.centroid_id AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${OracleFrags.dotCosine("e.n_emb", "c.c_emb")} DESC,
+         |      c.centroid_id ASC) AS rn
+         |    FROM corpus e CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |hashed AS (SELECT cell, vec_id,
+         |  ${Hashing.sqlH31("CAST(vec_id AS VARCHAR)")} AS h
+         |  FROM assigned)
+         |SELECT cell, CAST(rnk AS INT) AS samp_rank, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cell
+         |    ORDER BY h ASC, vec_id ASC) AS rnk FROM hashed)
+         |WHERE rnk <= $SampPerCell
+         |ORDER BY cell, samp_rank""".stripMargin.replace("\n", " "))
   )
 }

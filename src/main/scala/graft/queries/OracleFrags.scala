@@ -83,6 +83,33 @@ object OracleFrags {
       s"min(${Hashing.sqlAffine("h", a, b)}) AS sig_$i"
     }.mkString(", ")
 
+  /** Hashed-BOW embedding relation (vec_id, n_emb) over an arbitrary
+    * (doc_id, text) relation — mirrors ops.SimilarityOps.hashEmbed:
+    * token → bucket h31 % dim, sign from bit 15, signed counts
+    * L2-normalized then rounded 6 dp (null vector when everything
+    * cancels). Parametrized twin of SimilarityQueries' documents-only
+    * fragment so snippet/query-side relations embed identically. */
+  def hashEmbedOver(rel: String, dim: Int): String =
+    s"""SELECT doc_id AS vec_id,
+       |CASE WHEN nrm = 0 THEN NULL
+       |ELSE list_transform(raw, x -> round(x / nrm, 6)) END AS n_emb
+       |FROM (
+       |  SELECT doc_id, raw,
+       |  sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
+       |  FROM (
+       |    SELECT doc_id, list(val ORDER BY i) AS raw FROM (
+       |      SELECT d.doc_id, dims.i, coalesce(sv.v, 0) AS val
+       |      FROM (SELECT DISTINCT doc_id FROM ($rel)) d
+       |      CROSS JOIN (SELECT CAST(unnest(range(0, $dim)) AS INT) AS i) dims
+       |      LEFT JOIN (
+       |        SELECT doc_id, CAST(h % $dim AS INT) AS bucket,
+       |          SUM(CASE WHEN (h >> 15) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+       |        FROM (SELECT doc_id, ${h31("token")} AS h
+       |          FROM (SELECT doc_id, unnest($toks) AS token FROM ($rel)))
+       |        GROUP BY 1, 2) sv
+       |      ON d.doc_id = sv.doc_id AND dims.i = sv.bucket)
+       |    GROUP BY doc_id))""".stripMargin.replace("\n", " ")
+
   /** The (doc_id, shingle) inverted index over documents. */
   def docShingles(k: Int): String =
     s"""SELECT doc_id, unnest(${shingles(toks, k)}) AS shingle

@@ -1,0 +1,326 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.ops.{RetrievalOps, SimilarityOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import OracleFrags._
+
+/** Sparse (BM25) retrieval + the sparse↔dense hybrid — the retrieval
+  * modality the engine's ANN family did not cover: lexical search over
+  * an inverted index, out-of-corpus query embedding, and rank fusion
+  * across the two, with a self-retrieval eval that has REAL ground
+  * truth (a snippet's target is its own source document).
+  *
+  * Query model: `bm25_topk` uses whole documents as queries (related-
+  * document search, self excluded — the ANN-twin convention); the
+  * snippet family queries with each document's first [[SnipLen]] tokens
+  * (search-box realism, self included — the target IS self).
+  */
+object RetrievalQueries {
+
+  // ── constants (final vals: interpolated into oracle SQL during
+  //    object init — the SimilarityQueries WIvf lesson) ──────────────
+  private final val BmK = 10
+  private final val SnipLen = 8
+  private final val EmbDim = 16 // must match SimilarityQueries hash-embed dim
+  private val BmQueryIds: Seq[Long] = 0L to 9L
+  private val SnipQueryIds: Seq[Long] = 0L to 29L
+  private val bmIdList = BmQueryIds.mkString("(", ", ", ")")
+  private val snipIdList = SnipQueryIds.mkString("(", ", ", ")")
+  private val snipIdArray = SnipQueryIds.mkString("[", ", ", "]")
+
+  /** Fusion weights. Equal weights MEASURED to win here (sf0.01
+    * snippet_retrieval_eval: hybrid self@1 7/30, MRR 0.286 vs BM25
+    * 4/30 / 0.220 and dense 3/30 / 0.151) — unlike the dense-only RRF
+    * family, where the inputs shared one modality and equal-weight
+    * fusion diluted the best index (the round-7 lesson that led to
+    * recall-weighted wRRF): sparse and dense rankings here disagree in
+    * COMPLEMENTARY ways, which is exactly when reciprocal-rank fusion
+    * pays. RetrievalSpec pins hybrid MRR ≥ max(single) on the fixture. */
+  private final val WBm = "0.5"
+  private final val WDen = "0.5"
+
+  // ── Spark-side staged artifacts ───────────────────────────────────
+
+  /** Posting list (doc_id, token, tf, dl), one tokenize pass, cached —
+    * the inverted index every query here probes. */
+  private def postings(s: SparkSession, dir: String): DataFrame =
+    Staged.retrieval(s, dir, "bm25_postings") {
+      RetrievalOps.bm25Postings(Tables.documents(s, dir))
+    }
+
+  /** Hash-embedded corpus at [[EmbDim]] dims (null vectors dropped). */
+  private def corpusEmb(s: SparkSession, dir: String): DataFrame =
+    Staged.retrieval(s, dir, "doc_emb16") {
+      SimilarityOps.hashEmbed(Tables.documents(s, dir), EmbDim)
+        .filter(col("n_emb").isNotNull)
+    }
+
+  /** (query_id, token) DISTINCT term sets: whole-document queries. */
+  private def qtermsFull(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("doc_id").isInCollection(BmQueryIds))
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(graft.ops.TextOps.tokens(col("text"))))
+          .as("token"))
+
+  /** (query_id, token) DISTINCT term sets: first-[[SnipLen]]-token
+    * snippet queries. */
+  private def qtermsSnip(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("doc_id").isInCollection(SnipQueryIds))
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(
+          slice(graft.ops.TextOps.tokens(col("text")), 1, SnipLen)))
+          .as("token"))
+
+  /** Snippet BM25 ranking (self included), cached — feeds its own
+    * query, the fusion, and the eval. */
+  private def snipBm25(s: SparkSession, dir: String): DataFrame =
+    Staged.retrieval(s, dir, "snip_bm25") {
+      RetrievalOps.bm25TopK(postings(s, dir), qtermsSnip(s, dir), BmK,
+        includeSelf = true)
+    }
+
+  /** Snippet dense ranking: embed the snippet OUT of corpus (the query
+    * side of a production vector search never ships with the index),
+    * brute cosine vs the corpus embeddings. Queries broadcast; the
+    * corpus streams once — at 100 TB the same query frame drops into
+    * the IVF/pruned probe paths the ANN family demonstrates. */
+  private def snipDense(s: SparkSession, dir: String): DataFrame =
+    Staged.retrieval(s, dir, "snip_dense") {
+      val snipDocs = Tables.documents(s, dir)
+        .filter(col("doc_id").isInCollection(SnipQueryIds))
+        .select(col("doc_id"),
+          concat_ws(" ",
+            slice(graft.ops.TextOps.tokens(col("text")), 1, SnipLen))
+            .as("text"))
+      val q = SimilarityOps.hashEmbed(snipDocs, EmbDim)
+        .filter(col("n_emb").isNotNull)
+        .select(col("vec_id").as("query_id"), col("n_emb").as("q_emb"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+      corpusEmb(s, dir).crossJoin(broadcast(q))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          RetrievalOps.intScaledCosine(col("q_emb"), col("n_emb"))
+            .as("cosine_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= BmK)
+    }
+
+  /** Force this family's staged artifacts (Staged.prewarm hook). */
+  private[queries] def prewarm(s: SparkSession, dir: String): Unit = {
+    postings(s, dir).count()
+    corpusEmb(s, dir).count()
+    snipBm25(s, dir).count()
+    snipDense(s, dir).count()
+    ()
+  }
+
+  // ── oracle fragments ──────────────────────────────────────────────
+
+  /** Postings + stats + idf CTE chain (`post`, `pstats`, `pidf`) —
+    * mirrors RetrievalOps.bm25Postings/bm25Stats/bm25Idf. */
+  private val postWith: String =
+    s"""ptoks AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+       |ptf AS (SELECT doc_id, token, count(*) AS tf
+       |  FROM ptoks GROUP BY 1, 2),
+       |post AS (SELECT doc_id, token, tf,
+       |  sum(tf) OVER (PARTITION BY doc_id) AS dl FROM ptf),
+       |pstats AS (SELECT count(DISTINCT doc_id) AS n_docs,
+       |  CAST(SUM(tf) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl
+       |  FROM post),
+       |pdf AS (SELECT token, count(*) AS df FROM post GROUP BY token),
+       |pidf AS (SELECT token, df,
+       |  round(ln(CAST(1.0 AS DOUBLE) +
+       |    (n_docs - df + CAST(0.5 AS DOUBLE)) /
+       |    (df + CAST(0.5 AS DOUBLE))), 9) AS idf
+       |  FROM pdf CROSS JOIN pstats)""".stripMargin.replace("\n", " ")
+
+  /** BM25 ranked top-k for a (query_id, token) term-set relation —
+    * mirrors RetrievalOps.bm25TopK (9-dp idf/norm/contrib rounding,
+    * DECIMAL(30,9) candidate sums, 6-dp scores). Needs [[postWith]]
+    * CTEs in scope. */
+  private def bm25RankSql(qtermsRel: String, includeSelf: Boolean,
+                          k: Int): String = {
+    val selfPred = if (includeSelf) "" else "WHERE p.doc_id <> q.query_id"
+    s"""SELECT query_id, neighbor_id, score, CAST(rnk AS INT) AS rank
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id ASC) AS rnk
+       |  FROM (
+       |    SELECT q.query_id, p.doc_id AS neighbor_id,
+       |    round(CAST(SUM(CAST(round(i.idf *
+       |      ((p.tf * CAST(${RetrievalOps.K1p1} AS DOUBLE)) /
+       |       (p.tf + round(CAST(${RetrievalOps.K1} AS DOUBLE) *
+       |         ((CAST(1.0 AS DOUBLE) - CAST(${RetrievalOps.B} AS DOUBLE)) +
+       |          CAST(${RetrievalOps.B} AS DOUBLE) * (p.dl / avgdl)), 9))),
+       |      9) AS DECIMAL(30,9))) AS DOUBLE), 6) AS score
+       |    FROM post p JOIN ($qtermsRel) q ON p.token = q.token
+       |    JOIN pidf i ON p.token = i.token
+       |    CROSS JOIN pstats
+       |    $selfPred
+       |    GROUP BY 1, 2))
+       |WHERE rnk <= $k""".stripMargin.replace("\n", " ")
+  }
+
+  private val qtFullRel: String =
+    s"""SELECT doc_id AS query_id, unnest(list_distinct($toks)) AS token
+       |FROM documents WHERE doc_id IN $bmIdList"""
+      .stripMargin.replace("\n", " ")
+
+  private val qtSnipRel: String =
+    s"""SELECT doc_id AS query_id,
+       |unnest(list_distinct(($toks)[1:$SnipLen])) AS token
+       |FROM documents WHERE doc_id IN $snipIdList"""
+      .stripMargin.replace("\n", " ")
+
+  private val bmTopkSql: String =
+    s"WITH $postWith ${bm25RankSql(qtFullRel, includeSelf = false, BmK)}"
+
+  private val snipBm25Sql: String =
+    s"WITH $postWith ${bm25RankSql(qtSnipRel, includeSelf = true, BmK)}"
+
+  /** Integer-scaled exact cosine — mirrors RetrievalOps.intScaledCosine
+    * (see its boundary-proof rationale). */
+  private def intDotCosine(a: String, b: String, dim: Int): String =
+    s"""list_sum(list_transform(range(1, ${dim + 1}),
+       |  i -> round(($a)[i] * 1000000.0, 0) * round(($b)[i] * 1000000.0, 0)))
+       |/ 1000000000000.0""".stripMargin.replace("\n", " ")
+
+  /** Snippet text relation (doc_id, text = first SnipLen tokens). */
+  private val snipRel: String =
+    s"""SELECT doc_id, array_to_string(($toks)[1:$SnipLen], ' ') AS text
+       |FROM documents WHERE doc_id IN $snipIdList"""
+      .stripMargin.replace("\n", " ")
+
+  /** Dense snippet ranking — mirrors [[snipDense]]. */
+  private val snipDenseSql: String =
+    s"""SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rank
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+       |  FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${intDotCosine("q.n_emb", "c.n_emb", EmbDim)} AS cosine_sim
+       |    FROM (${hashEmbedOver("SELECT doc_id, text FROM documents", EmbDim)}) c,
+       |         (${hashEmbedOver(snipRel, EmbDim)}) q
+       |    WHERE c.n_emb IS NOT NULL AND q.n_emb IS NOT NULL))
+       |WHERE rnk <= $BmK""".stripMargin.replace("\n", " ")
+
+  /** Weighted-RRF fusion of the two snippet rankings — mirrors
+    * RetrievalOps.rrfFuse2. */
+  private val snipFusedSql: String =
+    s"""SELECT query_id, neighbor_id, fused_score, CAST(rnk AS INT) AS rank
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY fused_score DESC, neighbor_id ASC) AS rnk
+       |  FROM (
+       |    SELECT COALESCE(b.query_id, d.query_id) AS query_id,
+       |    COALESCE(b.neighbor_id, d.neighbor_id) AS neighbor_id,
+       |    COALESCE(round(CAST($WBm AS DOUBLE) /
+       |      (${RetrievalOps.RrfC} + b.rank), 9), CAST(0.0 AS DOUBLE)) +
+       |    COALESCE(round(CAST($WDen AS DOUBLE) /
+       |      (${RetrievalOps.RrfC} + d.rank), 9), CAST(0.0 AS DOUBLE))
+       |      AS fused_score
+       |    FROM ($snipBm25Sql) b FULL OUTER JOIN ($snipDenseSql) d
+       |    ON b.query_id = d.query_id AND b.neighbor_id = d.neighbor_id))
+       |WHERE rnk <= $BmK""".stripMargin.replace("\n", " ")
+
+  /** One eval arm — mirrors RetrievalOps.selfRetrievalEval. */
+  private def evalArmSql(tag: String, rankedSql: String): String =
+    s"""SELECT '$tag' AS retriever, CAST(count(*) AS BIGINT) AS n_queries,
+       |CAST(SUM(hit1) AS BIGINT) AS n_self_at_1,
+       |round(CAST(SUM(CAST(rr AS DECIMAL(30,9))) AS DOUBLE)
+       |  / ${SnipQueryIds.size}, 6) AS mrr
+       |FROM (
+       |  SELECT qs.query_id,
+       |  coalesce(max(CASE WHEN r.neighbor_id = qs.query_id
+       |    THEN round(CAST(1.0 AS DOUBLE) / r.rank, 9) END),
+       |    CAST(0.0 AS DOUBLE)) AS rr,
+       |  coalesce(max(CASE WHEN r.neighbor_id = qs.query_id
+       |    AND r.rank = 1 THEN 1 ELSE 0 END), 0) AS hit1
+       |  FROM (SELECT unnest($snipIdArray) AS query_id) qs
+       |  LEFT JOIN ($rankedSql) r ON qs.query_id = r.query_id
+       |  GROUP BY qs.query_id)""".stripMargin.replace("\n", " ")
+
+  // ── registered queries ────────────────────────────────────────────
+
+  val all: Seq[Q] = Seq(
+
+    // The inverted-index artifact itself: document frequency + BM25
+    // idf for the 20 most document-frequent tokens — the sparse
+    // counterpart of ivf_cell_stats (what a deployment inspects to
+    // size posting caps / spot stop-dense terms).
+    Q("bm25_index_stats",
+      (s, dir) => {
+        val posts = postings(s, dir)
+        RetrievalOps.bm25Idf(posts, RetrievalOps.bm25Stats(posts))
+          .select(col("token"), col("df").cast("long").as("df"), col("idf"))
+          .orderBy(col("df").desc, col("token").asc)
+          .limit(20)
+      },
+      s"""WITH $postWith
+         |SELECT token, CAST(df AS BIGINT) AS df, idf FROM pidf
+         |ORDER BY df DESC, token ASC LIMIT 20"""
+        .stripMargin.replace("\n", " ")),
+
+    // Whole-document BM25 search (self excluded): lexical related-
+    // document retrieval — the sparse twin of doc_ann_topk.
+    Q("bm25_topk",
+      (s, dir) => RetrievalOps.bm25TopK(postings(s, dir),
+          qtermsFull(s, dir), BmK, includeSelf = false)
+        .select(col("query_id"), col("neighbor_id"), col("score"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("query_id", "rank"),
+      s"SELECT * FROM ($bmTopkSql) ORDER BY query_id, rank"),
+
+    // Snippet BM25 (self included): the search-box query model the
+    // eval grades — 8-token prefixes as queries.
+    Q("snippet_bm25_topk",
+      (s, dir) => snipBm25(s, dir)
+        .select(col("query_id"), col("neighbor_id"), col("score"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("query_id", "rank"),
+      s"SELECT * FROM ($snipBm25Sql) ORDER BY query_id, rank"),
+
+    // Snippet dense retrieval: OUT-of-corpus query embedding (the
+    // serving-side half of vector search — every prior ANN query drew
+    // its queries from the indexed corpus) + brute cosine.
+    Q("snippet_dense_topk",
+      (s, dir) => snipDense(s, dir)
+        .select(col("query_id"), col("neighbor_id"), col("cosine_sim"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("query_id", "rank"),
+      s"SELECT * FROM ($snipDenseSql) ORDER BY query_id, rank"),
+
+    // Sparse+dense weighted-RRF fusion of the two snippet rankings.
+    Q("snippet_topk_hybrid",
+      (s, dir) => RetrievalOps.rrfFuse2(
+          snipBm25(s, dir), WBm, snipDense(s, dir), WDen, BmK)
+        .select(col("query_id"), col("neighbor_id"), col("fused_score"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("query_id", "rank"),
+      s"SELECT * FROM ($snipFusedSql) ORDER BY query_id, rank"),
+
+    // Ground-truth eval: each snippet's target is its own source doc;
+    // self@1 and MRR@k per retriever — the measurement that justifies
+    // (or indicts) the fusion weights.
+    Q("snippet_retrieval_eval",
+      (s, dir) => RetrievalOps
+        .selfRetrievalEval(snipBm25(s, dir), SnipQueryIds, "bm25")
+        .unionAll(RetrievalOps
+          .selfRetrievalEval(snipDense(s, dir), SnipQueryIds, "dense"))
+        .unionAll(RetrievalOps.selfRetrievalEval(
+          RetrievalOps.rrfFuse2(
+            snipBm25(s, dir), WBm, snipDense(s, dir), WDen, BmK),
+          SnipQueryIds, "hybrid_rrf"))
+        .orderBy("retriever"),
+      s"""SELECT * FROM (
+         |${evalArmSql("bm25", snipBm25Sql)}
+         |UNION ALL ${evalArmSql("dense", snipDenseSql)}
+         |UNION ALL ${evalArmSql("hybrid_rrf", snipFusedSql)})
+         |ORDER BY retriever""".stripMargin.replace("\n", " ")))
+}

@@ -60,6 +60,11 @@ object Staged {
       }
     drop(memo); drop(corpusMemo); drop(centroidMemo)
     drop(simhashMemo); drop(clusterMemo); drop(minhashMemo)
+    retrMemo.filterInPlace { case (k, df) =>
+      val keep = k._1 != s
+      if (!keep) safeUnpersist(df)
+      keep
+    }
     countMemo.filterInPlace { case (k, _) => k._1 != s }
     layoutMemo.filterInPlace { case (k, _) => k._1 != s }
     warehouseMemo.filterInPlace { case (k, _) => k._1 != s }
@@ -483,6 +488,7 @@ object Staged {
     DedupQueries.prewarm(s, dir)
     SimilarityQueries.prewarm(s, dir)
     TextQueries.prewarm(s, dir)
+    RetrievalQueries.prewarm(s, dir)
     warehouseTables(s, dir)
   }
 
@@ -508,5 +514,21 @@ object Staged {
     bpeMemo.clear(); pcaMemo.clear()
     bpeTokMemo.values.foreach(safeUnpersist); bpeTokMemo.clear()
     spanMemo.values.foreach(safeUnpersist); spanMemo.clear()
+    retrMemo.values.foreach(safeUnpersist); retrMemo.clear()
+  }
+
+  private val retrMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, String), DataFrame]
+
+  /** Generic session-staged retrieval artifact (BM25 postings, hashed
+    * corpus embeddings, snippet rankings) keyed by a tag. Each is
+    * bounded: postings ≈ one row per (doc, distinct token), rankings
+    * ≤ |queries|·k rows — the staged tables a production retrieval
+    * stack materializes between the index build and query serving. */
+  def retrieval(s: SparkSession, dir: String, tag: String)
+               (build: => DataFrame): DataFrame = {
+    registerCleanup(s)
+    retrMemo.getOrElseUpdate((s, dir, tag), build.cache())
   }
 }

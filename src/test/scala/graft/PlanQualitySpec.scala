@@ -76,7 +76,25 @@ class PlanQualitySpec extends AnyFunSuite {
     "ann_topk_pca" ->
       "1-row model/means rows + 10-row projected query set, broadcast",
     "ann_recall_pca" ->
-      "contains ann_topk_brute (eval baseline) + the whitelisted pca probe")
+      "contains ann_topk_brute (eval baseline) + the whitelisted pca probe",
+    "bm25_index_stats" -> "1-row (n_docs, avgdl) stats scalar, broadcast",
+    "bm25_topk" ->
+      "1-row stats scalar + |queries|·|terms|-row term set, broadcast",
+    "snippet_bm25_topk" ->
+      "1-row stats scalar + |queries|·|snippet-terms|-row term set, broadcast",
+    "snippet_dense_topk" ->
+      "30-row snippet query-embedding set, broadcast (brute-force dense arm)",
+    "snippet_topk_hybrid" ->
+      "fuses two whitelisted snippet retrievers; inputs ≤ queries×k rows",
+    "snippet_retrieval_eval" ->
+      "contains all three whitelisted snippet retrievers + 30-row query list",
+    "nb_model_stats" -> "1-row n_train + 1-row vocab-size scalars, broadcast",
+    "nb_classify" ->
+      "|classes|-row model-stats table, broadcast (score fan-out)",
+    "nb_confusion" -> "|classes|-row model-stats table, broadcast",
+    "corpus_filter_nb" -> "|classes|-row model-stats table, broadcast",
+    "cluster_balanced_sample" ->
+      "16-row centroid table, broadcast (cell assignment)")
 
   private def sections: Seq[(String, String)] = {
     val parts = plans.split("\n## ").toSeq.drop(1)
