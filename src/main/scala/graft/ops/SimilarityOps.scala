@@ -1155,6 +1155,36 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"))
   }
 
+  /** Deterministic Johnson–Lindenstrauss (signed random projection)
+    * matrix: k×d entries ±1/√k with signs drawn from the shared
+    * splitmix stream (Hashing.affineCoeffs) — a CONSTANT that both the
+    * Spark plan and the generated oracle SQL inline literally, so no
+    * cross-engine hashing is involved at all. Unlike PCA this needs no
+    * fit pass and no spectrum assumption: the distance-preservation
+    * guarantee depends only on (k, n). */
+  def jlMatrix(k: Int, d: Int): Seq[Seq[Double]] = {
+    val signs = graft.functions.Hashing.affineCoeffs(k * d).map(_._2 % 2)
+    val v = 1.0 / math.sqrt(k.toDouble) // k = 16 → 0.25, exact in binary
+    (0 until k).map(j => (0 until d).map(i =>
+      if (signs(j * d + i) == 0) v else -v))
+  }
+
+  /** JL projection y_j = round(Σ_i x_i·P_ji, 6) — a pure narrow map
+    * with the matrix as plan literals: zero shuffles, zero broadcast
+    * state, no fit job (the structural contrast to pcaProject's
+    * means-row cross join). Ascending-dim left-associated sums so the
+    * generated oracle ranks identically. */
+  def jlProject(embeddings: DataFrame, mat: Seq[Seq[Double]]): DataFrame = {
+    val d = mat.head.length
+    def x(i: Int) = col("embedding").getItem(i).cast("double")
+    val projs = mat.zipWithIndex.map { case (row, j) =>
+      Determinism.noNegZero(round(
+        (0 until d).map(i => x(i) * lit(row(i))).reduceLeft(_ + _), 6))
+        .as(s"p$j")
+    }
+    embeddings.select(col("vec_id") +: projs: _*)
+  }
+
   def covariancePairs(embeddings: DataFrame, d: Int): DataFrame = {
     val pairs = embeddings
       .select(explode(expr(

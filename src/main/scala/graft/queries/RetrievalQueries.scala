@@ -42,6 +42,14 @@ object RetrievalQueries {
   private final val WBm = "0.5"
   private final val WDen = "0.5"
 
+  /** Incremental-append batch predicate constants: doc_id ≡ AppendRem
+    * (mod AppendMod) AND doc_id < AppendCap — a FIXED-size batch at
+    * every fixture scale, so the decade measurement isolates per-batch
+    * cost from corpus growth. */
+  private final val AppendMod = 7
+  private final val AppendRem = 3
+  private final val AppendCap = 3500L
+
   // ── Spark-side staged artifacts ───────────────────────────────────
 
   /** Posting list (doc_id, token, tf, dl), one tokenize pass, cached —
@@ -304,6 +312,83 @@ object RetrievalQueries {
           col("rank").cast("int").as("rank"))
         .orderBy("query_id", "rank"),
       s"SELECT * FROM ($snipFusedSql) ORDER BY query_id, rank"),
+
+    // Incremental sparse-index maintenance (the BM25 twin of
+    // ann_index_append): a FIXED-SIZE arriving batch (doc_id ≡ 3
+    // mod 7, capped below 3500 so the batch stays constant as the
+    // corpus decades) is tokenized alone, and only ITS vocabulary's
+    // rows of the document-frequency table are updated — df/idf drift
+    // per affected token, appended postings are batch-sized. Per-batch
+    // work = batch tokenize + one equality join against the
+    // vocab-bounded (never corpus-bounded) df table; the corpus is
+    // not rescanned.
+    Q("bm25_index_append",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val isBatch = (col("doc_id") % AppendMod === AppendRem) &&
+          (col("doc_id") < AppendCap)
+        val basePost = RetrievalOps.bm25Postings(docs.filter(!isBatch))
+        val batchPost = RetrievalOps.bm25Postings(docs.filter(isBatch))
+        val dfBase = basePost.groupBy(col("token"))
+          .agg(count(lit(1)).as("df_before"))
+        val dfBatch = batchPost.groupBy(col("token"))
+          .agg(count(lit(1)).as("df_batch"))
+        val nBase = basePost
+          .agg(countDistinct(col("doc_id")).as("n_base"))
+        val nBatch = batchPost
+          .agg(countDistinct(col("doc_id")).as("n_batch"))
+        def idf(n: org.apache.spark.sql.Column,
+                df: org.apache.spark.sql.Column) =
+          round(log(lit(1.0) +
+            (n - df + lit(0.5)) / (df + lit(0.5))), 9)
+        dfBase.join(dfBatch, Seq("token"), "right")
+          .crossJoin(broadcast(nBase)).crossJoin(broadcast(nBatch))
+          .select(col("token"),
+            coalesce(col("df_before"), lit(0L)).cast("long").as("df_before"),
+            col("df_batch").cast("long").as("df_batch"),
+            (coalesce(col("df_before"), lit(0L)) + col("df_batch"))
+              .cast("long").as("df_after"),
+            when(col("df_before").isNull, lit(null).cast("double"))
+              .otherwise(idf(col("n_base"), col("df_before")))
+              .as("idf_before"),
+            idf(col("n_base") + col("n_batch"),
+              coalesce(col("df_before"), lit(0L)) + col("df_batch"))
+              .as("idf_after"))
+          .orderBy("token")
+      },
+      s"""WITH bdf AS (
+         |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_before
+         |  FROM (SELECT doc_id, unnest($toks) AS token FROM documents
+         |        WHERE NOT (doc_id % $AppendMod = $AppendRem
+         |          AND doc_id < $AppendCap))
+         |  GROUP BY token),
+         |adf AS (
+         |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_batch
+         |  FROM (SELECT doc_id, unnest($toks) AS token FROM documents
+         |        WHERE doc_id % $AppendMod = $AppendRem
+         |          AND doc_id < $AppendCap)
+         |  GROUP BY token),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_base FROM documents
+         |  WHERE NOT (doc_id % $AppendMod = $AppendRem
+         |    AND doc_id < $AppendCap)),
+         |na AS (SELECT CAST(count(*) AS BIGINT) AS n_batch FROM documents
+         |  WHERE doc_id % $AppendMod = $AppendRem AND doc_id < $AppendCap)
+         |SELECT adf.token,
+         |CAST(COALESCE(df_before, 0) AS BIGINT) AS df_before,
+         |df_batch,
+         |CAST(COALESCE(df_before, 0) + df_batch AS BIGINT) AS df_after,
+         |CASE WHEN df_before IS NULL THEN NULL
+         |  ELSE round(ln(CAST(1.0 AS DOUBLE) +
+         |    (n_base - df_before + CAST(0.5 AS DOUBLE)) /
+         |    (df_before + CAST(0.5 AS DOUBLE))), 9) END AS idf_before,
+         |round(ln(CAST(1.0 AS DOUBLE) +
+         |  ((n_base + n_batch) - (COALESCE(df_before, 0) + df_batch)
+         |    + CAST(0.5 AS DOUBLE)) /
+         |  ((COALESCE(df_before, 0) + df_batch) + CAST(0.5 AS DOUBLE))), 9)
+         |  AS idf_after
+         |FROM bdf RIGHT JOIN adf ON bdf.token = adf.token
+         |CROSS JOIN nb CROSS JOIN na
+         |ORDER BY adf.token""".stripMargin.replace("\n", " ")),
 
     // Ground-truth eval: each snippet's target is its own source doc;
     // self@1 and MRR@k per retriever — the measurement that justifies

@@ -388,20 +388,26 @@ object Staged {
   private val bpeTokMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Per-doc trained-BPE token counts (doc_id, n) — the tokenizer
-    * APPLIED and reduced to the count the packing family consumes,
-    * cached once per session+dir (three registered queries read it; at
-    * scale: the column a pipeline materializes next to the tokenized
-    * shards). */
-  def bpeDocTokens(s: SparkSession, dir: String): DataFrame = {
+  /** Full per-doc trained-BPE tokenize stats (doc_id, n_words,
+    * n_chars, n_bpe_tokens, tokens_digest, chars_per_token) — the
+    * tokenizer APPLIED, cached once per session+dir; the packing
+    * family reduces it to counts and the fertility eval rolls it up
+    * by language (at scale: the columns a pipeline materializes next
+    * to the tokenized shards). */
+  def bpeTokStats(s: SparkSession, dir: String): DataFrame = {
     registerCleanup(s)
-    bpeTokMemo.getOrElseUpdate((s, dir), {
-      import org.apache.spark.sql.functions.col
+    bpeTokMemo.getOrElseUpdate((s, dir),
       graft.ops.BpeOps.tokenizeStats(Tables.documents(s, dir),
           bpeMerges(s, dir, TextQueries.BpeNMerges))
-        .select(col("doc_id"), col("n_bpe_tokens").as("n"))
-        .cache()
-    })
+        .cache())
+  }
+
+  /** Per-doc trained-BPE token counts (doc_id, n) — the packing
+    * family's input, a projection of [[bpeTokStats]]. */
+  def bpeDocTokens(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    bpeTokStats(s, dir)
+      .select(col("doc_id"), col("n_bpe_tokens").as("n"))
   }
 
   private val pcaMemo =

@@ -398,7 +398,36 @@ object TextQueries {
       (s, dir) => TextOps.cmsTokenEstimates(
           Tables.documents(s, dir), CmsDepth, CmsWidth, 10)
         .orderBy("token"),
-      cmsOracle)
+      cmsOracle),
+
+    // Tokenizer fertility by language: chars-per-token of the TRAINED
+    // BPE model rolled up per lang — the multilingual-fairness eval
+    // (a tokenizer whose merges fit one language compresses it better;
+    // high fertility languages pay more sequence length per character
+    // of content). One join + one agg over the staged tokenize stats.
+    Q("tokenizer_fertility",
+      (s, dir) => Staged.bpeTokStats(s, dir)
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("tot_chars"),
+          sum(col("n_bpe_tokens")).cast("long").as("tot_tokens"),
+          round(sum(col("n_chars")).cast("double")
+            / sum(col("n_bpe_tokens")), 6).as("chars_per_token"))
+        .orderBy("lang"),
+      s"""$bpeApplyWith
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |CAST(SUM(n_chars) AS BIGINT) AS tot_chars,
+         |CAST(SUM(ntok) AS BIGINT) AS tot_tokens,
+         |round(CAST(SUM(n_chars) AS DOUBLE) / nullif(SUM(ntok), 0), 6)
+         |  AS chars_per_token
+         |FROM (
+         |  SELECT f.doc_id, f.n_chars, d.lang,
+         |  len(list_filter(string_split(trim(f.s), ' '),
+         |    x -> x <> '|' AND x <> '')) AS ntok
+         |  FROM fin f JOIN documents d ON f.doc_id = d.doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "))
   )
 
   /** Shared oracle prelude replaying ops.BpeOps.train as a recursive

@@ -77,6 +77,10 @@ class PlanQualitySpec extends AnyFunSuite {
       "1-row model/means rows + 10-row projected query set, broadcast",
     "ann_recall_pca" ->
       "contains ann_topk_brute (eval baseline) + the whitelisted pca probe",
+    "ann_topk_jl" ->
+      "10-row projected query set, broadcast (JL-space candidate probe)",
+    "ann_recall_jl" ->
+      "contains ann_topk_brute (eval baseline) + the whitelisted jl probe",
     "bm25_index_stats" -> "1-row (n_docs, avgdl) stats scalar, broadcast",
     "bm25_topk" ->
       "1-row stats scalar + |queries|·|terms|-row term set, broadcast",
@@ -89,6 +93,7 @@ class PlanQualitySpec extends AnyFunSuite {
     "snippet_retrieval_eval" ->
       "contains all three whitelisted snippet retrievers + 30-row query list",
     "nb_model_stats" -> "1-row n_train + 1-row vocab-size scalars, broadcast",
+    "bm25_index_append" -> "1-row base/batch doc-count scalars, broadcast",
     "nb_classify" ->
       "|classes|-row model-stats table, broadcast (score fan-out)",
     "nb_confusion" -> "|classes|-row model-stats table, broadcast",

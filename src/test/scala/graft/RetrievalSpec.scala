@@ -114,6 +114,23 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("ia") < col("ib")).limit(200)
   }
 
+  test("incremental df update equals a from-scratch rebuild") {
+    // the claim that makes bm25_index_append an INDEX MAINTENANCE op:
+    // base-index df + batch delta must equal the df a full rebuild
+    // over (base ∪ batch) would compute, for every affected token
+    val appended = SparkEntry.queries("bm25_index_append")(spark, sf)
+      .select("token", "df_after").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = ops.RetrievalOps.bm25Postings(Tables.documents(spark, sf))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(appended.nonEmpty)
+    appended.foreach { case (tok, dfAfter) =>
+      assert(full(tok) == dfAfter,
+        s"token '$tok': incremental $dfAfter vs rebuild ${full(tok)}")
+    }
+  }
+
   test("fixture claim: hybrid MRR ≥ each single retriever, 30 queries") {
     val rows = SparkEntry.queries("snippet_retrieval_eval")(spark, sf)
       .collect().map(r => r.getString(0) ->
