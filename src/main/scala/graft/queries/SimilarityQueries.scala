@@ -330,6 +330,7 @@ object SimilarityQueries {
     val (ar, mem, hot) = Staged.annAppendState(s, dir, ak1, ak2, HotFactor)
     ar.count(); mem.count(); hot.count()
     Staged.pcaModel(s, dir, PcaK, PcaIters)
+    jlCands(s, dir).count()
     ()
   }
 
@@ -1309,11 +1310,8 @@ object SimilarityQueries {
     // verdict vs PCA's spectrum-gated 0.22.
     Q("ann_topk_jl",
       (s, dir) => {
-        val cands = SimilarityOps.pcaCandidates(
-          SimilarityOps.jlProject(Tables.embeddings(s, dir), JlMat),
-          QueryIds, JlCandK, JlK)
         SimilarityOps.rerankExactTopKNorm(
-            Staged.normCorpus(s, dir), cands, QueryIds, K)
+            Staged.normCorpus(s, dir), jlCands(s, dir), QueryIds, K)
           .select(col("query_id"), col("neighbor_id"), col("cosine_sim"),
             col("rank").cast("int").as("rank"))
           .orderBy("query_id", "rank")
@@ -1337,11 +1335,8 @@ object SimilarityQueries {
         val brute = SimilarityOps
           .bruteForceTopKNorm(Staged.normCorpus(s, dir), QueryIds, K)
           .select(col("query_id"), col("neighbor_id"))
-        val cands = SimilarityOps.pcaCandidates(
-          SimilarityOps.jlProject(Tables.embeddings(s, dir), JlMat),
-          QueryIds, JlCandK, JlK)
         val jl = SimilarityOps.rerankExactTopKNorm(
-            Staged.normCorpus(s, dir), cands, QueryIds, K)
+            Staged.normCorpus(s, dir), jlCands(s, dir), QueryIds, K)
           .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
         brute.join(jl, Seq("query_id", "neighbor_id"), "left")
           .groupBy("query_id")
@@ -1368,6 +1363,18 @@ object SimilarityQueries {
   private final val JlCandK = 40
   private lazy val JlMat: Seq[Seq[Double]] =
     SimilarityOps.jlMatrix(JlK, 64)
+
+  /** Session-staged JL candidate set (query_id, neighbor_id — ≤
+    * |queries|·JlCandK rows): the projection + candidate scan is the
+    * JL family's whole cost and both the topk and recall queries
+    * consume the identical set. */
+  private def jlCands(s: org.apache.spark.sql.SparkSession,
+                      dir: String): org.apache.spark.sql.DataFrame =
+    Staged.retrieval(s, dir, "jl_cands") {
+      SimilarityOps.pcaCandidates(
+        SimilarityOps.jlProject(Tables.embeddings(s, dir), JlMat),
+        QueryIds, JlCandK, JlK)
+    }
 
   /** Generated JL projection expression for output dim `j`:
     * ascending-dim left-associated Σ x_i·P_ji over the full 64-dim

@@ -363,9 +363,7 @@ object TextQueries {
     // over the corpus at any scale); the oracle re-derives the same
     // merges and applies them through a per-merge recursive CTE.
     Q("corpus_tokenize",
-      (s, dir) => graft.ops.BpeOps.tokenizeStats(
-          Tables.documents(s, dir), Staged.bpeMerges(s, dir, BpeNMerges))
-        .orderBy("doc_id"),
+      (s, dir) => Staged.bpeTokStats(s, dir).orderBy("doc_id"),
       corpusTokenizeSql),
 
     // Streaming twin of corpus_tokenize — the tokenizer applied IN
