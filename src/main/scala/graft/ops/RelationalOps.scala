@@ -70,6 +70,51 @@ object RelationalOps {
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(k)
 
+  /** TPC-H Q6 shape (forecast revenue change): the pure scan-side
+    * query — every predicate (date window, discount band, quantity
+    * cap) pushes to the parquet reader, the aggregate is one partial-
+    * sum row per task, and NOTHING shuffles but |tasks| partial rows.
+    * The canonical "is pushdown working" probe. */
+  def forecastRevenue(lineitem: DataFrame, from: String, until: String,
+                      discLo: Double, discHi: Double,
+                      qtyBelow: Double): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(from) &&
+        col("l_shipdate") < lit(until) &&
+        col("l_discount") >= lit(discLo) &&
+        col("l_discount") <= lit(discHi) &&
+        col("l_quantity") < lit(qtyBelow))
+      .agg(exactSum(col("l_extendedprice") * col("l_discount"))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q10 shape (returned-item report): one quarter's returns
+    * joined through orders to the customer dimension, top-20 customers
+    * by lost revenue. Facts shuffle once on the order key; customer
+    * and nation broadcast; the top-k is TakeOrderedAndProject. */
+  def returnedItemReport(lineitem: DataFrame, orders: DataFrame,
+                         customer: DataFrame, nation: DataFrame,
+                         from: String, until: String, k: Int): DataFrame =
+    lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(orders
+        .filter(col("o_orderdate") >= lit(from) &&
+          col("o_orderdate") < lit(until))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(k)
+
   /** TPC-H Q5 shape (local supplier volume): the 6-table join with the
     * co-location constraint — revenue only counts when the CUSTOMER and
     * the SUPPLIER sit in the same nation of the probed region. Join

@@ -127,6 +127,34 @@ object RetrievalOps {
     call_function("graft_dot", sa, sb) / lit(1.0e12)
   }
 
+  /** Merge a document-frequency delta into a standing df table and
+    * report the per-token drift — the shared tail of both incremental
+    * BM25 index-maintenance twins (batch and streaming): given the
+    * base index's (token, df_before), the arriving delta's (token,
+    * df_batch), and the two one-row doc counts, emit (token,
+    * df_before, df_batch, df_after, idf_before, idf_after) for every
+    * AFFECTED token (idf_before null for tokens new to the index).
+    * Count merges are additive, so any micro-batch slicing of the
+    * arriving set yields the identical final table. */
+  def mergeDfUpdate(dfBase: DataFrame, dfBatch: DataFrame,
+                    nBase: DataFrame, nBatch: DataFrame): DataFrame = {
+    def idfOf(n: Column, df: Column): Column =
+      round(log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5))), 9)
+    dfBase.join(dfBatch, Seq("token"), "right")
+      .crossJoin(broadcast(nBase)).crossJoin(broadcast(nBatch))
+      .select(col("token"),
+        coalesce(col("df_before"), lit(0L)).cast("long").as("df_before"),
+        col("df_batch").cast("long").as("df_batch"),
+        (coalesce(col("df_before"), lit(0L)) + col("df_batch"))
+          .cast("long").as("df_after"),
+        when(col("df_before").isNull, lit(null).cast("double"))
+          .otherwise(idfOf(col("n_base"), col("df_before")))
+          .as("idf_before"),
+        idfOf(col("n_base") + col("n_batch"),
+          coalesce(col("df_before"), lit(0L)) + col("df_batch"))
+          .as("idf_after"))
+  }
+
   /** Weighted reciprocal-rank fusion of two rankings (full outer on the
     * (query, candidate) pair): Σ round(w_r/(C+rank_r), 9), absent → 0.
     * Inputs are ≤ |queries|·k rows each, so everything here is

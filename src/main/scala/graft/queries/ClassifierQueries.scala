@@ -133,6 +133,25 @@ object ClassifierQueries {
          |FROM predrel GROUP BY 1, 2
          |ORDER BY label_true, pred""".stripMargin.replace("\n", " ")),
 
+    // The classifier applied IN FLIGHT with the FROZEN model (fit once
+    // on the standing train split — how production curation deploys a
+    // filter): each document micro-batch scores against the same model
+    // tables through the replay-safe batch_id-keyed sink. Scoring is
+    // per-DOC pure (aggregations never cross documents), so any
+    // micro-batch slicing yields the same rows and the batch oracle
+    // over the full corpus applies verbatim.
+    Q("streaming_classify",
+      (s, dir) => {
+        val work = graft.util.Fs.workDir("graft_stream_nb", dir).toString
+        graft.util.Fs.deleteRec(work)
+        graft.streaming.StreamingDocApply.applyAvailableNow(s, dir, work,
+            b => ClassifierOps.classify(train(s, dir), b, "lang"))
+          .orderBy("doc_id")
+      },
+      s"""WITH ${scoreWith("SELECT * FROM documents")}, $predWith
+         |SELECT doc_id, label_true, pred, score, correct
+         |FROM predrel ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
     // Classifier-based corpus filter: margin of the target class over
     // the best alternative for EVERY document (train docs included —
     // a production filter scores the whole corpus); selected ⇔ the

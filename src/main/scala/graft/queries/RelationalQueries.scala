@@ -103,6 +103,41 @@ object RelationalQueries {
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin.replace("\n", " ")),
 
+    // TPC-H Q6 shape: the pure pushdown probe — all four predicates
+    // reach the parquet scan, one partial-sum aggregate, zero joins.
+    Q("q6_forecast_revenue",
+      (s, dir) => RelationalOps.forecastRevenue(Tables.lineitem(s, dir),
+        "1996-01-01", "1997-01-01", 0.05, 0.07, 24.0),
+      s"""SELECT ${sqlExactSum("l_extendedprice * l_discount")} AS revenue,
+         |count(*) AS n_items
+         |FROM lineitem
+         |WHERE l_shipdate >= DATE '1996-01-01'
+         |AND l_shipdate < DATE '1997-01-01'
+         |AND l_discount >= 0.05 AND l_discount <= 0.07
+         |AND l_quantity < 24""".stripMargin.replace("\n", " ")),
+
+    // TPC-H Q10 shape: one quarter's RETURNED items → top-20 customers
+    // by lost revenue; facts shuffle once on the order key, dims
+    // broadcast, top-k via TakeOrderedAndProject.
+    Q("q10_returned_items",
+      (s, dir) => RelationalOps.returnedItemReport(
+        Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.nation(s, dir),
+        "1996-01-01", "1996-04-01", 20),
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |${sqlExactSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |AND o_orderdate >= DATE '1996-01-01'
+         |AND o_orderdate < DATE '1996-04-01'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20"""
+        .stripMargin.replace("\n", " ")),
+
     // Data-quality expectation suite (the dbt-test / DLT-expectations
     // operator family): one row per declared expectation with violation
     // and checked counts — nullability, value ranges, key uniqueness,

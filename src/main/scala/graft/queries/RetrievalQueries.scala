@@ -50,6 +50,10 @@ object RetrievalQueries {
   private final val AppendRem = 3
   private final val AppendCap = 3500L
 
+  /** The arriving-batch membership predicate (Spark side). */
+  private def isAppendBatch: org.apache.spark.sql.Column =
+    (col("doc_id") % AppendMod === AppendRem) && (col("doc_id") < AppendCap)
+
   // ── Spark-side staged artifacts ───────────────────────────────────
 
   /** Posting list (doc_id, token, tf, dl), one tokenize pass, cached —
@@ -254,6 +258,44 @@ object RetrievalQueries {
        |  LEFT JOIN ($rankedSql) r ON qs.query_id = r.query_id
        |  GROUP BY qs.query_id)""".stripMargin.replace("\n", " ")
 
+  /** Incremental df/idf merge oracle — shared VERBATIM by the batch
+    * and streaming maintenance twins (count merges are additive, so
+    * the streamed delta log compacts to the identical table). */
+  private val appendSql: String =
+    s"""WITH bdf AS (
+         |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_before
+         |  FROM (SELECT doc_id, unnest($toks) AS token FROM documents
+         |        WHERE NOT (doc_id % $AppendMod = $AppendRem
+         |          AND doc_id < $AppendCap))
+         |  GROUP BY token),
+         |adf AS (
+         |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_batch
+         |  FROM (SELECT doc_id, unnest($toks) AS token FROM documents
+         |        WHERE doc_id % $AppendMod = $AppendRem
+         |          AND doc_id < $AppendCap)
+         |  GROUP BY token),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_base FROM documents
+         |  WHERE NOT (doc_id % $AppendMod = $AppendRem
+         |    AND doc_id < $AppendCap)),
+         |na AS (SELECT CAST(count(*) AS BIGINT) AS n_batch FROM documents
+         |  WHERE doc_id % $AppendMod = $AppendRem AND doc_id < $AppendCap)
+         |SELECT adf.token,
+         |CAST(COALESCE(df_before, 0) AS BIGINT) AS df_before,
+         |df_batch,
+         |CAST(COALESCE(df_before, 0) + df_batch AS BIGINT) AS df_after,
+         |CASE WHEN df_before IS NULL THEN NULL
+         |  ELSE round(ln(CAST(1.0 AS DOUBLE) +
+         |    (n_base - df_before + CAST(0.5 AS DOUBLE)) /
+         |    (df_before + CAST(0.5 AS DOUBLE))), 9) END AS idf_before,
+         |round(ln(CAST(1.0 AS DOUBLE) +
+         |  ((n_base + n_batch) - (COALESCE(df_before, 0) + df_batch)
+         |    + CAST(0.5 AS DOUBLE)) /
+         |  ((COALESCE(df_before, 0) + df_batch) + CAST(0.5 AS DOUBLE))), 9)
+         |  AS idf_after
+         |FROM bdf RIGHT JOIN adf ON bdf.token = adf.token
+         |CROSS JOIN nb CROSS JOIN na
+         |ORDER BY adf.token""".stripMargin.replace("\n", " ")
+
   // ── registered queries ────────────────────────────────────────────
 
   val all: Seq[Q] = Seq(
@@ -325,70 +367,92 @@ object RetrievalQueries {
     Q("bm25_index_append",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val isBatch = (col("doc_id") % AppendMod === AppendRem) &&
-          (col("doc_id") < AppendCap)
-        val basePost = RetrievalOps.bm25Postings(docs.filter(!isBatch))
-        val batchPost = RetrievalOps.bm25Postings(docs.filter(isBatch))
-        val dfBase = basePost.groupBy(col("token"))
-          .agg(count(lit(1)).as("df_before"))
-        val dfBatch = batchPost.groupBy(col("token"))
-          .agg(count(lit(1)).as("df_batch"))
-        val nBase = basePost
-          .agg(countDistinct(col("doc_id")).as("n_base"))
-        val nBatch = batchPost
-          .agg(countDistinct(col("doc_id")).as("n_batch"))
-        def idf(n: org.apache.spark.sql.Column,
-                df: org.apache.spark.sql.Column) =
-          round(log(lit(1.0) +
-            (n - df + lit(0.5)) / (df + lit(0.5))), 9)
-        dfBase.join(dfBatch, Seq("token"), "right")
-          .crossJoin(broadcast(nBase)).crossJoin(broadcast(nBatch))
-          .select(col("token"),
-            coalesce(col("df_before"), lit(0L)).cast("long").as("df_before"),
-            col("df_batch").cast("long").as("df_batch"),
-            (coalesce(col("df_before"), lit(0L)) + col("df_batch"))
-              .cast("long").as("df_after"),
-            when(col("df_before").isNull, lit(null).cast("double"))
-              .otherwise(idf(col("n_base"), col("df_before")))
-              .as("idf_before"),
-            idf(col("n_base") + col("n_batch"),
-              coalesce(col("df_before"), lit(0L)) + col("df_batch"))
-              .as("idf_after"))
+        val basePost = RetrievalOps.bm25Postings(docs.filter(!isAppendBatch))
+        val batchPost = RetrievalOps.bm25Postings(docs.filter(isAppendBatch))
+        RetrievalOps.mergeDfUpdate(
+            basePost.groupBy(col("token")).agg(count(lit(1)).as("df_before")),
+            batchPost.groupBy(col("token")).agg(count(lit(1)).as("df_batch")),
+            basePost.agg(countDistinct(col("doc_id")).as("n_base")),
+            batchPost.agg(countDistinct(col("doc_id")).as("n_batch")))
           .orderBy("token")
       },
-      s"""WITH bdf AS (
-         |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_before
-         |  FROM (SELECT doc_id, unnest($toks) AS token FROM documents
-         |        WHERE NOT (doc_id % $AppendMod = $AppendRem
-         |          AND doc_id < $AppendCap))
-         |  GROUP BY token),
-         |adf AS (
-         |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_batch
-         |  FROM (SELECT doc_id, unnest($toks) AS token FROM documents
-         |        WHERE doc_id % $AppendMod = $AppendRem
-         |          AND doc_id < $AppendCap)
-         |  GROUP BY token),
-         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_base FROM documents
-         |  WHERE NOT (doc_id % $AppendMod = $AppendRem
-         |    AND doc_id < $AppendCap)),
-         |na AS (SELECT CAST(count(*) AS BIGINT) AS n_batch FROM documents
-         |  WHERE doc_id % $AppendMod = $AppendRem AND doc_id < $AppendCap)
-         |SELECT adf.token,
-         |CAST(COALESCE(df_before, 0) AS BIGINT) AS df_before,
-         |df_batch,
-         |CAST(COALESCE(df_before, 0) + df_batch AS BIGINT) AS df_after,
-         |CASE WHEN df_before IS NULL THEN NULL
-         |  ELSE round(ln(CAST(1.0 AS DOUBLE) +
-         |    (n_base - df_before + CAST(0.5 AS DOUBLE)) /
-         |    (df_before + CAST(0.5 AS DOUBLE))), 9) END AS idf_before,
-         |round(ln(CAST(1.0 AS DOUBLE) +
-         |  ((n_base + n_batch) - (COALESCE(df_before, 0) + df_batch)
-         |    + CAST(0.5 AS DOUBLE)) /
-         |  ((COALESCE(df_before, 0) + df_batch) + CAST(0.5 AS DOUBLE))), 9)
-         |  AS idf_after
-         |FROM bdf RIGHT JOIN adf ON bdf.token = adf.token
-         |CROSS JOIN nb CROSS JOIN na
-         |ORDER BY adf.token""".stripMargin.replace("\n", " ")),
+      appendSql),
+
+    // Streaming twin of bm25_index_append: the arriving docs stream in
+    // micro-batches, each batch appends its (token, df_delta) rows to
+    // a replay-safe delta LOG (the production shape: the index's df
+    // table is log-structured, compacted on read), and the final merge
+    // against the standing index compacts the log. Count merges are
+    // additive, so ANY micro-batch slicing yields the identical final
+    // table — the batch oracle applies verbatim.
+    Q("streaming_bm25_append",
+      (s, dir) => {
+        val work = graft.util.Fs.workDir("graft_stream_bm25", dir).toString
+        graft.util.Fs.deleteRec(work)
+        val deltas = graft.streaming.StreamingDocApply
+          .applyAvailableNow(s, dir, work,
+            b => b.filter(isAppendBatch)
+              .select(col("doc_id"),
+                explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+              .groupBy(col("token"))
+              .agg(countDistinct(col("doc_id")).as("df_delta")))
+        val docs = Tables.documents(s, dir)
+        val basePost = RetrievalOps.bm25Postings(docs.filter(!isAppendBatch))
+        RetrievalOps.mergeDfUpdate(
+            basePost.groupBy(col("token"))
+              .agg(count(lit(1)).as("df_before")),
+            deltas.groupBy(col("token"))
+              .agg(sum(col("df_delta")).as("df_batch")),
+            basePost.agg(countDistinct(col("doc_id")).as("n_base")),
+            docs.filter(isAppendBatch).agg(count(lit(1)).as("n_batch")))
+          .orderBy("token")
+      },
+      appendSql),
+
+    // Exact phrase search over a POSITIONAL inverted index: the
+    // (doc, pos, token) posting rows — the index layout that answers
+    // "these words, adjacent, in this order", which bag-of-words BM25
+    // cannot. Phrases = each query doc's first three tokens; matching
+    // is a chain of EQUALITY joins keyed on (doc, pos+offset), so at
+    // scale the posting table shards by doc and the phrase probe
+    // co-locates — never a scan-per-phrase. n_matches counts every
+    // occurrence position (the query doc matches itself at position 0
+    // by construction — the built-in correctness witness).
+    Q("phrase_search",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tk = graft.ops.TextOps.tokens(col("text"))
+        val pos = docs.select(col("doc_id"),
+          posexplode(tk).as(Seq("pos", "token")))
+        val ph = docs
+          .filter(col("doc_id").isInCollection(BmQueryIds) && size(tk) >= 3)
+          .select(col("doc_id").as("query_id"),
+            element_at(tk, 1).as("t0"), element_at(tk, 2).as("t1"),
+            element_at(tk, 3).as("t2"))
+        val p1 = pos.select(col("doc_id").as("d1"), col("pos").as("o1"),
+          col("token").as("tok1"))
+        val p2 = pos.select(col("doc_id").as("d2"), col("pos").as("o2"),
+          col("token").as("tok2"))
+        pos.join(broadcast(ph), col("token") === col("t0"))
+          .join(p1, col("d1") === col("doc_id") &&
+            col("o1") === col("pos") + 1 && col("tok1") === col("t1"))
+          .join(p2, col("d2") === col("doc_id") &&
+            col("o2") === col("pos") + 2 && col("tok2") === col("t2"))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n_matches"))
+          .orderBy("query_id", "doc_id")
+      },
+      s"""WITH tt AS (SELECT doc_id, $toks AS tk FROM documents),
+         |ph AS (SELECT doc_id AS query_id, tk[1] AS t0, tk[2] AS t1,
+         |  tk[3] AS t2 FROM tt
+         |  WHERE doc_id IN $bmIdList AND len(tk) >= 3),
+         |m AS (SELECT ph.query_id, t.doc_id,
+         |  CAST(len(list_filter(range(1, len(t.tk) - 1), i ->
+         |    t.tk[i] = ph.t0 AND t.tk[i + 1] = ph.t1
+         |    AND t.tk[i + 2] = ph.t2)) AS BIGINT) AS n_matches
+         |  FROM tt t CROSS JOIN ph)
+         |SELECT query_id, doc_id, n_matches FROM m WHERE n_matches > 0
+         |ORDER BY query_id, doc_id""".stripMargin.replace("\n", " ")),
 
     // Ground-truth eval: each snippet's target is its own source doc;
     // self@1 and MRR@k per retriever — the measurement that justifies

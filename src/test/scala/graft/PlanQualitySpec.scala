@@ -94,6 +94,10 @@ class PlanQualitySpec extends AnyFunSuite {
       "contains all three whitelisted snippet retrievers + 30-row query list",
     "nb_model_stats" -> "1-row n_train + 1-row vocab-size scalars, broadcast",
     "bm25_index_append" -> "1-row base/batch doc-count scalars, broadcast",
+    "streaming_bm25_append" ->
+      "1-row base/batch doc-count scalars, broadcast (delta-log merge)",
+    "streaming_classify" ->
+      "|classes|-row model-stats table, broadcast (frozen-model scoring)",
     "nb_classify" ->
       "|classes|-row model-stats table, broadcast (score fan-out)",
     "nb_confusion" -> "|classes|-row model-stats table, broadcast",
