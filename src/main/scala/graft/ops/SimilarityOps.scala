@@ -1069,6 +1069,45 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Contrastive-training triple mining: for each anchor in
+    * `queryIds`, the nearest SAME-label neighbor (the positive — the
+    * pair a contrastive loss pulls together) and the nearest
+    * DIFFERENT-label neighbor (the hard negative it pushes apart),
+    * with the anchor's margin pos_sim − neg_sim — a negative margin
+    * flags exactly the anchors whose neighborhoods the current
+    * embedding gets wrong (the examples a training curriculum
+    * prioritizes). ONE scored corpus pass (queries broadcast with
+    * their labels), split by a label-match flag; both top-1 picks are
+    * per-query windows over the same frame. */
+  def contrastiveTriples(corpus: DataFrame, labels: DataFrame,
+                         queryIds: Seq[Long]): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.join(labels.select(col("vec_id"), col("label")), "vec_id")
+    val queries = c.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("n_emb").as("q_emb"),
+        col("label").as("q_label"))
+    val scored = c.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_label"),
+        col("vec_id").as("neighbor_id"),
+        (col("label") === col("q_label")).as("same"),
+        dotCosine(col("q_emb"), col("n_emb")).as("sim"))
+    val w = Window.partitionBy(col("query_id"), col("same"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val top = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val pos = top.filter(col("same"))
+      .select(col("query_id").as("anchor_id"), col("q_label").as("label"),
+        col("neighbor_id").as("pos_id"), col("sim").as("pos_sim"))
+    val neg = top.filter(!col("same"))
+      .select(col("query_id").as("anchor_id"),
+        col("neighbor_id").as("neg_id"), col("sim").as("neg_sim"))
+    pos.join(neg, Seq("anchor_id"))
+      .select(col("anchor_id"), col("label"), col("pos_id"),
+        col("pos_sim"), col("neg_id"), col("neg_sim"),
+        round(col("pos_sim") - col("neg_sim"), 6).as("margin"))
+  }
+
   /** Dimension-wise standardization (z-scoring) of the first `d`
     * embedding dimensions — the APPLICATION step of the covariance
     * pass: per-dim mean/variance from one decimal-exact aggregation

@@ -122,12 +122,43 @@ object RetrievalQueries {
         .filter(col("rank") <= BmK)
     }
 
+  /** Spell correction of deterministically corrupted snippet terms
+    * (the last character of every ≥4-char term dropped — the typo
+    * model): candidates = vocabulary tokens sharing the FIRST-char
+    * block within levenshtein ≤ 2, winner = (min dist, lex token).
+    * The blocked join is the fuzzy-linkage discipline (LinkageOps):
+    * equality on the block key, edit distance only inside blocks —
+    * Σ|block|² bounded by the vocabulary, never the corpus. Cached:
+    * both typo queries read it. */
+  private def typoCorrections(s: SparkSession, dir: String): DataFrame =
+    Staged.retrieval(s, dir, "typo_corr") {
+      val vocab = postings(s, dir).select(col("token")).distinct()
+        .select(col("token").as("vtok"))
+      val qt = qtermsSnip(s, dir)
+        .select(col("query_id"),
+          when(length(col("token")) >= 4,
+            expr("substring(token, 1, length(token) - 1)"))
+            .otherwise(col("token")).as("typo_term"))
+        .distinct()
+      val w = Window.partitionBy(col("query_id"), col("typo_term"))
+        .orderBy(col("dist").asc, col("vtok").asc)
+      qt.join(vocab,
+          substring(col("typo_term"), 1, 1) === substring(col("vtok"), 1, 1) &&
+          levenshtein(col("typo_term"), col("vtok")) <= 2)
+        .withColumn("dist", levenshtein(col("typo_term"), col("vtok")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("typo_term"),
+          col("vtok").as("corrected"), col("dist").cast("int").as("dist"))
+    }
+
   /** Force this family's staged artifacts (Staged.prewarm hook). */
   private[queries] def prewarm(s: SparkSession, dir: String): Unit = {
     postings(s, dir).count()
     corpusEmb(s, dir).count()
     snipBm25(s, dir).count()
     snipDense(s, dir).count()
+    typoCorrections(s, dir).count()
     ()
   }
 
@@ -201,6 +232,27 @@ object RetrievalQueries {
     s"""list_sum(list_transform(range(1, ${dim + 1}),
        |  i -> round(($a)[i] * 1000000.0, 0) * round(($b)[i] * 1000000.0, 0)))
        |/ 1000000000000.0""".stripMargin.replace("\n", " ")
+
+  /** Typo-corrected snippet-term CTE chain (`vcbr`, `tqt`, `tcorr`) —
+    * mirrors [[typoCorrections]]; needs `post` in scope. */
+  private val typoWith: String =
+    s"""vcbr AS (SELECT DISTINCT token AS vtok FROM post),
+       |tqt AS (SELECT DISTINCT query_id,
+       |  CASE WHEN length(token) >= 4
+       |    THEN substring(token, 1, length(token) - 1)
+       |    ELSE token END AS typo_term
+       |  FROM ($qtSnipRel)),
+       |tcorr AS (SELECT query_id, typo_term, vtok AS corrected,
+       |  CAST(dist AS INT) AS dist FROM (
+       |  SELECT tqt.query_id, tqt.typo_term, v.vtok,
+       |    levenshtein(tqt.typo_term, v.vtok) AS dist,
+       |    row_number() OVER (PARTITION BY tqt.query_id, tqt.typo_term
+       |      ORDER BY levenshtein(tqt.typo_term, v.vtok) ASC, v.vtok ASC)
+       |      AS rn
+       |  FROM tqt JOIN vcbr v
+       |  ON substring(tqt.typo_term, 1, 1) = substring(v.vtok, 1, 1)
+       |  AND levenshtein(tqt.typo_term, v.vtok) <= 2)
+       |  WHERE rn = 1)""".stripMargin.replace("\n", " ")
 
   /** Snippet text relation (doc_id, text = first SnipLen tokens). */
   private val snipRel: String =
@@ -409,6 +461,40 @@ object RetrievalQueries {
       },
       appendSql),
 
+    // The spell-correction table itself: every (deterministically
+    // corrupted) snippet term with its blocked-levenshtein winner —
+    // the "did you mean" artifact, and the composition proof that the
+    // fuzzy-linkage blocking discipline drops onto the search
+    // vocabulary unchanged.
+    Q("bm25_typo_corrections",
+      (s, dir) => typoCorrections(s, dir)
+        .orderBy("query_id", "typo_term"),
+      s"""WITH $postWith, $typoWith
+         |SELECT query_id, typo_term, corrected, dist FROM tcorr
+         |ORDER BY query_id, typo_term""".stripMargin.replace("\n", " ")),
+
+    // Typo-tolerant search: BM25 over the CORRECTED terms. A raw
+    // corrupted term is out-of-vocabulary (dropping a character makes
+    // it match no posting), so uncorrected BM25 retrieves nothing for
+    // it; correction first restores the term (the original is always
+    // a distance-1 same-block candidate by construction —
+    // RetrievalSpec pins the recovery rate), then the standard ranked
+    // probe runs unchanged.
+    Q("bm25_typo_topk",
+      (s, dir) => RetrievalOps.bm25TopK(postings(s, dir),
+          typoCorrections(s, dir)
+            .select(col("query_id"), col("corrected").as("token"))
+            .distinct(),
+          BmK, includeSelf = true)
+        .select(col("query_id"), col("neighbor_id"), col("score"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("query_id", "rank"),
+      s"""WITH $postWith, $typoWith
+         |${bm25RankSql(
+            "SELECT DISTINCT query_id, corrected AS token FROM tcorr",
+            includeSelf = true, BmK)}
+         |ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
+
     // Exact phrase search over a POSITIONAL inverted index: the
     // (doc, pos, token) posting rows — the index layout that answers
     // "these words, adjacent, in this order", which bag-of-words BM25
@@ -453,6 +539,51 @@ object RetrievalQueries {
          |  FROM tt t CROSS JOIN ph)
          |SELECT query_id, doc_id, n_matches FROM m WHERE n_matches > 0
          |ORDER BY query_id, doc_id""".stripMargin.replace("\n", " ")),
+
+    // Near-dup-suppressed search results: the hybrid ranking joined
+    // against the corpus near-dup clusters (connected components over
+    // the n-gram Jaccard pairs — the dedup family's artifact), keeping
+    // only the best-ranked member per (query, cluster) and compacting
+    // ranks. The SERP-dedup every production search ships: without it,
+    // one duplicated passage fills the whole result page. Join is
+    // equality on doc id; clusters are corpus-bounded.
+    Q("snippet_topk_dedup",
+      (s, dir) => {
+        val fused = RetrievalOps.rrfFuse2(
+          snipBm25(s, dir), WBm, snipDense(s, dir), WDen, BmK)
+        val clusters = Staged.dupClusters(s, dir, 3, 0.5)
+          .select(col("doc_id").as("cdoc"), col("cluster_id").as("cl"))
+        val wBest = Window.partitionBy(col("query_id"), col("cluster_id"))
+          .orderBy(col("rank").asc)
+        val wNew = Window.partitionBy(col("query_id"))
+          .orderBy(col("rank").asc)
+        fused.join(clusters, col("neighbor_id") === col("cdoc"), "left")
+          .withColumn("cluster_id", coalesce(col("cl"), col("neighbor_id")))
+          .withColumn("rb", row_number().over(wBest))
+          .filter(col("rb") === 1)
+          .withColumn("dedup_rank", row_number().over(wNew))
+          .select(col("query_id"), col("neighbor_id"), col("cluster_id"),
+            col("rank").cast("int").as("orig_rank"),
+            col("dedup_rank").cast("int").as("dedup_rank"))
+          .orderBy("query_id", "dedup_rank")
+      },
+      s"""${dupClustersWith(3, 0.5)}
+         |SELECT query_id, neighbor_id, cluster_id,
+         |CAST(rank AS INT) AS orig_rank, CAST(drnk AS INT) AS dedup_rank
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rank ASC) AS drnk
+         |  FROM (
+         |    SELECT query_id, neighbor_id, cluster_id, rank,
+         |    row_number() OVER (PARTITION BY query_id, cluster_id
+         |      ORDER BY rank ASC) AS rb
+         |    FROM (
+         |      SELECT f.query_id, f.neighbor_id,
+         |      COALESCE(c.cluster_id, f.neighbor_id) AS cluster_id, f.rank
+         |      FROM ($snipFusedSql) f
+         |      LEFT JOIN clusters c ON f.neighbor_id = c.doc_id))
+         |  WHERE rb = 1)
+         |ORDER BY query_id, dedup_rank""".stripMargin.replace("\n", " ")),
 
     // Ground-truth eval: each snippet's target is its own source doc;
     // self@1 and MRR@k per retriever — the measurement that justifies

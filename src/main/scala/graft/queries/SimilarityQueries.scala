@@ -1350,7 +1350,42 @@ object SimilarityQueries {
          |FROM ($bruteSql) b LEFT JOIN ($jlAnnSql) i
          |ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
          |GROUP BY b.query_id ORDER BY b.query_id"""
-        .stripMargin.replace("\n", " "))
+        .stripMargin.replace("\n", " ")),
+
+    // Contrastive triple mining — the dataset-building op for
+    // embedding training: per anchor, the nearest same-label neighbor
+    // (positive) + the nearest different-label neighbor (hard
+    // negative) + the margin between them. Anchors with NEGATIVE
+    // margin are exactly the examples the current embedding confuses —
+    // what a curriculum samples first. One scored corpus pass, label
+    // split by flag, two per-query windows.
+    Q("contrastive_triples",
+      (s, dir) => SimilarityOps.contrastiveTriples(
+          Staged.normCorpus(s, dir), Tables.embeddings(s, dir), QueryIds)
+        .orderBy("anchor_id"),
+      s"""WITH corpus AS ($normCorpus),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |c AS (SELECT corpus.vec_id, n_emb, label
+         |  FROM corpus JOIN lab USING (vec_id)),
+         |q AS (SELECT vec_id AS query_id, n_emb AS q_emb,
+         |  label AS q_label FROM c WHERE vec_id IN $idList),
+         |scored AS (
+         |  SELECT query_id, q_label, c.vec_id AS neighbor_id,
+         |  (c.label = q.q_label) AS same,
+         |  ${dotCosine("q_emb", "c.n_emb")} AS sim
+         |  FROM c JOIN q ON c.vec_id <> q.query_id),
+         |top AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id, same
+         |    ORDER BY sim DESC, neighbor_id ASC) AS rn FROM scored)
+         |  WHERE rn = 1)
+         |SELECT p.query_id AS anchor_id, p.q_label AS label,
+         |p.neighbor_id AS pos_id, p.sim AS pos_sim,
+         |n.neighbor_id AS neg_id, n.sim AS neg_sim,
+         |round(p.sim - n.sim, 6) AS margin
+         |FROM (SELECT * FROM top WHERE same) p
+         |JOIN (SELECT * FROM top WHERE NOT same) n
+         |ON p.query_id = n.query_id
+         |ORDER BY anchor_id""".stripMargin.replace("\n", " "))
   )
 
   /** PCA-space candidate width (≥ 4·K so the exact rerank has slack). */

@@ -103,7 +103,13 @@ class PlanQualitySpec extends AnyFunSuite {
     "nb_confusion" -> "|classes|-row model-stats table, broadcast",
     "corpus_filter_nb" -> "|classes|-row model-stats table, broadcast",
     "cluster_balanced_sample" ->
-      "16-row centroid table, broadcast (cell assignment)")
+      "16-row centroid table, broadcast (cell assignment)",
+    "bm25_typo_topk" ->
+      "1-row stats scalar + corrected term set, broadcast",
+    "contrastive_triples" ->
+      "10-row labeled query set, broadcast (one scored corpus pass)",
+    "snippet_topk_dedup" ->
+      "fuses two whitelisted snippet retrievers; inputs ≤ queries×k rows")
 
   private def sections: Seq[(String, String)] = {
     val parts = plans.split("\n## ").toSeq.drop(1)

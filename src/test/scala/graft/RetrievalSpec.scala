@@ -131,6 +131,47 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("typo correction recovers the dropped-character original") {
+    val corr = SparkEntry.queries("bm25_typo_corrections")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getString(2), r.getInt(3))).toMap
+    assert(corr.nonEmpty)
+    // every winner is within the declared distance cap
+    assert(corr.values.forall(_._2 <= 2))
+    // originals: the distinct snippet terms per query doc
+    val orig = Tables.documents(spark, sf)
+      .filter(col("doc_id").isInCollection(0L to 29L))
+      .select(col("doc_id"), explode(array_distinct(
+        slice(ops.TextOps.tokens(col("text")), 1, 8))).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val corrupted = orig.filter(_._2.length >= 4)
+    val recovered = corrupted.count { case (q, t) =>
+      corr.get((q, t.dropRight(1))).exists(_._1 == t)
+    }
+    // the original is always a distance-1 same-block candidate, so a
+    // miss needs a dist-0 vocab collision or a lex-smaller dist-1 tie
+    assert(recovered.toDouble / corrupted.length >= 0.6,
+      s"recovered only $recovered/${corrupted.length}")
+  }
+
+  test("contrastive triples: labels honored, margin consistent") {
+    val labels = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = SparkEntry.queries("contrastive_triples")(spark, sf)
+      .collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val anchor = r.getAs[Long]("anchor_id")
+      assert(labels(r.getAs[Long]("pos_id")) == labels(anchor))
+      assert(labels(r.getAs[Long]("neg_id")) != labels(anchor))
+      val m = BigDecimal(r.getAs[Double]("pos_sim") -
+        r.getAs[Double]("neg_sim"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(m - r.getAs[Double]("margin")) < 1e-9)
+    }
+  }
+
   test("fixture claim: hybrid MRR ≥ each single retriever, 30 queries") {
     val rows = SparkEntry.queries("snippet_retrieval_eval")(spark, sf)
       .collect().map(r => r.getString(0) ->
