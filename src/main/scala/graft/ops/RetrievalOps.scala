@@ -127,6 +127,90 @@ object RetrievalOps {
     call_function("graft_dot", sa, sb) / lit(1.0e12)
   }
 
+  /** Boundary-padded character trigrams of a `token` column, as a
+    * space-joined string (tokens are whitespace-free, so the join is
+    * lossless) — the fastText-style subword decomposition. Tokens too
+    * short for one trigram ('' pads to "^$") yield the empty string.
+    * Kept as a SQL expression over a column literally named `padded`
+    * so the generated oracle can mirror it text-for-text. */
+  private val gramTextExpr =
+    """CASE WHEN length(padded) >= 3
+      |THEN array_join(transform(sequence(1, length(padded) - 2),
+      |  i -> substring(padded, i, 3)), ' ')
+      |ELSE '' END""".stripMargin.replace("\n", " ")
+
+  /** Subword embedding of a token set: each DISTINCT token hash-embeds
+    * its own trigram bag (the existing hashing-trick machinery, token
+    * as the "document") — (token, gvec) with all-cancelled vectors
+    * dropped. Vocabulary-bounded compute; out-of-vocabulary QUERY
+    * terms embed the same way, which is the whole point: a corrupted
+    * term still shares most trigrams with its original. */
+  def gramVecs(tokens: DataFrame, dim: Int): DataFrame =
+    SimilarityOps.hashEmbed(
+      tokens.select(col("token").as("doc_id")).distinct()
+        .withColumn("padded", concat(lit("^"), col("doc_id"), lit("$")))
+        .withColumn("text", expr(gramTextExpr))
+        .select(col("doc_id"), col("text")), dim)
+      .select(col("vec_id").as("token"), col("n_emb").as("gvec"))
+      .filter(col("gvec").isNotNull)
+
+  /** (token, gram) pairs — the trigram inverted index that NOMINATES
+    * candidate (query-term, doc-token) pairs by equality join, so the
+    * late-interaction scorer never goes all-pairs. */
+  def tokenGrams(tokens: DataFrame): DataFrame =
+    tokens.select(col("token")).distinct()
+      .withColumn("padded", concat(lit("^"), col("token"), lit("$")))
+      .select(col("token"), explode(expr(
+        """CASE WHEN length(padded) >= 3
+          |THEN transform(sequence(1, length(padded) - 2),
+          |  i -> substring(padded, i, 3))
+          |ELSE array() END""".stripMargin.replace("\n", " "))).as("gram"))
+
+  /** Late-interaction (ColBERT-shape) scoring over subword vectors:
+    * score(q, d) = Σ_{t ∈ q} max_{u ∈ d, t~u} cos(gvec_t, gvec_u),
+    * where t~u means the pair shares ≥ 1 trigram (the inverted-index
+    * nomination — gram-disjoint pairs contribute 0 BY DEFINITION, so
+    * the blocked plan IS the semantics, not an approximation of it).
+    * Per-candidate cosines are the exact integer-scaled metric; the
+    * per-(query, doc) sum runs and rounds in DECIMAL space (the sum of
+    * exact 12-dp values can land on a 6-dp half boundary).
+    *
+    * @param qterms (query_id, token) query term sets (typos welcome)
+    * @param docTokens DISTINCT (doc_id, token) pairs of the corpus
+    */
+  def lateInteractionTopK(qterms: DataFrame, docTokens: DataFrame,
+                          dim: Int, k: Int): DataFrame = {
+    val dvec = gramVecs(docTokens.select(col("token")), dim)
+    val qvec = gramVecs(qterms.select(col("token")), dim)
+    val cand = tokenGrams(qterms.select(col("token")))
+      .withColumnRenamed("token", "qterm")
+      .join(tokenGrams(docTokens.select(col("token")))
+        .withColumnRenamed("token", "dtoken"), Seq("gram"))
+      .select(col("qterm"), col("dtoken")).distinct()
+    val cs = cand
+      .join(qvec.select(col("token").as("qterm"), col("gvec").as("qv")),
+        Seq("qterm"))
+      .join(dvec.select(col("token").as("dtoken"), col("gvec").as("dv")),
+        Seq("dtoken"))
+      .select(col("qterm"), col("dtoken"),
+        intScaledCosine(col("qv"), col("dv")).as("cos"))
+    val ms = cs
+      .join(docTokens.select(col("doc_id"), col("token").as("dtoken")),
+        Seq("dtoken"))
+      .groupBy(col("qterm"), col("doc_id"))
+      .agg(max(col("cos")).as("ms"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    qterms.select(col("query_id"), col("token").as("qterm")).distinct()
+      .join(ms, Seq("qterm"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("ms").cast(DecimalType(30, 12))), 6)
+        .cast("double").as("score"))
+      .withColumnRenamed("doc_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Merge a document-frequency delta into a standing df table and
     * report the per-token drift — the shared tail of both incremental
     * BM25 index-maintenance twins (batch and streaming): given the

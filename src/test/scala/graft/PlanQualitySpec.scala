@@ -109,7 +109,11 @@ class PlanQualitySpec extends AnyFunSuite {
     "contrastive_triples" ->
       "10-row labeled query set, broadcast (one scored corpus pass)",
     "snippet_topk_dedup" ->
-      "fuses two whitelisted snippet retrievers; inputs ≤ queries×k rows")
+      "fuses two whitelisted snippet retrievers; inputs ≤ queries×k rows",
+    "bm25_typo_corrections" ->
+      "first-char-blocked vocabulary join (all equi); tiny term set broadcast",
+    "typo_retrieval_eval" ->
+      "contains the whitelisted raw/corrected/colbert arms + stats scalars")
 
   private def sections: Seq[(String, String)] = {
     val parts = plans.split("\n## ").toSeq.drop(1)

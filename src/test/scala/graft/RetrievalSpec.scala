@@ -172,6 +172,15 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("typo eval: subword ≥ corrected ≥ raw (fixture claim)") {
+    val rows = SparkEntry.queries("typo_retrieval_eval")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rows.keySet ==
+      Set("bm25_raw_typo", "bm25_corrected", "colbert_subword"))
+    assert(rows("bm25_corrected") >= rows("bm25_raw_typo"))
+    assert(rows("colbert_subword") >= rows("bm25_corrected"))
+  }
+
   test("fixture claim: hybrid MRR ≥ each single retriever, 30 queries") {
     val rows = SparkEntry.queries("snippet_retrieval_eval")(spark, sf)
       .collect().map(r => r.getString(0) ->
