@@ -691,6 +691,42 @@ object RetrievalQueries {
             s"WITH $postWith, $typoWith, $colbertSql SELECT * FROM colb")})
          |ORDER BY retriever""".stripMargin.replace("\n", " ")),
 
+    // Search served AS a stream: corrupted queries arrive in
+    // micro-batches and each batch runs the late-interaction scorer
+    // against the STANDING corpus index through the replay-safe sink —
+    // the query-serving shape (index static, queries streaming), dual
+    // to streaming_bm25_append's (index streaming, queries implicit).
+    // Per-QUERY-pure scoring → any slicing yields the same rows and
+    // the batch oracle applies verbatim.
+    Q("streaming_typo_search",
+      (s, dir) => {
+        val work = graft.util.Fs
+          .workDir("graft_stream_typosearch", dir).toString
+        graft.util.Fs.deleteRec(work)
+        val dt = postings(s, dir)
+          .select(col("doc_id"), col("token")).distinct()
+        graft.streaming.StreamingDocApply.applyAvailableNow(s, dir, work,
+            b => {
+              val qt = b.filter(col("doc_id").isInCollection(SnipQueryIds))
+                .select(col("doc_id").as("query_id"),
+                  explode(array_distinct(slice(
+                    graft.ops.TextOps.tokens(col("text")), 1, SnipLen)))
+                    .as("token"))
+                .select(col("query_id"),
+                  when(length(col("token")) >= 4,
+                    expr("substring(token, 1, length(token) - 1)"))
+                    .otherwise(col("token")).as("token"))
+                .distinct()
+              RetrievalOps.lateInteractionTopK(qt, dt, EmbDim, BmK)
+            })
+          .select(col("query_id"), col("neighbor_id"), col("score"),
+            col("rank").cast("int").as("rank"))
+          .orderBy("query_id", "rank")
+      },
+      s"""WITH $postWith, $typoWith, $colbertSql
+         |SELECT query_id, neighbor_id, score, rank FROM colb
+         |ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
+
     // Near-dup-suppressed search results: the hybrid ranking joined
     // against the corpus near-dup clusters (connected components over
     // the n-gram Jaccard pairs — the dedup family's artifact), keeping
