@@ -179,8 +179,9 @@ object RetrievalOps {
     * @param docTokens DISTINCT (doc_id, token) pairs of the corpus
     */
   def lateInteractionTopK(qterms: DataFrame, docTokens: DataFrame,
-                          dim: Int, k: Int): DataFrame = {
-    val dvec = gramVecs(docTokens.select(col("token")), dim)
+                          dim: Int, k: Int,
+                          dvecPre: Option[DataFrame] = None): DataFrame = {
+    val dvec = dvecPre.getOrElse(gramVecs(docTokens.select(col("token")), dim))
     val qvec = gramVecs(qterms.select(col("token")), dim)
     val cand = tokenGrams(qterms.select(col("token")))
       .withColumnRenamed("token", "qterm")

@@ -133,13 +133,22 @@ object RetrievalQueries {
           .otherwise(col("token")).as("token"))
       .distinct()
 
+  /** Corpus-vocabulary subword (trigram) vectors, cached — the static
+    * model table the late-interaction scorer reads (vocab-bounded);
+    * shared by token_gram_vecs, the colbert ranking, and every
+    * micro-batch of the streaming search. */
+  private def corpusGramVecs(s: SparkSession, dir: String): DataFrame =
+    Staged.retrieval(s, dir, "gram_vecs") {
+      RetrievalOps.gramVecs(postings(s, dir).select(col("token")), EmbDim)
+    }
+
   /** Late-interaction ranking on the corrupted terms, cached (its own
     * query + the typo eval read it). */
   private def typoColbert(s: SparkSession, dir: String): DataFrame =
     Staged.retrieval(s, dir, "typo_colbert") {
       RetrievalOps.lateInteractionTopK(qtermsTypo(s, dir),
         postings(s, dir).select(col("doc_id"), col("token")).distinct(),
-        EmbDim, BmK)
+        EmbDim, BmK, Some(corpusGramVecs(s, dir)))
     }
 
   /** Spell correction of deterministically corrupted snippet terms
@@ -175,6 +184,8 @@ object RetrievalQueries {
     snipBm25(s, dir).count()
     snipDense(s, dir).count()
     typoCorrections(s, dir).count()
+    corpusGramVecs(s, dir).count()
+    typoColbert(s, dir).count()
     ()
   }
 
@@ -620,8 +631,7 @@ object RetrievalQueries {
     // bounded model the late-interaction scorer reads (fastText's
     // subword trick re-expressed on the existing hashing machinery).
     Q("token_gram_vecs",
-      (s, dir) => RetrievalOps.gramVecs(
-          postings(s, dir).select(col("token")), EmbDim)
+      (s, dir) => corpusGramVecs(s, dir)
         .select(col("token"), col("gvec"),
           explode(sequence(lit(0), lit(EmbDim - 1))).as("dim_i"))
         .select(col("token"), col("dim_i").cast("int").as("dim_i"),
@@ -717,7 +727,8 @@ object RetrievalQueries {
                     expr("substring(token, 1, length(token) - 1)"))
                     .otherwise(col("token")).as("token"))
                 .distinct()
-              RetrievalOps.lateInteractionTopK(qt, dt, EmbDim, BmK)
+              RetrievalOps.lateInteractionTopK(qt, dt, EmbDim, BmK,
+                Some(corpusGramVecs(s, dir)))
             })
           .select(col("query_id"), col("neighbor_id"), col("score"),
             col("rank").cast("int").as("rank"))
