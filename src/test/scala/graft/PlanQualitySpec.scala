@@ -113,7 +113,9 @@ class PlanQualitySpec extends AnyFunSuite {
     "bm25_typo_corrections" ->
       "first-char-blocked vocabulary join (all equi); tiny term set broadcast",
     "typo_retrieval_eval" ->
-      "contains the whitelisted raw/corrected/colbert arms + stats scalars")
+      "contains the whitelisted raw/corrected/colbert arms + stats scalars",
+    "bm25_capped_eval" ->
+      "1-row doc-count/posting-count scalars, broadcast (knob eval)")
 
   private def sections: Seq[(String, String)] = {
     val parts = plans.split("\n## ").toSeq.drop(1)
