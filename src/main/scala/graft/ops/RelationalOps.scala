@@ -308,4 +308,146 @@ object RelationalOps {
       .join(dim.select(col(dimKey)).distinct(),
         col(factKey) === col(dimKey), "left_semi")
   }
+
+  /** TPC-H Q2 shape (min-cost supplier), adapted to the fixture's star
+    * schema (no partsupp table — the lineitem fact is the part↔supplier
+    * price evidence): for each filtered part, the supplier with the
+    * LOWEST observed unit price. Decorrelated from Q2's correlated MIN
+    * subquery into one aggregate + one per-part argmin window: unit
+    * prices aggregate to per-(part, supplier) minima first (fact
+    * shuffles ONCE on the composite key), then a window over the
+    * |parts|×|suppliers|-bounded aggregate picks each part's winner —
+    * never a window over raw fact rows. Part filter pushes to the scan
+    * and the filtered part set broadcasts, so at 100 TB the fact scan
+    * prunes before the only shuffle. Unit price is fixed to integer
+    * micro-units (scale-0 rounding — the one scale whose .5 boundary is
+    * binary-representable, hence engine-portable) BEFORE the min so
+    * argmin ties break identically in both engines. */
+  def minCostSupplier(lineitem: DataFrame, part: DataFrame,
+                      supplier: DataFrame, nation: DataFrame,
+                      pType: String, maxSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = part
+      .filter(col("p_type") === pType && col("p_size") <= maxSize)
+      .select(col("p_partkey"), col("p_name"))
+    val perSupp = lineitem
+      .select(col("l_partkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * lit(1000000.0) / col("l_quantity"), 0)
+          / lit(1000000.0)).as("unit_price"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
+      .agg(min(col("unit_price")).as("min_unit_price"))
+    val w = Window.partitionBy(col("p_partkey"))
+      .orderBy(col("min_unit_price").asc, col("l_suppkey").asc)
+    perSupp
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("n_name"), col("min_unit_price"))
+  }
+
+  /** TPC-H Q12 shape (shipping-mode priority classification; the fixture
+    * carries no l_shipmode, so the classifying dimension is
+    * l_linestatus): per class, CASE-split counts of high- vs
+    * low-priority orders inside a ship-date window. The date filter
+    * pushes to the fact scan; the orders side projects two columns and
+    * the join shuffles both sides on the order key once (orders is the
+    * same order of magnitude as lineitem — NOT broadcast); the CASE
+    * aggregation is map-side partial. */
+  def priorityByLinestatus(lineitem: DataFrame, orders: DataFrame,
+                           d0: String, d1: String): DataFrame = {
+    val high = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    lineitem
+      .filter(col("l_shipdate") >= lit(d0) && col("l_shipdate") < lit(d1))
+      .select(col("l_orderkey"), col("l_linestatus"))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q14 shape (promotion revenue share): the PROMO fraction of
+    * discounted revenue in one ship-date month. Part is broadcast (the
+    * only join), both sums are one map-side-partial aggregate over the
+    * date-pruned fact scan, and the ratio is a single-row post-agg
+    * projection — the whole query is one scan + one broadcast join at
+    * any scale. */
+  def promoRevenueShare(lineitem: DataFrame, part: DataFrame,
+                        d0: String, d1: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    lineitem
+      .filter(col("l_shipdate") >= lit(d0) && col("l_shipdate") < lit(d1))
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        exactSum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+          .as("promo_revenue"),
+        exactSum(rev).as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6)
+          .as("promo_pct"))
+  }
+
+  /** TPC-H Q18 shape (large-volume customers): orders whose total
+    * line quantity exceeds `minQty`, with their customer, top-k by
+    * order value. The HAVING aggregate runs FIRST over two fact columns
+    * (one shuffle on the order key, map-side partials), so the join
+    * input is the small surviving order set; customer broadcasts; the
+    * top-k is TakeOrderedAndProject. Quantity sums are decimal-exact
+    * so the HAVING cut is engine-portable. */
+  def largeVolumeOrders(lineitem: DataFrame, orders: DataFrame,
+                        customer: DataFrame, minQty: Double,
+                        k: Int): DataFrame =
+    lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(exactSum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_totalprice")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(k)
+
+  /** TPC-H Q19 shape (disjunctive predicate join): revenue from three
+    * OR-ed (brand, size-range, quantity-range) branches, reported per
+    * brand. The branch predicates mix columns from BOTH join sides, so
+    * no engine can push the full disjunction below the join — the
+    * hand-shaped scale move is deriving each side's predicate
+    * SUPERSET (brand ∈ {..} ∧ size-range union on part; quantity-range
+    * union on lineitem) so the broadcast side shrinks to the eligible
+    * parts and the fact scan prunes rows before the join, leaving the
+    * exact disjunction as a post-join filter over the survivors. */
+  def disjunctiveBrandRevenue(
+      lineitem: DataFrame, part: DataFrame,
+      branches: Seq[(String, (Int, Int), (Double, Double))]): DataFrame = {
+    val partSuper = branches.map { case (b, (s0, s1), _) =>
+      col("p_brand") === b && col("p_size").between(s0, s1)
+    }.reduce(_ || _)
+    val liSuper = branches.map { case (_, _, (q0, q1)) =>
+      col("l_quantity").between(q0, q1)
+    }.reduce(_ || _)
+    val exact = branches.map { case (b, (s0, s1), (q0, q1)) =>
+      col("p_brand") === b && col("p_size").between(s0, s1) &&
+        col("l_quantity").between(q0, q1)
+    }.reduce(_ || _)
+    lineitem
+      .filter(liSuper)
+      .select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .join(broadcast(part.filter(partSuper)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(exact)
+      .groupBy(col("p_brand"))
+      .agg(exactSum(col("rev")).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
 }

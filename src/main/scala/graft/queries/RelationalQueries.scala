@@ -294,6 +294,111 @@ object RelationalQueries {
         |EXCEPT SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY o_custkey""".stripMargin.replace("\n", " ")),
 
+    // TPC-H Q2 shape: min-cost supplier per filtered part (the fixture
+    // has no partsupp, so lineitem is the price evidence). Correlated-
+    // MIN decorrelated to one composite-key aggregate + a window over
+    // the aggregate. Unit price is computed in integer micro-units
+    // (round at scale 0 — the one rounding scale where the .5 boundary
+    // is binary-representable, hence engine-portable) before the min,
+    // so argmin ties break identically in both engines.
+    Q("q2_min_cost_supplier",
+      (s, dir) => RelationalOps.minCostSupplier(
+          Tables.lineitem(s, dir), Tables.part(s, dir),
+          Tables.supplier(s, dir), Tables.nation(s, dir), "PROMO", 5)
+        .orderBy("p_partkey"),
+      """WITH per_supp AS (
+        |  SELECT p_partkey, p_name, l_suppkey,
+        |  min(round(l_extendedprice * 1000000.0 / l_quantity, 0)
+        |    / 1000000.0) AS min_unit_price
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO' AND p_size <= 5
+        |  GROUP BY 1, 2, 3),
+        |win AS (SELECT *, row_number() OVER (PARTITION BY p_partkey
+        |  ORDER BY min_unit_price ASC, l_suppkey ASC) AS rn FROM per_supp)
+        |SELECT p_partkey, p_name, s_suppkey, s_name, n_name, min_unit_price
+        |FROM win JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE rn = 1 ORDER BY p_partkey""".stripMargin.replace("\n", " ")),
+
+    // TPC-H Q12 shape: CASE-split priority counts per line status
+    // inside a ship-date window (the fixture has no l_shipmode; the
+    // classifying dimension is l_linestatus).
+    Q("q12_priority_class",
+      (s, dir) => RelationalOps.priorityByLinestatus(
+          Tables.lineitem(s, dir), Tables.orders(s, dir),
+          "1996-01-01", "1997-01-01")
+        .select(col("l_linestatus"),
+          col("high_line_count").cast("long").as("high_line_count"),
+          col("low_line_count").cast("long").as("low_line_count"))
+        .orderBy("l_linestatus"),
+      """SELECT l_linestatus,
+        |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= DATE '1996-01-01'
+        |AND l_shipdate < DATE '1997-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus"""
+        .stripMargin.replace("\n", " ")),
+
+    // TPC-H Q14 shape: promotion revenue share of one ship-date month —
+    // a conditional aggregate over a broadcast part join, reduced to a
+    // single-row ratio.
+    Q("q14_promo_revenue",
+      (s, dir) => RelationalOps.promoRevenueShare(
+        Tables.lineitem(s, dir), Tables.part(s, dir),
+        "1996-09-01", "1996-10-01"),
+      s"""SELECT
+         |${sqlExactSum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS promo_revenue,
+         |${sqlExactSum("l_extendedprice * (1 - l_discount)")} AS total_revenue,
+         |round(100.0 * ${sqlExactSum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} /
+         |  ${sqlExactSum("l_extendedprice * (1 - l_discount)")}, 6) AS promo_pct
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= DATE '1996-09-01'
+         |AND l_shipdate < DATE '1996-10-01'""".stripMargin.replace("\n", " ")),
+
+    // TPC-H Q18 shape: large-volume orders (HAVING over a fact
+    // aggregate) joined back to orders + customer, top-100 by value.
+    Q("q18_large_volume",
+      (s, dir) => RelationalOps.largeVolumeOrders(
+        Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), 170.0, 100),
+      s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+         |sum_qty FROM (
+         |  SELECT l_orderkey, ${sqlExactSum("l_quantity")} AS sum_qty
+         |  FROM lineitem GROUP BY l_orderkey) q
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE sum_qty > 170
+         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"""
+        .stripMargin.replace("\n", " ")),
+
+    // TPC-H Q19 shape: disjunctive (brand × size-range × quantity-range)
+    // predicate join, per-brand revenue. Spark side pre-derives each
+    // join side's predicate superset so both scans prune before the
+    // broadcast join; the oracle states the plain disjunction — the
+    // superset rewrite is a pure optimization, same rows.
+    Q("q19_disjunctive_filter",
+      (s, dir) => RelationalOps.disjunctiveBrandRevenue(
+          Tables.lineitem(s, dir), Tables.part(s, dir),
+          Seq(("Brand#1", (1, 10), (1.0, 20.0)),
+            ("Brand#2", (11, 20), (10.0, 30.0)),
+            ("Brand#3", (21, 30), (20.0, 40.0))))
+        .orderBy("p_brand"),
+      s"""SELECT p_brand,
+         |${sqlExactSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+         |       AND l_quantity BETWEEN 1 AND 20)
+         |OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20
+         |    AND l_quantity BETWEEN 10 AND 30)
+         |OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 30
+         |    AND l_quantity BETWEEN 20 AND 40)
+         |GROUP BY p_brand ORDER BY p_brand"""
+        .stripMargin.replace("\n", " ")),
+
     // Scalar-function family: date parts / formatting / string build.
     Q("order_date_parts",
       (s, dir) => RelationalOps.orderDateParts(Tables.orders(s, dir))

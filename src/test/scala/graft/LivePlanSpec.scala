@@ -71,6 +71,37 @@ class LivePlanSpec extends AnyFunSuite with SparkTestBase {
       s"expected at most 1 shuffle join (fact⨝fact), got $shuffled of ${bhj + shuffled}:\n$plan")
   }
 
+  test("Q19 disjunctive predicate: derived supersets push to BOTH scans") {
+    val df = SparkEntry.queries("q19_disjunctive_filter")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the exact OR-of-ANDs mixes columns from both sides and cannot be
+    // pushed whole; the scale property is that each side's derived
+    // predicate SUPERSET reaches its parquet scan, so both inputs
+    // prune before the join at any corpus size
+    assert(plan.contains("PushedFilters: [Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
+      s"lineitem quantity-range superset not pushed:\n$plan")
+    assert(plan.contains("PushedFilters: [Or(Or(And(EqualTo(p_brand,Brand#1)"),
+      s"part brand/size superset not pushed:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"Q19 degenerated to a non-equi join:\n$plan")
+  }
+
+  test("Q2 argmin window runs over the aggregate, never raw fact rows") {
+    val df = SparkEntry.queries("q2_min_cost_supplier")(spark, sf)
+    val plan = executedPlan(df)
+    // the per-part winner window must consume the per-(part,supplier)
+    // HashAggregate output (bounded by |parts|×|suppliers|), not the
+    // fact table: a Window directly over the scan would sort all of
+    // lineitem at 100 TB
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0, s"expected a window operator:\n$plan")
+    assert(plan.substring(winIdx).contains("HashAggregate"),
+      s"window input is not the per-supplier aggregate:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"expected broadcast-only joins at fixture scale:\n$plan")
+  }
+
   test("hot aggregation queries stay inside whole-stage codegen") {
     // The queries that dominate bench wall-clock must keep their scan →
     // filter → project → partial-agg pipelines fused. A custom
