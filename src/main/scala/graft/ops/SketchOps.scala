@@ -158,4 +158,43 @@ object SketchOps {
         round(abs(col("est_inter") - col("n_inter")) /
           nullif(col("n_inter").cast("double"), lit(0d)), 6))
   }
+
+  /** CMS counter table (row_i, bucket, c) over a key column — the
+    * join-size building block: d affine hash rows × w buckets, counts
+    * of the key stream (with multiplicity). Same portable md5/affine
+    * family as every graft sketch, so the oracle rebuilds identical
+    * counters. One scan → (d·w)-bounded hash-agg with map-side
+    * partials (each executor collapses its partitions to ≤ d·w rows
+    * before the one shuffle — the sketch merge IS addition). */
+  def cmsKeyCounters(df: DataFrame, key: Column, d: Int, w: Int): DataFrame = {
+    val h = Hashing.h31(key.cast("string"))
+    val rows = array(Hashing.affineCoeffs(d).zipWithIndex.map {
+      case ((a, b), i) =>
+        struct(lit(i).as("row_i"), (Hashing.affine(h, a, b) % w).as("bucket"))
+    }: _*)
+    df.select(explode(rows).as("rb"))
+      .select(col("rb.row_i").as("row_i"), col("rb.bucket").as("bucket"))
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Sketch-based equi-join cardinality estimate (the AMS/CMS inner
+    * product): |A ⋈ B| = Σ_k f_A(k)·f_B(k) estimated as the MIN over
+    * the d hash rows of Σ_bucket cA·cB — each row's inner product
+    * overcounts by the colliding cross terms (E[extra] ≈ nA·nB/w), so
+    * the min is the tightest upper bound the sketch offers. This is
+    * what a cost-based planner consults to choose shuffle vs broadcast
+    * BEFORE running the join: two single-scan sketches + an O(d·w)
+    * merge, no key exchange. All arithmetic is exact integer (counter
+    * products summed as longs), so the estimate is engine-portable
+    * bit-for-bit. */
+  def cmsJoinSizeEst(a: DataFrame, aKey: Column,
+                     b: DataFrame, bKey: Column,
+                     d: Int, w: Int): DataFrame =
+    cmsKeyCounters(a, aKey, d, w).withColumnRenamed("c", "ca")
+      .join(cmsKeyCounters(b, bKey, d, w).withColumnRenamed("c", "cb"),
+        Seq("row_i", "bucket"))
+      .groupBy(col("row_i"))
+      .agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).cast("long").as("est_rows"))
 }

@@ -545,6 +545,48 @@ object AnalyticsQueries {
          |FROM a WHERE rn >= 15 ORDER BY symbol, event_ts, event_id"""
         .stripMargin.replace("\n", " ")),
 
+    // Sketch-based join-cardinality estimation — what a cost-based
+    // planner consults to pick broadcast vs shuffle BEFORE running a
+    // join: per side, one scan builds a d×w CMS of the join key; the
+    // estimate is the min over hash rows of the counter inner product
+    // (AMS), an upper bound whose slack is the colliding cross terms
+    // (E ≈ nA·nB/w per row). Evaluated honestly against the exact join
+    // size for all four fact↔dim pairs of the star schema — rel error
+    // in ppm, exact-integer arithmetic end to end. The measured errors
+    // track the nA·nB/w law: tiny for dim-sized sides, growing for
+    // fact⨝fact — and because the bias grows ∝ nA·nB while truth grows
+    // ∝ n, holding w fixed across a decade DEGRADES the estimate; the
+    // 100 TB rule is w ∝ nA·nB/(ε·|A⋈B|), or hybrid exact-heavy-hitter
+    // + sketch splits (the CMS heavy-hitter family next door).
+    Q("join_size_est",
+      (s, dir) => {
+        def pair(name: String, a: org.apache.spark.sql.DataFrame, ak: String,
+                 b: org.apache.spark.sql.DataFrame, bk: String) =
+          graft.ops.SketchOps
+            .cmsJoinSizeEst(a, col(ak), b, col(bk), JsD, JsW)
+            .crossJoin(a.select(col(ak))
+              .join(b.select(col(bk)), col(ak) === col(bk))
+              .agg(count(lit(1)).as("exact_rows")))
+            .select(lit(name).as("join_pair"), col("exact_rows"),
+              col("est_rows"),
+              (col("est_rows") - col("exact_rows")).as("overcount"),
+              round(((col("est_rows") - col("exact_rows")) * lit(1000000.0))
+                / nullif(col("exact_rows").cast("double"), lit(0d)), 0)
+                .cast("long").as("rel_error_ppm"))
+        Seq(
+          pair("lineitem_orders", Tables.lineitem(s, dir), "l_orderkey",
+            Tables.orders(s, dir), "o_orderkey"),
+          pair("lineitem_part", Tables.lineitem(s, dir), "l_partkey",
+            Tables.part(s, dir), "p_partkey"),
+          pair("lineitem_supplier", Tables.lineitem(s, dir), "l_suppkey",
+            Tables.supplier(s, dir), "s_suppkey"),
+          pair("orders_customer", Tables.orders(s, dir), "o_custkey",
+            Tables.customer(s, dir), "c_custkey"))
+          .reduce(_ unionByName _)
+          .orderBy("join_pair")
+      },
+      joinSizeOracle),
+
     // Deterministic HyperLogLog: per-day distinct users estimated from
     // m=64 registers next to the exact count and relative error — the
     // cardinality sketch evaluated the way minhash_est_error evaluates
@@ -587,6 +629,48 @@ object AnalyticsQueries {
       },
       hllUsersOracle)
   )
+
+  // CMS join-size sketch shape: d hash rows × w buckets (final vals:
+  // interpolated into oracle SQL during object init)
+  private final val JsD = 4
+  private final val JsW = 65536
+
+  /** Oracle for [[join_size_est]] — rebuilds both sides' CMS counters
+    * with the shared affine family and replays the min-of-inner-products
+    * estimate plus the exact join count, per pair. */
+  private lazy val joinSizeOracle: String = {
+    def counters(rel: String, key: String): String = {
+      val h = graft.functions.Hashing.sqlH31(s"CAST($key AS VARCHAR)")
+      val rows = graft.functions.Hashing.affineCoeffs(JsD).zipWithIndex.map {
+        case ((a, b), i) =>
+          s"SELECT $i AS row_i, (${graft.functions.Hashing.sqlAffine(h, a, b)} % $JsW) AS bucket FROM $rel"
+      }.mkString(" UNION ALL ")
+      s"SELECT row_i, bucket, count(*) AS c FROM ($rows) GROUP BY 1, 2"
+    }
+    def pairSql(name: String, aRel: String, aKey: String,
+                bRel: String, bKey: String): String =
+      s"""SELECT '$name' AS join_pair,
+         |(SELECT CAST(count(*) AS BIGINT) FROM $aRel JOIN $bRel
+         |  ON $aKey = $bKey) AS exact_rows,
+         |(SELECT CAST(min(ip) AS BIGINT) FROM (
+         |  SELECT a.row_i, SUM(a.c * b.c) AS ip
+         |  FROM (${counters(aRel, aKey)}) a
+         |  JOIN (${counters(bRel, bKey)}) b
+         |  ON a.row_i = b.row_i AND a.bucket = b.bucket
+         |  GROUP BY a.row_i)) AS est_rows""".stripMargin.replace("\n", " ")
+    val pairs = Seq(
+      pairSql("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      pairSql("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      pairSql("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      pairSql("orders_customer", "orders", "o_custkey", "customer", "c_custkey"))
+      .mkString(" UNION ALL ")
+    s"""SELECT join_pair, exact_rows, est_rows,
+       |CAST(est_rows - exact_rows AS BIGINT) AS overcount,
+       |CAST(round((est_rows - exact_rows) * 1000000.0 /
+       |  nullif(CAST(exact_rows AS DOUBLE), 0), 0) AS BIGINT)
+       |  AS rel_error_ppm
+       |FROM ($pairs) ORDER BY join_pair""".stripMargin.replace("\n", " ")
+  }
 
   /** Shared oracle for the batch and streaming HLL queries — identical
     * output contract, because MAX-merged registers are the batch

@@ -39,6 +39,25 @@ class CmsSpec extends AnyFunSuite with SparkTestBase {
     assert(exact == Map("a" -> 5L, "b" -> 3L, "c" -> 1L, "d" -> 1L))
   }
 
+  test("join-size estimate upper-bounds the exact size; collision-free width is exact") {
+    // A: keys 1,1,1,2,2,3  B: keys 1,2,2,4 → |A ⋈ B| = 3·1 + 2·2 = 7
+    val a = Seq(1L, 1L, 1L, 2L, 2L, 3L).toDF("k")
+    val b = Seq(1L, 2L, 2L, 4L).toDF("k")
+    val exact = 7L
+    // wide sketch: 4 distinct keys in 4096 buckets — no collisions with
+    // the fixed hash family, so the inner product IS the exact size
+    val wide = graft.ops.SketchOps
+      .cmsJoinSizeEst(a, $"k", b, $"k", 4, 4096)
+      .collect()(0).getLong(0)
+    assert(wide == exact, s"collision-free estimate $wide != $exact")
+    // squeezed sketch (w=2): collisions add cross terms — the estimate
+    // must still never undercount
+    val tight = graft.ops.SketchOps
+      .cmsJoinSizeEst(a, $"k", b, $"k", 4, 2)
+      .collect()(0).getLong(0)
+    assert(tight >= exact, s"sketch undercounted: $tight < $exact")
+  }
+
   test("total sketch mass per row equals the stream length") {
     // conservation: every hash row's counters sum to N tokens — the
     // property that makes sketches mergeable across partitions.

@@ -58,6 +58,10 @@ class PlanQualitySpec extends AnyFunSuite {
     "ann_recall_lsh" -> "contains ann_topk_brute (eval baseline)",
     "dedup_embedding_cosine" -> "16-row centroid table, broadcast (cell assignment)",
     "dedup_embedding_recall" -> "16-row centroid table, broadcast (cell assignment)",
+    "classifier_duel" ->
+      "5-row NB class-stats table + 1-row eval-count scalars, broadcast",
+    "join_size_est" ->
+      "1-row sketch-estimate × 1-row exact-count scalars, broadcast (per pair)",
     "funnel_conversion" -> "1-row step-1 count scalar, broadcast",
     "streaming_funnel" -> "1-row step-1 count scalar, broadcast",
     "fuzzy_block_recall" -> ("distinct-name vocabulary all-pairs EVAL " +
