@@ -495,6 +495,7 @@ object Staged {
     SimilarityQueries.prewarm(s, dir)
     TextQueries.prewarm(s, dir)
     RetrievalQueries.prewarm(s, dir)
+    ClassifierQueries.prewarm(s, dir)
     warehouseTables(s, dir)
   }
 
