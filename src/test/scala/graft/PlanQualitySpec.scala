@@ -97,6 +97,12 @@ class PlanQualitySpec extends AnyFunSuite {
     "snippet_retrieval_eval" ->
       "contains all three whitelisted snippet retrievers + 30-row query list",
     "nb_model_stats" -> "1-row n_train + 1-row vocab-size scalars, broadcast",
+    "prf_expansion_terms" ->
+      "1-row BM25 (n_docs, avgdl) stats scalar, broadcast (feedback probe)",
+    "bm25_prf_topk" ->
+      "1-row BM25 stats scalar, broadcast (base + expanded probes)",
+    "prf_retrieval_eval" ->
+      "contains both whitelisted BM25 probes; eval inputs ≤ queries×k rows",
     "bm25_index_append" -> "1-row base/batch doc-count scalars, broadcast",
     "streaming_bm25_append" ->
       "1-row base/batch doc-count scalars, broadcast (delta-log merge)",
