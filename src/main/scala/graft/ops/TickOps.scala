@@ -94,6 +94,46 @@ object TickOps {
       .select(col("w.start").as("bar_start"), col(symbol),
         col("open"), col("high"), col("low"), col("close"), col("n_ticks"))
 
+  /** Partial OHLC bar state: [[ohlcBars]]' aggregate plus the first/last
+    * tick timestamps the MERGE needs to re-derive open/close across
+    * partials — the decomposable-aggregate form of the bar (every field
+    * is min/max/min_by/max_by/sum, all of which merge associatively). */
+  def ohlcPartial(ticks: DataFrame, duration: String,
+                  symbol: String = "symbol", ts: String = "event_ts",
+                  price: String = "price"): DataFrame =
+    ticks.groupBy(window(col(ts), duration).as("w"), col(symbol))
+      .agg(
+        min_by(col(price), col(ts)).as("open"),
+        max(col(price)).as("high"),
+        min(col(price)).as("low"),
+        max_by(col(price), col(ts)).as("close"),
+        count(lit(1)).as("n_ticks"),
+        min(col(ts)).as("ts_first"),
+        max(col(ts)).as("ts_last"))
+      .select(col("w.start").as("bar_start"), col(symbol),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_ticks"), col("ts_first"), col("ts_last"))
+
+  /** Merge partial bar states into final bars: open follows the
+    * earliest partial, close the latest, high/low/n_ticks combine
+    * pointwise. Because every field merges associatively, refreshing a
+    * materialized bar view with a new micro-batch is
+    * merge(MV state, partial(batch)) — per-batch cost is the batch
+    * scan plus a join-sized-by-touched-bars aggregate, NEVER a corpus
+    * rescan; and any partial split (day files, late data, shuffled
+    * batch boundaries) yields the identical final bars, which the
+    * full-recompute oracle proves. */
+  def ohlcMerge(partials: DataFrame, symbol: String = "symbol"): DataFrame =
+    partials.groupBy(col("bar_start"), col(symbol))
+      .agg(
+        min_by(col("open"), col("ts_first")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("ts_last")).as("close"),
+        sum(col("n_ticks")).as("n_ticks"))
+      .select(col("bar_start"), col(symbol),
+        col("open"), col("high"), col("low"), col("close"), col("n_ticks"))
+
   /** Runtime-parameterized bars — the reference's `aggregate_ticks_data`
     * dag_run.conf contract (`:326-347,416-419`): frequency + [from, to)
     * time range + symbol set (the reference accepts `symbols` but never

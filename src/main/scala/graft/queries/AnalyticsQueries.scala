@@ -545,6 +545,49 @@ object AnalyticsQueries {
          |FROM a WHERE rn >= 15 ORDER BY symbol, event_ts, event_id"""
         .stripMargin.replace("\n", " ")),
 
+    // Key-skew diagnostics — the profile a pipeline reads BEFORE
+    // choosing a partitioning strategy (and the measured input to the
+    // salted_agg_events defense): the 10 hottest grouping keys with
+    // their row share (ppm, scale-0 integer rounding — engine-portable)
+    // and a recommended salt factor = ⌈key rows / average key rows⌉ in
+    // exact integer arithmetic. One hash-agg + a per-partition top-k
+    // (TakeOrderedAndProject) + a 1-row totals scalar; nothing grows
+    // with the corpus except the one aggregate every groupBy already
+    // pays. A skewed key shows up here with the exact multiple a salt
+    // needs to flatten it.
+    Q("key_skew_profile",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"))
+        val tot = ev.agg(count(lit(1)).as("total_rows"),
+          countDistinct(col("user_id")).as("n_keys"))
+        ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_rows"))
+          .orderBy(col("n_rows").desc, col("user_id").asc)
+          .limit(10)
+          .crossJoin(broadcast(tot))
+          .select(col("user_id"), col("n_rows").cast("long").as("n_rows"),
+            col("total_rows").cast("long").as("total_rows"),
+            col("n_keys").cast("long").as("n_keys"),
+            round(col("n_rows") * lit(1000000.0) / col("total_rows"), 0)
+              .cast("long").as("share_ppm"),
+            expr("(n_rows * n_keys + total_rows - 1) div total_rows")
+              .cast("long").as("salt_factor"))
+          .orderBy(col("n_rows").desc, col("user_id").asc)
+      },
+      """WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS total_rows,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys FROM events),
+        |top AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM events GROUP BY user_id
+        |  ORDER BY n_rows DESC, user_id ASC LIMIT 10)
+        |SELECT user_id, n_rows, total_rows, n_keys,
+        |CAST(round(n_rows * 1000000.0 / total_rows, 0) AS BIGINT)
+        |  AS share_ppm,
+        |CAST((n_rows * n_keys + total_rows - 1) // total_rows AS BIGINT)
+        |  AS salt_factor
+        |FROM top CROSS JOIN tot
+        |ORDER BY n_rows DESC, user_id ASC"""
+        .stripMargin.replace("\n", " ")),
+
     // Sketch-based join-cardinality estimation — what a cost-based
     // planner consults to pick broadcast vs shuffle BEFORE running a
     // join: per side, one scan builds a d×w CMS of the join key; the

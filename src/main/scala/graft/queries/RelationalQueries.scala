@@ -399,6 +399,91 @@ object RelationalQueries {
          |GROUP BY p_brand ORDER BY p_brand"""
         .stripMargin.replace("\n", " ")),
 
+    // Privacy-compliance profiling (the k-anonymity / l-diversity
+    // audit a pipeline runs before releasing quasi-identified data —
+    // the structured-data sibling of pii_scan): per quasi-identifier
+    // group (nation × market segment) its size, the diversity of the
+    // sensitive attribute (account balance, bucketed to $1000), and
+    // the k≥5 / l≥3 pass flags. One hash-agg over the table; at
+    // 100 TB the QI grouping is the same one shuffle as any groupBy,
+    // and the distinct-count swaps to approx_count_distinct without
+    // changing the audit contract.
+    Q("k_anonymity_profile",
+      (s, dir) => Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("group_size"),
+          countDistinct(floor(col("c_acctbal") / 1000).cast("long"))
+            .as("n_sensitive_values"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          col("group_size").cast("long").as("group_size"),
+          col("n_sensitive_values").cast("long").as("n_sensitive_values"),
+          (col("group_size") >= 5).cast("int").as("k_anonymous"),
+          (col("n_sensitive_values") >= 3).cast("int").as("l_diverse"))
+        .orderBy("c_nationkey", "c_mktsegment"),
+      """SELECT c_nationkey, c_mktsegment,
+        |CAST(count(*) AS BIGINT) AS group_size,
+        |CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+        |  AS BIGINT) AS n_sensitive_values,
+        |CAST(CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END AS INT)
+        |  AS k_anonymous,
+        |CAST(CASE WHEN count(DISTINCT CAST(floor(c_acctbal / 1000)
+        |  AS BIGINT)) >= 3 THEN 1 ELSE 0 END AS INT) AS l_diverse
+        |FROM customer GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment"""
+        .stripMargin.replace("\n", " ")),
+
+    // The k-anonymization OPERATOR itself: per row, the FINEST rung of
+    // the generalization ladder whose group reaches k=5 — level 0
+    // (nation, segment) → 1 (region, segment) → 2 (region) → 3
+    // (suppress). Three bounded group-size aggregates joined back by
+    // their QI keys (each ≤ |QI domain| rows, broadcast); rows never
+    // pairwise-compare. This is how a release pipeline generalizes
+    // exactly as much as the data requires and no more.
+    Q("qi_generalization",
+      (s, dir) => {
+        val k = 5L
+        val cust = Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey"), col("n_regionkey"))),
+            col("c_nationkey") === col("n_nationkey"))
+        val g0 = cust.groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n0"))
+        val g1 = cust.groupBy(col("n_regionkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n1"))
+        val g2 = cust.groupBy(col("n_regionkey"))
+          .agg(count(lit(1)).as("n2"))
+        cust
+          .join(broadcast(g0), Seq("c_nationkey", "c_mktsegment"))
+          .join(broadcast(g1), Seq("n_regionkey", "c_mktsegment"))
+          .join(broadcast(g2), Seq("n_regionkey"))
+          .select(col("c_custkey"), col("c_nationkey"),
+            col("n_regionkey").cast("int").as("n_regionkey"),
+            col("c_mktsegment"),
+            when(col("n0") >= k, 0).when(col("n1") >= k, 1)
+              .when(col("n2") >= k, 2).otherwise(3)
+              .cast("int").as("gen_level"))
+          .orderBy("c_custkey")
+      },
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey, n_regionkey, c_mktsegment
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |g0 AS (SELECT c_nationkey, c_mktsegment, count(*) AS n0
+        |  FROM cust GROUP BY 1, 2),
+        |g1 AS (SELECT n_regionkey, c_mktsegment, count(*) AS n1
+        |  FROM cust GROUP BY 1, 2),
+        |g2 AS (SELECT n_regionkey, count(*) AS n2 FROM cust GROUP BY 1)
+        |SELECT c.c_custkey, c.c_nationkey,
+        |CAST(c.n_regionkey AS INT) AS n_regionkey, c.c_mktsegment,
+        |CAST(CASE WHEN n0 >= 5 THEN 0 WHEN n1 >= 5 THEN 1
+        |  WHEN n2 >= 5 THEN 2 ELSE 3 END AS INT) AS gen_level
+        |FROM cust c
+        |JOIN g0 ON c.c_nationkey = g0.c_nationkey
+        |  AND c.c_mktsegment = g0.c_mktsegment
+        |JOIN g1 ON c.n_regionkey = g1.n_regionkey
+        |  AND c.c_mktsegment = g1.c_mktsegment
+        |JOIN g2 ON c.n_regionkey = g2.n_regionkey
+        |ORDER BY c.c_custkey""".stripMargin.replace("\n", " ")),
+
     // Scalar-function family: date parts / formatting / string build.
     Q("order_date_parts",
       (s, dir) => RelationalOps.orderDateParts(Tables.orders(s, dir))

