@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, BehaviorQueries, CorpusQueries, DedupQueries, ExtraQueries, LinkageQueries, PipelineQueries, ClassifierQueries, RelationalQueries, RetrievalQueries, SimilarityQueries, SourceQueries, TextQueries, TickQueries}
+import graft.queries.{AnalyticsQueries, BehaviorQueries, CorpusQueries, DedupQueries, ExtraQueries, GraphQueries, LinkageQueries, PipelineQueries, ClassifierQueries, RelationalQueries, RetrievalQueries, SimilarityQueries, SourceQueries, TextQueries, TickQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,7 +28,8 @@ object SparkEntry {
     "AnalyticsQueries" -> AnalyticsQueries.all,
     "SourceQueries" -> SourceQueries.all,
     "BehaviorQueries" -> BehaviorQueries.all,
-    "LinkageQueries" -> LinkageQueries.all)
+    "LinkageQueries" -> LinkageQueries.all,
+    "GraphQueries" -> GraphQueries.all)
 
   /** All registered capabilities. */
   def registry: Seq[Q] = families.flatMap(_._2)

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Graph analytics over relationships DERIVED from the event stream —
+  * the co-occurrence-graph + iterative-ranking family (the dedup
+  * connected-components op's directed, weighted sibling).
+  *
+  * Determinism: ranks are re-rounded to 12 dp every iteration, per-edge
+  * contributions are rounded to 12 dp BEFORE the sum, sums run in
+  * DECIMAL(30,12) (exact, order-free), and the damping multiply runs in
+  * decimal space (0.85 × a 12-dp decimal is an exact 14-dp decimal whose
+  * 12-dp round can land on a .5 boundary — double-space rounding there
+  * would diverge between engines; decimal-space HALF_UP cannot). Both
+  * engines therefore iterate the IDENTICAL rational sequence.
+  *
+  * Scale shape: the edge list is (user, symbol)-distinct self-joined on
+  * the user key — sharded by user, never all-pairs across users; the
+  * rank iteration is a constant number of (edges ⋈ ranks → groupBy dst)
+  * rounds, each one equality-join + one bounded aggregate. Driver state
+  * is the loop counter. On a billion-node graph the same plan runs
+  * sharded by node key (this is exactly Pregel-as-joins); here nodes =
+  * symbols, so every intermediate is dimension-sized.
+  */
+object GraphOps {
+
+  /** Weighted co-occurrence edges: (src, dst, w) where w = number of
+    * distinct `actor`s touching BOTH keys, src ≠ dst (both directions
+    * present — the graph is symmetric by construction). The self-join
+    * is keyed on the actor, so work is Σ_actor deg(actor)² — bounded by
+    * the per-actor key breadth, never |keys|². */
+  def coOccurrenceEdges(df: DataFrame, actor: String,
+                        key: String): DataFrame = {
+    val pairs = df.select(col(actor).as("a"), col(key).as("k")).distinct()
+    val left = pairs.select(col("a"), col("k").as("src"))
+    val right = pairs.select(col("a"), col("k").as("dst"))
+    left.join(right, Seq("a"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Bipartite interaction edges: "u:<actor>" ↔ "k:<key>" with
+    * w = interaction count, both directions (symmetric). One hash-agg
+    * over the stream; edge count = |distinct (actor, key)| · 2. */
+  def bipartiteEdges(df: DataFrame, actor: String, key: String): DataFrame = {
+    val base = df
+      .select(concat(lit("u:"), col(actor).cast("string")).as("src"),
+        concat(lit("k:"), col(key).cast("string")).as("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+    base.unionByName(
+      base.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+  }
+
+  /** Weighted PageRank over an (src, dst, w) edge list, fixed
+    * `iters` iterations, damping d = 0.85. Nodes are the edge
+    * endpoints (a symmetric edge list has no dangling nodes — every
+    * node with out-edges has in-edges). Returns (node, rank) with
+    * ranks on the deterministic 12-dp grid. */
+  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val e = edges.join(outw, Seq("src"))
+      .select(col("src"), col("dst"), col("w"), col("outw"))
+      .cache()
+    val nodes = e.select(col("src").as("node")).distinct()
+    val n = nodes.count().toDouble
+    // both the init and teleport constants are computed by the SAME
+    // round-a-double-to-12dp primitive the oracle uses, not a driver
+    // BigDecimal with different rounding provenance
+    val init = round(lit(1.0) / lit(n), 12)
+    val teleport = round(lit(0.15) / lit(n), 12).cast(DecimalType(30, 12))
+    val dDec = lit(new java.math.BigDecimal("0.85"))
+    var r = nodes.select(col("node"), init.cast("double").as("rank"))
+    (1 to iters).foreach { _ =>
+      val s = e.join(r, e("src") === r("node"))
+        .select(col("dst"),
+          round(col("rank") * col("w") / col("outw"), 12).as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c").cast(DecimalType(30, 12))).as("s"))
+      // the sum narrows to DECIMAL(20,12) before the damping multiply:
+      // at Spark's default widths 0.85 × a 38-precision decimal would
+      // overflow 38 and silently REDUCE scale (to 11), diverging from
+      // the oracle's exact 14-dp product; 20+2+1 = 23 never adjusts
+      r = s.select(col("dst").as("node"),
+        round(teleport +
+          round(dDec * col("s").cast(DecimalType(20, 12)), 12), 12)
+          .cast("double").as("rank"))
+    }
+    r
+  }
+}

@@ -545,6 +545,44 @@ object AnalyticsQueries {
          |FROM a WHERE rn >= 15 ORDER BY symbol, event_ts, event_id"""
         .stripMargin.replace("\n", " ")),
 
+    // First-order Markov transition matrix over per-user event
+    // sequences: P(next event type | current), counts + ppm
+    // probabilities (scale-0 integer rounding — engine-portable). One
+    // lag window partitioned by user (shuffles once on the user key,
+    // per-user sequences sort locally) + one grouped count + a
+    // |types|²-bounded probability window — the behavioral model
+    // behind next-action prediction and anomaly scoring (a transition
+    // that suddenly leaves the matrix's support is the anomaly).
+    Q("event_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val pw = Window.partitionBy(col("cur_type"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("cur_type"))
+          .withColumn("next_type", lead(col("cur_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("cur_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p_ppm",
+            round(col("n") * lit(1000000.0) / sum(col("n")).over(pw), 0)
+              .cast("long"))
+          .orderBy("cur_type", "next_type")
+      },
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS cur_type,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |t AS (SELECT cur_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT cur_type, next_type, n,
+        |CAST(round(n * 1000000.0 /
+        |  SUM(n) OVER (PARTITION BY cur_type), 0) AS BIGINT) AS p_ppm
+        |FROM t ORDER BY cur_type, next_type"""
+        .stripMargin.replace("\n", " ")),
+
     // Key-skew diagnostics — the profile a pipeline reads BEFORE
     // choosing a partitioning strategy (and the measured input to the
     // salted_agg_events defense): the 10 hottest grouping keys with

@@ -496,6 +496,7 @@ object Staged {
     TextQueries.prewarm(s, dir)
     RetrievalQueries.prewarm(s, dir)
     ClassifierQueries.prewarm(s, dir)
+    GraphQueries.prewarm(s, dir)
     warehouseTables(s, dir)
   }
 

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.GraphOps
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PageRank invariants on a known graph: probability-mass conservation
+  * (Σ ranks ≈ 1 — teleport + damped redistribution is stochastic),
+  * order correctness on an asymmetric-degree graph, and the edge
+  * builders' symmetry contracts.
+  */
+class GraphSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private val events = Seq(
+    (1L, "hub"), (1L, "a"), (1L, "b"), (1L, "c"),
+    (2L, "hub"), (2L, "a"),
+    (3L, "hub"), (3L, "b"),
+    (4L, "hub")
+  ).toDF("trader_id", "symbol")
+
+  test("bipartite edges are symmetric with conserved weight") {
+    val e = GraphOps.bipartiteEdges(events, "trader_id", "symbol").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(e.length % 2 == 0)
+    e.foreach { case (s, d, w) =>
+      assert(e.contains((d, s, w)), s"missing reverse edge for ($s,$d)")
+    }
+    assert(e.map(_._3).sum == 2 * events.count())
+  }
+
+  test("pagerank conserves probability mass and ranks the hub first") {
+    val r = GraphOps.pagerank(
+      GraphOps.bipartiteEdges(events, "trader_id", "symbol"), 10)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val mass = r.values.sum
+    // per-node 12-dp rounding drifts mass by at most nodes × 5e-13
+    assert(math.abs(mass - 1.0) < 1e-9, s"mass $mass")
+    // 'hub' is touched by all four users — it must outrank every
+    // other symbol (u:1 touches 4 symbols and ties hub exactly by
+    // symmetry, so users are compared with ≥)
+    val hub = r("k:hub")
+    r.filter(k => k._1.startsWith("k:") && k._1 != "k:hub").foreach {
+      case (n, v) => assert(hub > v, s"hub ($hub) should outrank $n ($v)")
+    }
+    r.filter(_._1.startsWith("u:")).foreach { case (n, v) =>
+      assert(hub >= v, s"hub ($hub) should not be below $n ($v)")
+    }
+  }
+
+  test("co-occurrence edges exclude self-pairs and count shared actors") {
+    val e = GraphOps.coOccurrenceEdges(events, "trader_id", "symbol")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(!e.keys.exists(k => k._1 == k._2))
+    // hub co-occurs with 'a' for users 1 and 2
+    assert(e(("hub", "a")) == 2L)
+    assert(e(("a", "hub")) == 2L)
+    // a and c share only user 1
+    assert(e(("a", "c")) == 1L)
+  }
+}
