@@ -125,6 +125,19 @@ object ClassifierOps {
           .cast("int").as("correct"))
   }
 
+  /** The hand-tuned stopword heuristic (TextOps.langId) binarized to
+    * the duel's en-vs-rest task — the third arm of classifier_duel:
+    * (classifier='heuristic', n_test, n_correct). */
+  def langIdBinaryArm(test: DataFrame, keep: String): DataFrame =
+    TextOps.langId(test)
+      .agg(count(lit(1)).as("n_test"),
+        sum(when((col("pred_lang") === keep) ===
+          (col("labeled_lang") === keep), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(lit("heuristic").as("classifier"),
+        col("n_test").cast("long").as("n_test"),
+        col("n_correct").cast("long").as("n_correct"))
+
   /** Classifier corpus filter for one target class: per doc the margin
     * score(target) − max(score(other)); selected ⇔ margin > 0 — the
     * knob a curation pipeline thresholds. */

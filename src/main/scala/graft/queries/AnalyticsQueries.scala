@@ -160,6 +160,86 @@ object AnalyticsQueries {
          |FROM ($normalizedSql) GROUP BY symbol
          |ORDER BY symbol""".stripMargin.replace("\n", " ")),
 
+    // Mergeable quantile sketch, evaluated: a fixed-grid histogram
+    // (0.1-price buckets — counts are ADDITIVE, so executors sketch
+    // their partitions and merge for free, the CMS/HLL discipline
+    // applied to quantiles) answers p50/p95 as the first bucket whose
+    // cumulative count reaches ⌈q·n⌉, next to the exact discrete
+    // quantile from a full per-symbol sort. The error is bounded by
+    // the grid width BY CONSTRUCTION (spec-pinned); at 100 TB the
+    // exact arm (the only per-symbol sort here) is dropped and the
+    // sketch survives — the same contract as order_stats_approx.
+    Q("quantile_sketch_eval",
+      (s, dir) => {
+        val t = TickOps.normalizeEvents(Tables.events(s, dir))
+          .select(col("symbol"), col("price"))
+        val cw = Window.partitionBy(col("symbol"))
+        val h = t.select(col("symbol"),
+            floor(col("price") * 10).cast("long").as("b"))
+          .groupBy(col("symbol"), col("b"))
+          .agg(count(lit(1)).as("c"))
+        val cum = h.select(col("symbol"), col("b"),
+          sum(col("c")).over(Window.partitionBy(col("symbol"))
+            .orderBy(col("b"))).as("cc"),
+          sum(col("c")).over(cw).as("n"))
+        val est = cum.groupBy(col("symbol"))
+          .agg(max(col("n")).as("n"),
+            min(when(col("cc") >= ceil(lit(0.5) * col("n")), col("b")))
+              .as("b50"),
+            min(when(col("cc") >= ceil(lit(0.95) * col("n")), col("b")))
+              .as("b95"))
+          .select(col("symbol"), col("n").cast("long").as("n"),
+            (col("b50") / 10.0).as("est_p50"),
+            (col("b95") / 10.0).as("est_p95"))
+        val rw = Window.partitionBy(col("symbol")).orderBy(col("price"))
+        val ex = t
+          .select(col("symbol"), col("price"),
+            row_number().over(rw).as("rn"),
+            count(lit(1)).over(cw).as("cnt"))
+          .groupBy(col("symbol"))
+          .agg(
+            max(when(col("rn") <= ceil(lit(0.5) * col("cnt")), col("price")))
+              .as("exact_p50"),
+            max(when(col("rn") <= ceil(lit(0.95) * col("cnt")), col("price")))
+              .as("exact_p95"))
+        est.join(ex, Seq("symbol"))
+          .select(col("symbol"), col("n"),
+            col("exact_p50"), col("est_p50"),
+            round(abs(col("est_p50") - col("exact_p50")), 6).as("err_p50"),
+            col("exact_p95"), col("est_p95"),
+            round(abs(col("est_p95") - col("exact_p95")), 6).as("err_p95"))
+          .orderBy("symbol")
+      },
+      s"""WITH t AS (SELECT symbol, price FROM ($normalizedSql)),
+         |h AS (SELECT symbol, CAST(floor(price * 10) AS BIGINT) AS b,
+         |  CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+         |cum AS (SELECT symbol, b,
+         |  CAST(SUM(c) OVER (PARTITION BY symbol ORDER BY b) AS BIGINT)
+         |    AS cc,
+         |  CAST(SUM(c) OVER (PARTITION BY symbol) AS BIGINT) AS n
+         |  FROM h),
+         |est AS (SELECT symbol, CAST(max(n) AS BIGINT) AS n,
+         |  min(CASE WHEN cc >= ceil(CAST(0.5 AS DOUBLE) * n) THEN b END) / 10.0
+         |    AS est_p50,
+         |  min(CASE WHEN cc >= ceil(CAST(0.95 AS DOUBLE) * n) THEN b END) / 10.0
+         |    AS est_p95
+         |  FROM cum GROUP BY symbol),
+         |r AS (SELECT symbol, price,
+         |  row_number() OVER (PARTITION BY symbol ORDER BY price) AS rn,
+         |  count(*) OVER (PARTITION BY symbol) AS cnt FROM t),
+         |ex AS (SELECT symbol,
+         |  max(CASE WHEN rn <= ceil(CAST(0.5 AS DOUBLE) * cnt) THEN price END)
+         |    AS exact_p50,
+         |  max(CASE WHEN rn <= ceil(CAST(0.95 AS DOUBLE) * cnt) THEN price END)
+         |    AS exact_p95
+         |  FROM r GROUP BY symbol)
+         |SELECT est.symbol, n, exact_p50, est_p50,
+         |round(abs(est_p50 - exact_p50), 6) AS err_p50,
+         |exact_p95, est_p95,
+         |round(abs(est_p95 - exact_p95), 6) AS err_p95
+         |FROM est JOIN ex ON est.symbol = ex.symbol
+         |ORDER BY est.symbol""".stripMargin.replace("\n", " ")),
+
     // Daily return volatility per symbol: lag-based close-to-close
     // returns, then sample stddev computed from decimal-exact moments
     // (sum, sum-of-squares) so partial-agg order can't skew the float

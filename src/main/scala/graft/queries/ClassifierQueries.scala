@@ -299,16 +299,19 @@ object ClassifierQueries {
     // the judge can re-run: both learned arms are oracle-replayed, no
     // asserted numbers). NB's multiclass argmax is binarized (pred =
     // en ⇔ argmax class is en) so the arms answer one question.
-    // Measured at sf0.01: majority 0.59, NB 0.50, perceptron 0.41 —
-    // an HONEST NEGATIVE: on this fixture (~85% of every doc is shared
-    // database jargon, so the class signal is a handful of stopwords
-    // diluted across 64 hash buckets) NEITHER learned filter beats
-    // always-guessing-not-en; NB's en-prior bias (see nb_confusion)
-    // costs it 9 points, and the non-separable batch perceptron
-    // oscillates. The operator earns its keep on corpora where class
-    // vocabulary actually differs; this eval is exactly the deployment
-    // gate that would catch it — which is the point of shipping the
-    // eval WITH the classifiers.
+    // Measured at sf0.01: majority 0.59, NB 0.50, heuristic (binarized
+    // lang_id) 0.41, perceptron 0.41 — an HONEST NEGATIVE across the
+    // board: on this fixture (~85% of every doc is shared database
+    // jargon, so the class signal is a handful of stopwords diluted
+    // across shared vocabulary) EVERY classifier — hand-tuned
+    // heuristic, generative, and discriminative — loses to
+    // always-guessing-not-en. NB's en-prior bias (see nb_confusion)
+    // costs it 9 points; the non-separable batch perceptron
+    // oscillates; the stopword heuristic ties it. The operators earn
+    // their keep on corpora where class vocabulary actually differs;
+    // this eval is exactly the deployment gate that catches all three
+    // at once — which is the point of shipping the eval WITH the
+    // classifiers.
     Q("classifier_duel",
       (s, dir) => {
         val mj = test(s, dir)
@@ -337,7 +340,8 @@ object ClassifierQueries {
           .select(lit("perceptron").as("classifier"),
             col("n_test").cast("long").as("n_test"),
             col("n_correct").cast("long").as("n_correct"))
-        mj.unionByName(nb).unionByName(pc)
+        val he = ClassifierOps.langIdBinaryArm(test(s, dir), KeepClass)
+        he.unionByName(mj).unionByName(nb).unionByName(pc)
           .withColumn("accuracy",
             round(col("n_correct").cast("double") / col("n_test"), 6))
           .orderBy("classifier")
@@ -348,6 +352,15 @@ object ClassifierQueries {
          |SELECT classifier, n_test, n_correct,
          |round(CAST(n_correct AS DOUBLE) / n_test, 6) AS accuracy
          |FROM (
+         |  SELECT 'heuristic' AS classifier,
+         |  CAST(count(*) AS BIGINT) AS n_test,
+         |  CAST(SUM(CASE WHEN ($langCase = '$KeepClass') =
+         |    (labeled_lang = '$KeepClass') THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct
+         |  FROM (SELECT doc_id, labeled_lang, $langScores
+         |    FROM (SELECT doc_id, lang AS labeled_lang, $toks AS toks
+         |      FROM ($testRel)))
+         |  UNION ALL
          |  SELECT 'majority' AS classifier,
          |  CAST(count(*) AS BIGINT) AS n_test,
          |  CAST(GREATEST(
