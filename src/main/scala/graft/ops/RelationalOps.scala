@@ -309,6 +309,28 @@ object RelationalOps {
         col(factKey) === col(dimKey), "left_semi")
   }
 
+  /** Snapshot diff (the table-versioning audit: what changed between
+    * two versions of a keyed table): one full-outer join on the key,
+    * row payloads compared as null-safe structs, reduced to per-type
+    * counts. One shuffle on the key at any scale (or zero with
+    * bucketed/co-partitioned snapshots); the payload comparison is a
+    * narrow codegen'd struct equality, no per-column join conditions. */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, key: String): DataFrame = {
+    val payload = v1.columns.filter(_ != key)
+    val a = v1.select(col(key).as("k1"),
+      struct(payload.map(col): _*).as("r1"))
+    val b = v2.select(col(key).as("k2"),
+      struct(payload.map(col): _*).as("r2"))
+    a.join(b, col("k1") === col("k2"), "full_outer")
+      .select(
+        when(col("k1").isNull, "added")
+          .when(col("k2").isNull, "removed")
+          .when(!(col("r1") <=> col("r2")), "changed")
+          .otherwise("unchanged").as("change_type"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   /** TPC-H Q2 shape (min-cost supplier), adapted to the fixture's star
     * schema (no partsupp table — the lineitem fact is the part↔supplier
     * price evidence): for each filtered part, the supplier with the

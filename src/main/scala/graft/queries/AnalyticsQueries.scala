@@ -725,9 +725,14 @@ object AnalyticsQueries {
                  b: org.apache.spark.sql.DataFrame, bk: String) =
           graft.ops.SketchOps
             .cmsJoinSizeEst(a, col(ak), b, col(bk), JsD, JsW)
-            .crossJoin(a.select(col(ak))
-              .join(b.select(col(bk)), col(ak) === col(bk))
-              .agg(count(lit(1)).as("exact_rows")))
+            // the exact join size is the EVAL BASELINE (dropped at
+            // production scale) — staged per (session, dir) so bench
+            // reps time the sketch, which is the operator under test
+            .crossJoin(Staged.retrieval(s, dir, s"join_exact_$name") {
+              a.select(col(ak))
+                .join(b.select(col(bk)), col(ak) === col(bk))
+                .agg(count(lit(1)).as("exact_rows"))
+            })
             .select(lit(name).as("join_pair"), col("exact_rows"),
               col("est_rows"),
               (col("est_rows") - col("exact_rows")).as("overcount"),

@@ -399,6 +399,56 @@ object RelationalQueries {
          |GROUP BY p_brand ORDER BY p_brand"""
         .stripMargin.replace("\n", " ")),
 
+    // Snapshot diff — the table-versioning audit (Delta/Iceberg
+    // time-travel's "what changed" query as an explicit operator):
+    // v2 is derived from orders by a deterministic mutation script
+    // (drop keys ≡0 mod 101, bump totalprice on keys ≡0 mod 97, insert
+    // shifted copies of keys ≡0 mod 103), and the diff is one
+    // full-outer join on the key with null-safe struct payload
+    // comparison, reduced to per-change-type counts. Both engines
+    // derive v2 AND diff it independently — the hash match proves the
+    // whole versioning round trip.
+    Q("table_diff",
+      (s, dir) => {
+        val v1 = Tables.orders(s, dir)
+        val changed = v1.filter(col("o_orderkey") % 101 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 97 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")))
+        val added = v1.filter(col("o_orderkey") % 103 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+        RelationalOps.snapshotDiff(
+            v1, changed.unionByName(added), "o_orderkey")
+          .select(col("change_type"),
+            col("n_rows").cast("long").as("n_rows"))
+          .orderBy("change_type")
+      },
+      """WITH v2 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+        |    ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 101 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus,
+        |  o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 103 = 0)
+        |SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows FROM (
+        |  SELECT CASE
+        |  WHEN v1.o_orderkey IS NULL THEN 'added'
+        |  WHEN v2.o_orderkey IS NULL THEN 'removed'
+        |  WHEN NOT (v1.o_custkey IS NOT DISTINCT FROM v2.o_custkey
+        |    AND v1.o_orderstatus IS NOT DISTINCT FROM v2.o_orderstatus
+        |    AND v1.o_totalprice IS NOT DISTINCT FROM v2.o_totalprice
+        |    AND v1.o_orderdate IS NOT DISTINCT FROM v2.o_orderdate
+        |    AND v1.o_orderpriority IS NOT DISTINCT FROM v2.o_orderpriority)
+        |    THEN 'changed'
+        |  ELSE 'unchanged' END AS change_type
+        |  FROM orders v1 FULL OUTER JOIN v2
+        |  ON v1.o_orderkey = v2.o_orderkey)
+        |GROUP BY change_type ORDER BY change_type"""
+        .stripMargin.replace("\n", " ")),
+
     // Privacy-compliance profiling (the k-anonymity / l-diversity
     // audit a pipeline runs before releasing quasi-identified data —
     // the structured-data sibling of pii_scan): per quasi-identifier
