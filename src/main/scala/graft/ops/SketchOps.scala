@@ -196,5 +196,7 @@ object SketchOps {
         Seq("row_i", "bucket"))
       .groupBy(col("row_i"))
       .agg(sum(col("ca") * col("cb")).as("ip"))
-      .agg(min(col("ip")).cast("long").as("est_rows"))
+      // sides sharing NO (row, bucket) cells produce zero ip rows —
+      // the inner product is 0 per row, so the estimate is 0, not null
+      .agg(coalesce(min(col("ip")), lit(0L)).cast("long").as("est_rows"))
 }

@@ -818,7 +818,7 @@ object AnalyticsQueries {
       s"""SELECT '$name' AS join_pair,
          |(SELECT CAST(count(*) AS BIGINT) FROM $aRel JOIN $bRel
          |  ON $aKey = $bKey) AS exact_rows,
-         |(SELECT CAST(min(ip) AS BIGINT) FROM (
+         |(SELECT CAST(coalesce(min(ip), 0) AS BIGINT) FROM (
          |  SELECT a.row_i, SUM(a.c * b.c) AS ip
          |  FROM (${counters(aRel, aKey)}) a
          |  JOIN (${counters(bRel, bKey)}) b
