@@ -195,8 +195,13 @@ object SimilarityOps {
                   nCells: Int, nprobe: Int): DataFrame =
     ivfTopKNormWith(corpus, ivfCentroidsNorm(corpus, nCells), queryIds, k, nprobe)
 
-  def ivfTopKNormWith(corpus: DataFrame, centroids: DataFrame,
-                      queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+  /** The IVF probe's CANDIDATE set before the top-k cut:
+    * (query_id, neighbor_id, cosine_sim) for every corpus vector in a
+    * probed cell. Exposed separately so the nprobe tuning curve can
+    * report scan cost (candidate count) next to recall — the two axes
+    * a deployment trades off when sizing nprobe. */
+  def ivfCandidatesNormWith(corpus: DataFrame, centroids: DataFrame,
+                            queryIds: Seq[Long], nprobe: Int): DataFrame = {
     val assigned = assignTo(corpus, centroids).join(corpus, Seq("vec_id"))
     val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("n_emb").as("q_emb"))
@@ -208,12 +213,17 @@ object SimilarityOps {
       .withColumn("probe_rank", row_number().over(probeW))
       .filter(col("probe_rank") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("centroid_id").as("cell"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
     probed.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         dotCosine(col("q_emb"), col("n_emb")).as("cosine_sim"))
+  }
+
+  def ivfTopKNormWith(corpus: DataFrame, centroids: DataFrame,
+                      queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    ivfCandidatesNormWith(corpus, centroids, queryIds, nprobe)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

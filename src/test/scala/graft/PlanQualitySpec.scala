@@ -46,6 +46,8 @@ class PlanQualitySpec extends AnyFunSuite {
     "ann_topk_lsh" -> "10-row query set, broadcast",
     "ann_topk_quantized" -> "10-row query set, broadcast",
     "ann_recall_ivf" -> "contains ann_topk_brute (eval baseline) + centroids",
+    "ann_nprobe_curve" ->
+      "contains ann_topk_brute (eval baseline) + 16-row centroid broadcast per arm + 1-row arm scalars",
     "ann_topk_pq" -> "10-row per-query ADC lookup table, broadcast",
     "ann_topk_pq_rerank" ->
       "10-row per-query ADC lookup table + 10-row query set, broadcast",
