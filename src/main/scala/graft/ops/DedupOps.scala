@@ -516,12 +516,19 @@ object DedupOps {
     * `tokenCounts` carries (doc_id, n_tokens). Work is bounded by the
     * span table (already pair-capped), one per-doc window + hash-agg. */
   def substringCoverage(spans: DataFrame, tokenCounts: DataFrame): DataFrame = {
+    // DISTINCT the intervals: identical (st, en) rows are union-no-ops,
+    // and removing them leaves the (st, en) window order TIE-FREE — a
+    // duplicated interval otherwise creates peer rows whose ROWS-frame
+    // running max is order-sensitive (and DuckDB 1.0's parallel window
+    // evaluation was observed to nondeterministically split such peers
+    // into separate regions — the oracle carries the same DISTINCT)
     val iv = spans.select(col("doc_a").as("doc_id"),
         col("a_start").cast("long").as("st"),
         (col("a_start") + col("span_len") - 1).as("en"))
       .unionByName(spans.select(col("doc_b").as("doc_id"),
         col("b_start").cast("long").as("st"),
         (col("b_start") + col("span_len") - 1).as("en")))
+      .distinct()
     val byStart = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("st").asc, col("en").asc)
     val merged = iv

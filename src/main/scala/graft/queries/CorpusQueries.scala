@@ -98,6 +98,70 @@ object CorpusQueries {
          |FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
          |ORDER BY s.doc_id""".stripMargin.replace("\n", " ")),
 
+    // The curation FUNNEL — the whole training-data pipeline composed
+    // end to end, reported as per-stage survivor counts: raw corpus →
+    // quality gate (score ≥ 0.5, ≥ 20 tokens) → near-dup removal
+    // (cluster representatives survive) → benchmark decontamination
+    // (eval docs and every doc sharing a 3-gram with them dropped).
+    // Every stage reuses the session-staged artifact its standalone
+    // query uses (shingle index, dup clusters), so the funnel proves
+    // the operators COMPOSE — one oracle statement replays all four
+    // stages and the counts must match stage by stage. At 100 TB each
+    // stage is the same bounded machinery as its standalone query; the
+    // funnel adds only four 1-row aggregates.
+    Q("curation_funnel",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val quality = graft.ops.TextOps.qualityScore(docs)
+        val clusters = Staged.dupClusters(s, dir, 3, 0.5)
+        val s1 = quality
+          .filter(col("quality_score") >= 0.5 && col("n_tokens") >= 20)
+          .select(col("doc_id"))
+        val s2 = s1.join(clusters, Seq("doc_id"), "left")
+          .filter(col("cluster_id").isNull ||
+            col("cluster_id") === col("doc_id"))
+          .select(col("doc_id"))
+        val (ds, sizes) = Staged.shingleIndex(s, dir, 3)
+        val clean = graft.ops.CorpusOps
+          .decontaminate(ds, sizes, col("doc_id") % 50 === 0)
+          .filter(col("n_hits") === 0)
+          .select(col("doc_id"))
+        val s3 = s2.filter(col("doc_id") % 50 =!= 0)
+          .join(clean, Seq("doc_id"), "left_semi")
+        def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_docs"))
+            .select(lit(name).as("stage"),
+              col("n_docs").cast("long").as("n_docs"))
+        stage("a0_raw", docs)
+          .unionByName(stage("a1_quality", s1))
+          .unionByName(stage("a2_dedup", s2))
+          .unionByName(stage("a3_decontaminated", s3))
+          .orderBy("stage")
+      },
+      s"""${dupClustersWith(3, 0.5)},
+         |qs AS ($qualityScoreSql),
+         |s1 AS (SELECT doc_id FROM qs
+         |  WHERE quality_score >= 0.5 AND n_tokens >= 20),
+         |s2 AS (SELECT s1.doc_id FROM s1
+         |  LEFT JOIN clusters c ON s1.doc_id = c.doc_id
+         |  WHERE c.cluster_id IS NULL OR c.cluster_id = s1.doc_id),
+         |fdsh AS (${docShingleHashes(3)}),
+         |fbench AS (SELECT DISTINCT sh_h FROM fdsh WHERE doc_id % 50 = 0),
+         |fhits AS (SELECT a.doc_id FROM fdsh a
+         |  JOIN fbench b ON a.sh_h = b.sh_h
+         |  WHERE a.doc_id % 50 <> 0 GROUP BY 1),
+         |s3 AS (SELECT s2.doc_id FROM s2
+         |  WHERE s2.doc_id % 50 <> 0
+         |  AND s2.doc_id NOT IN (SELECT doc_id FROM fhits))
+         |SELECT stage, n_docs FROM (
+         |  SELECT 'a0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents
+         |  UNION ALL SELECT 'a1_quality', CAST(count(*) AS BIGINT) FROM s1
+         |  UNION ALL SELECT 'a2_dedup', CAST(count(*) AS BIGINT) FROM s2
+         |  UNION ALL SELECT 'a3_decontaminated', CAST(count(*) AS BIGINT)
+         |  FROM s3)
+         |ORDER BY stage""".stripMargin.replace("\n", " ")),
+
     // Concat-and-chunk: documents are concatenated per (lang, source)
     // shard in doc_id order and cut into fixed token-length chunks — the
     // sequence-packing step that turns a corpus into training examples.

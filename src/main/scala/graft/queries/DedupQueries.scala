@@ -377,11 +377,12 @@ object DedupQueries {
         .orderBy("doc_id"),
       s"""$spansWith,
          |iv AS (
+         |  SELECT DISTINCT doc_id, st, en FROM (
          |  SELECT doc_a AS doc_id, CAST(a_start AS BIGINT) AS st,
          |    a_start + span_len - 1 AS en FROM spans
          |  UNION ALL
          |  SELECT doc_b AS doc_id, CAST(b_start AS BIGINT) AS st,
-         |    b_start + span_len - 1 AS en FROM spans),
+         |    b_start + span_len - 1 AS en FROM spans)),
          |o AS (SELECT doc_id, st, en,
          |  max(en) OVER (PARTITION BY doc_id ORDER BY st, en
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
