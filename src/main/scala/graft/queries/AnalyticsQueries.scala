@@ -771,6 +771,67 @@ object AnalyticsQueries {
         .orderBy("trade_date"),
       hllUsersOracle),
 
+    // HLL set ALGEBRA: the month's global distinct-user count answered
+    // by MAX-merging the per-day register tables — no global distinct
+    // ever runs (that's the point: daily sketches are the persisted
+    // artifact, and any rollup — week, month, ad-hoc day set — is a
+    // 64-row MAX-merge, associativity spec-pinned in HllSpec/
+    // HllUnionSpec). sum_daily_exact rides along as the wrong-answer
+    // baseline (Σ daily distincts double-counts returning users —
+    // exactly the error the mergeable sketch exists to avoid), the
+    // exact global count as the eval baseline.
+    Q("hll_union_days",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(to_date(col("ts")).as("d"), col("user_id"))
+        val merged = graft.ops.SketchOps
+          .hllRegisters(ev, col("d"), col("user_id"), 64)
+          .groupBy(col("bucket"))
+          .agg(max(col("r")).cast("int").as("r"))
+          .select(lit("all").as("grp"), col("bucket"), col("r"))
+        val exact = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+          .select(lit("all").as("grp"),
+            col("n_exact").cast("long").as("n_exact"))
+        val days = ev
+          .agg(countDistinct(col("d")).cast("long").as("n_days"))
+        val sumDaily = ev.groupBy(col("d"))
+          .agg(countDistinct(col("user_id")).as("n"))
+          .agg(sum(col("n")).cast("long").as("sum_daily_exact"))
+        graft.ops.SketchOps.hllEstimate(merged, exact, 64, 0.709)
+          .crossJoin(broadcast(days))
+          .crossJoin(broadcast(sumDaily))
+          .select(col("n_days"), col("sum_daily_exact"), col("n_exact"),
+            col("hll_raw"), col("hll_est"), col("rel_err"))
+      },
+      s"""WITH h AS (SELECT CAST(ts AS DATE) AS d, user_id,
+         |  ${graft.functions.Hashing.sqlMd5Long(
+              "CAST(user_id AS VARCHAR)")} AS hv FROM events),
+         |hb AS (SELECT d, hv % 64 AS bucket, hv // 64 AS rem, user_id
+         |  FROM h),
+         |rho AS (SELECT bucket,
+         |  MAX(CASE WHEN rem = 0 THEN 55 ELSE 55 - length(bin(rem)) END)
+         |    AS r
+         |  FROM hb GROUP BY bucket),
+         |reg AS (SELECT b.range AS bucket, coalesce(r.r, 0) AS r
+         |  FROM range(0, 64) b LEFT JOIN rho r ON b.range = r.bucket),
+         |zs AS (SELECT SUM(CAST(1 AS BIGINT) << (55 - r)) AS zsum,
+         |  SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS v FROM reg),
+         |e AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+         |  CAST(count(DISTINCT d) AS BIGINT) AS n_days FROM hb),
+         |sd AS (SELECT CAST(SUM(n) AS BIGINT) AS sum_daily_exact FROM
+         |  (SELECT d, count(DISTINCT user_id) AS n FROM hb GROUP BY d)),
+         |j AS (SELECT e.n_days, sd.sum_daily_exact, e.n_exact,
+         |  0.709 * 64 * 64 * (2.0 ** 55) / zsum AS raw, v
+         |  FROM zs CROSS JOIN e CROSS JOIN sd)
+         |SELECT n_days, sum_daily_exact, n_exact,
+         |round(raw, 6) AS hll_raw,
+         |round(CASE WHEN raw <= 2.5 * 64 AND v > 0
+         |  THEN 64.0 * ln(64.0 / v) ELSE raw END, 6) AS hll_est,
+         |round(abs(round(CASE WHEN raw <= 2.5 * 64 AND v > 0
+         |  THEN 64.0 * ln(64.0 / v) ELSE raw END, 6) - n_exact)
+         |  / CAST(n_exact AS DOUBLE), 6) AS rel_err
+         |FROM j""".stripMargin.replace("\n", " ")),
+
     // Streaming twin of distinct_users_hll: each micro-batch appends
     // its own per-(day, bucket) register maxima to a register log;
     // read-back MAX-merges the log. MAX is associative + commutative +

@@ -33,6 +33,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "10-row query set (with labels), broadcast — label-mismatch mining",
     "distinct_users_hll" ->
       "64-row register-id table, broadcast (group × bucket expansion)",
+    "hll_union_days" ->
+      "64-row register table + 1-row day/sum scalars, broadcast",
     "users_kmv_overlap" ->
       "1-row aggregate cross joins over ≤32-row sketch samples",
     "streaming_hll_users" ->
