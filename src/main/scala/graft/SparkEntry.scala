@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, BehaviorQueries, CorpusQueries, DedupQueries, ExtraQueries, GraphQueries, LinkageQueries, PipelineQueries, ClassifierQueries, RelationalQueries, RetrievalQueries, SimilarityQueries, SourceQueries, TextQueries, TickQueries}
+import graft.queries.{AnalyticsQueries, BehaviorQueries, CorpusQueries, DedupQueries, ExtraQueries, GraphQueries, LinkageQueries, PipelineQueries, ClassifierQueries, RelationalQueries, RetrievalQueries, SimilarityQueries, SourceQueries, TextQueries, TickQueries, WebQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,7 +29,8 @@ object SparkEntry {
     "SourceQueries" -> SourceQueries.all,
     "BehaviorQueries" -> BehaviorQueries.all,
     "LinkageQueries" -> LinkageQueries.all,
-    "GraphQueries" -> GraphQueries.all)
+    "GraphQueries" -> GraphQueries.all,
+    "WebQueries" -> WebQueries.all)
 
   /** All registered capabilities. */
   def registry: Seq[Q] = families.flatMap(_._2)

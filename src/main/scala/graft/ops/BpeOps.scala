@@ -121,6 +121,62 @@ object BpeOps {
         call_function("replace", c, pat, rep), pat, rep)
     }
 
+  /** The merge chain applied as an EXECUTOR-SIDE LOOP over a broadcast
+    * merge table — semantically identical to [[applyMerges]] (the same
+    * two-pass literal replace per merge, in merge order; JVM
+    * `String.replace` and Spark's `replace` expression share
+    * literal-substring left-to-right semantics), but with CONSTANT plan
+    * size: [[applyMerges]] inlines 2·nMerges expression nodes, which
+    * codegens beautifully at 16 merges and blows plan/codegen limits at
+    * a 32k-merge production vocabulary. Here the plan is one typed map;
+    * the model ships once per executor via broadcast, and per-row cost
+    * is the same O(len · nMerges) replace work the expression chain
+    * does — still a pure narrow map, zero corpus shuffles at any scale.
+    * BpeSpec pins loop ≡ chain, and ≡ the trainer's own fold at 1k+
+    * merges; the registered `corpus_tokenize_loop` hash-matches the
+    * same DuckDB oracle as the expression form. */
+  def mergeLoop(docs: DataFrame, merges: Seq[BpeMerge],
+                text: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      merges.map(m => (s" ${m.left} ${m.right} ", s" ${m.left}${m.right} "))
+        .toArray)
+    docs.select(col("doc_id").cast("long"),
+        size(neTokens(col(text))).cast("long"),
+        aggregate(transform(neTokens(col(text)), t => length(t)),
+          lit(0L), (acc, x) => acc + x),
+        spacedDoc(col(text)))
+      .as[(Long, Long, Long, String)]
+      .map { case (id, w, c, s0) =>
+        val ms = bc.value
+        var s = s0
+        var i = 0
+        while (i < ms.length) {
+          val (pat, rep) = ms(i)
+          s = s.replace(pat, rep).replace(pat, rep)
+          i += 1
+        }
+        (id, w, c, s)
+      }
+      .toDF("doc_id", "n_words", "n_chars", "s")
+  }
+
+  /** [[tokenizeStats]] computed through [[mergeLoop]] — identical
+    * output columns, production-vocab-sized plan. */
+  def tokenizeStatsLoop(docs: DataFrame, merges: Seq[BpeMerge],
+                        text: String = "text"): DataFrame =
+    mergeLoop(docs, merges, text)
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        size(filter(split(trim(col("s")), " "), x => x =!= "|" && x =!= ""))
+          .cast("long").as("n_bpe_tokens"),
+        md5(trim(col("s"))).as("tokens_digest"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") /
+          nullif(col("n_bpe_tokens"), lit(0L)), 6))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"), col("chars_per_token"), col("tokens_digest"))
+
   /** Per-document tokenization statistics + canonical-form digest:
     * word count, character count, BPE token count (boundary symbols
     * excluded), chars-per-token compression, and the md5 of the final

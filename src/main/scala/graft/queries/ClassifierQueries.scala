@@ -25,6 +25,12 @@ object ClassifierQueries {
   private final val PDim = 64
   private final val PEpochs = 6
 
+  /** Margin-threshold arms for the filter tuning curve — spanning the
+    * fixture's observed margin range (≈ [-2.5, 2.6] at sf0.01) so the
+    * selected fraction actually moves across arms. */
+  private final val CurveThresholds =
+    Seq(-1.0, -0.5, 0.0, 0.5, 1.0, 1.5, 2.0)
+
   private def train(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
 
@@ -54,10 +60,20 @@ object ClassifierQueries {
   private def modelW(s: SparkSession, dir: String): Array[Long] =
     modelDf(s, dir).orderBy("dim").collect().map(_.getAs[Long]("weight"))
 
+  /** The corpus-wide NB margin table, memoized per (session, dir) —
+    * corpus_filter_nb and the threshold curve's arms share one scoring
+    * pass. */
+  private def margins(s: SparkSession, dir: String): DataFrame =
+    Staged.retrieval(s, dir, "nb_margins") {
+      ClassifierOps.marginFilter(
+        train(s, dir), Tables.documents(s, dir), "lang", KeepClass)
+    }
+
   /** Force this family's staged artifacts (Staged.prewarm hook). */
   private[queries] def prewarm(s: SparkSession, dir: String): Unit = {
     trainFeats(s, dir).count()
     modelDf(s, dir).count()
+    margins(s, dir).count()
     ()
   }
 
@@ -384,9 +400,7 @@ object ClassifierQueries {
     // classifier prefers the target class. Thresholding `margin`
     // is the curation knob (GPT-3's quality-filter shape).
     Q("corpus_filter_nb",
-      (s, dir) => ClassifierOps.marginFilter(
-          train(s, dir), Tables.documents(s, dir), "lang", KeepClass)
-        .orderBy("doc_id"),
+      (s, dir) => margins(s, dir).orderBy("doc_id"),
       s"""WITH ${scoreWith("SELECT * FROM documents")}
          |SELECT t.doc_id, t.label_true,
          |round(t.score - o.s_other, 6) AS margin,
@@ -397,5 +411,69 @@ object ClassifierQueries {
          |JOIN (SELECT doc_id, max(score) AS s_other FROM scorerel
          |      WHERE label <> '$KeepClass' GROUP BY doc_id) o
          |ON t.doc_id = o.doc_id
-         |ORDER BY t.doc_id""".stripMargin.replace("\n", " ")))
+         |ORDER BY t.doc_id""".stripMargin.replace("\n", " ")),
+
+    // The margin knob's TUNING CURVE (completing "every knob ships its
+    // tuning curve", the ann_nprobe_curve discipline): seven threshold
+    // arms over the one staged margin table, each reporting how much
+    // corpus survives (sel_frac), how much of the target class the cut
+    // keeps (recall), and how pure the survivors are (precision, with
+    // label_true = '$KeepClass' as the purity proxy). On this fixture
+    // the duel already said the learner is weak — the curve is the
+    // artifact that shows WHERE on the knob it is least bad, which is
+    // exactly what a deployment gate reads before picking a threshold.
+    // Scale: arms are 1-row aggregates over the staged margins; the
+    // scoring pass runs once, never per arm. NbCurveSpec pins the
+    // monotone structure (selected/recall non-increasing in the
+    // threshold).
+    Q("nb_filter_threshold_curve",
+      (s, dir) => {
+        val m = margins(s, dir)
+        CurveThresholds.map { t =>
+          m.agg(
+              count(lit(1)).as("n_docs"),
+              sum(when(col("margin") >= t, 1L).otherwise(0L))
+                .as("n_selected"),
+              sum(when(col("margin") >= t &&
+                  col("label_true") === KeepClass, 1L).otherwise(0L))
+                .as("n_en_selected"),
+              sum(when(col("label_true") === KeepClass, 1L).otherwise(0L))
+                .as("n_en_total"))
+            .select(lit(t).as("threshold"),
+              col("n_selected").cast("long").as("n_selected"),
+              round(col("n_selected").cast("double") / col("n_docs"), 6)
+                .as("sel_frac"),
+              round(col("n_en_selected").cast("double") /
+                nullif(col("n_selected"), lit(0L)), 6).as("precision"),
+              round(col("n_en_selected").cast("double") /
+                col("n_en_total"), 6).as("recall"))
+        }.reduce(_ unionByName _).orderBy("threshold")
+      },
+      s"""WITH ${scoreWith("SELECT * FROM documents")},
+         |m AS (
+         |  SELECT t.doc_id, t.label_true, round(t.score - o.s_other, 6)
+         |    AS margin
+         |  FROM (SELECT doc_id, label_true, score FROM scorerel
+         |        WHERE label = '$KeepClass') t
+         |  JOIN (SELECT doc_id, max(score) AS s_other FROM scorerel
+         |        WHERE label <> '$KeepClass' GROUP BY doc_id) o
+         |  ON t.doc_id = o.doc_id),
+         |arms AS (SELECT CAST(unnest([${CurveThresholds.mkString(", ")}])
+         |  AS DOUBLE) AS threshold)
+         |SELECT threshold,
+         |CAST(SUM(CASE WHEN margin >= threshold THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS n_selected,
+         |round(CAST(SUM(CASE WHEN margin >= threshold THEN 1 ELSE 0 END)
+         |  AS DOUBLE) / count(*), 6) AS sel_frac,
+         |round(CAST(SUM(CASE WHEN margin >= threshold
+         |    AND label_true = '$KeepClass' THEN 1 ELSE 0 END) AS DOUBLE)
+         |  / nullif(SUM(CASE WHEN margin >= threshold THEN 1 ELSE 0 END),
+         |    0), 6) AS precision,
+         |round(CAST(SUM(CASE WHEN margin >= threshold
+         |    AND label_true = '$KeepClass' THEN 1 ELSE 0 END) AS DOUBLE)
+         |  / SUM(CASE WHEN label_true = '$KeepClass' THEN 1 ELSE 0 END), 6)
+         |  AS recall
+         |FROM arms CROSS JOIN m
+         |GROUP BY threshold ORDER BY threshold"""
+        .stripMargin.replace("\n", " ")))
 }

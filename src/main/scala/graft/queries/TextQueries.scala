@@ -366,6 +366,19 @@ object TextQueries {
       (s, dir) => Staged.bpeTokStats(s, dir).orderBy("doc_id"),
       corpusTokenizeSql),
 
+    // The SCALE form of the apply step: the same learned merges applied
+    // as an executor-side loop over a broadcast merge table
+    // (ops.BpeOps.mergeLoop) instead of 2·nMerges inlined expressions —
+    // constant plan/codegen size, so a 32k-merge production vocabulary
+    // compiles exactly like the fixture's 16 (BpeSpec drives it at
+    // 1.1k merges). Same oracle as corpus_tokenize: both apply paths
+    // must produce the identical per-doc digests.
+    Q("corpus_tokenize_loop",
+      (s, dir) => graft.ops.BpeOps.tokenizeStatsLoop(
+          Tables.documents(s, dir), Staged.bpeMerges(s, dir, BpeNMerges))
+        .orderBy("doc_id"),
+      corpusTokenizeSql),
+
     // Streaming twin of corpus_tokenize — the tokenizer applied IN
     // FLIGHT with the FROZEN merge model (trained once on the standing
     // corpus, exactly how production tokenizers deploy): each document

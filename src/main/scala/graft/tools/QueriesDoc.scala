@@ -46,6 +46,52 @@ object QueriesDoc {
     }
   }
 
+  /** Per-family 100 TB posture in one line — the audit summary the
+    * round-8 verdict asked for, distilled from the scale-shape comments
+    * in each family's source (where the full argument + the decade
+    * measurements in BASELINE.md live). */
+  val familyScaleShape: Map[String, String] = Map(
+    "TickQueries" -> ("narrow normalize maps + symbol/day-keyed window " +
+      "aggs; bars shuffle once on the (symbol, bucket) key"),
+    "RelationalQueries" -> ("TPC-H shapes: dim sides broadcast, fact " +
+      "joins equality-shuffled on their keys, AQE handles skew"),
+    "TextQueries" -> ("per-row-pure narrow maps (token/quality/PII/" +
+      "tokenizer apply); BPE fit collects only the vocab-capped word " +
+      "table — the merge list IS the model"),
+    "CorpusQueries" -> ("deterministic md5-fill samplers, bounded " +
+      "explodes (≤5×), three-level hierarchical prefix sum for packing " +
+      "— no corpus-sized single-task stage"),
+    "DedupQueries" -> ("every pair-producer goes through a banded/" +
+      "blocked index with df/band hot-key caps — never all-pairs; " +
+      "clusters via distributed min-label propagation"),
+    "RetrievalQueries" -> ("token-sharded postings ⋈ broadcast query " +
+      "probes; incremental df updates touch only the batch vocabulary"),
+    "ClassifierQueries" -> ("models are vocab×classes / dim+1 bounded " +
+      "tables, broadcast for scoring; training is epochs × one " +
+      "distributed agg"),
+    "SimilarityQueries" -> ("IVF/LSH/PQ candidate-block joins with " +
+      "hot-cell caps; centroids/LUTs are plan constants; brute arms " +
+      "are labeled EVAL BASELINE, dropped at scale"),
+    "PipelineQueries" -> ("one cached scan fans into QC branches; " +
+      "warehouse/catalog writes are one-shuffle partitionBy jobs"),
+    "ExtraQueries" -> ("scalar-broadcast analytics + sketch rollups; " +
+      "register/grid-bounded state, mergeable across shards"),
+    "AnalyticsQueries" -> ("CMS/HLL/KMV sketches: counter-grid-bounded " +
+      "state, associative merges; exact eval arms staged and labeled " +
+      "for drop at scale"),
+    "SourceQueries" -> ("zip/CSV ingest streams partition-local; " +
+      "reconcile joins broadcast the official (dimension) side"),
+    "BehaviorQueries" -> ("user-keyed session/funnel windows — state " +
+      "bounded per key; streaming twins share the batch oracles"),
+    "LinkageQueries" -> ("blocked candidate joins (first-char/name " +
+      "keys) — the all-pairs arm exists only as an eval baseline"),
+    "GraphQueries" -> ("Pregel-as-joins: edge list sharded by node " +
+      "key, rank rounds are equality join + bounded agg with decimal " +
+      "fixed-point early stop"),
+    "WebQueries" -> ("codegen'd per-row URL canonicalization; all " +
+      "stats/quotas keyed by domain — windows see |domain| rows, emit " +
+      "≤ quota"))
+
   /** The full markdown document. */
   def render(): String = {
     val sites = definitionSites()
@@ -56,9 +102,15 @@ object QueriesDoc {
     sb ++= s"One row per registered query ($total total). Regenerate with\n"
     sb ++= "`sbt \"runMain graft.tools.QueriesDoc\"` — QueriesDocSpec fails if\n"
     sb ++= "this file and the registry drift. Bench column = sf0.1 median from\n"
-    sb ++= "the checked-in BENCH_FULL.json at generation time.\n"
+    sb ++= "the checked-in BENCH_FULL.json at generation time. Each family\n"
+    sb ++= "carries its one-line 100 TB scale shape; the full arguments live\n"
+    sb ++= "as scale-shape comments at the definition sites and as decade\n"
+    sb ++= "(10×) measurements in BASELINE.md.\n"
     graft.SparkEntry.families.foreach { case (family, qs) =>
       sb ++= s"\n## $family (${qs.size})\n\n"
+      familyScaleShape.get(family).foreach { shape =>
+        sb ++= s"*Scale shape:* $shape.\n\n"
+      }
       sb ++= "| query | oracle | defined at | bench sf0.1 |\n"
       sb ++= "|---|---|---|---|\n"
       qs.foreach { q =>

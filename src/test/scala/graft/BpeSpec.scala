@@ -71,6 +71,64 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("executor-side merge loop equals the expression chain on the fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val merges = queries.Staged.bpeMerges(spark, dir, 16)
+    val chain = SparkEntry.queries("corpus_tokenize")(spark, dir).collect()
+    val loop = BpeOps.tokenizeStatsLoop(docs, merges)
+      .orderBy("doc_id").collect()
+    assert(chain.map(_.toString).toSeq == loop.map(_.toString).toSeq,
+      "loop apply diverged from the expression chain")
+  }
+
+  test("merge loop runs a 1.1k-merge production-sized vocabulary (constant plan size)") {
+    // synthetic but BPE-shaped model: each merge fuses two existing
+    // vocabulary symbols and the result joins the vocabulary, so later
+    // merges chain onto earlier outputs exactly like a trained table
+    val vocab = scala.collection.mutable.ArrayBuffer("a", "b", "c", "d", "e")
+    val merges = (0 until 1100).map { i =>
+      val l = vocab((i * 13 + 1) % vocab.length)
+      val r = vocab((i * 31 + 7) % vocab.length)
+      vocab += (l + r)
+      BpeMerge(i, l, r, 1L)
+    }
+    // deterministic letter soup over the same 5-symbol alphabet
+    def lcgText(seed: Long, len: Int): String = {
+      var x = seed
+      (0 until len).map { _ =>
+        x = (x * 6364136223846793005L + 1442695040888963407L)
+        val c = ('a' + math.floorMod(x >>> 33, 5L).toInt).toChar
+        if (math.floorMod(x >>> 17, 11L) == 0L) s"$c " else s"$c"
+      }.mkString.trim
+    }
+    val docs = (1L to 40L).map(i => (i, lcgText(i, 160))).toDF("doc_id", "text")
+    val got = BpeOps.tokenizeStatsLoop(docs, merges).orderBy("doc_id")
+      .select("doc_id", "tokens_digest", "n_bpe_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // reference: the trainer's own fold applied driver-side to the
+    // identical spaced form (the pinned two-pass replace semantics)
+    val spaced = docs.select(col("doc_id"),
+        BpeOps.spacedDoc(col("text"))).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    got.foreach { case (id, digest, ntok) =>
+      val ref = merges.foldLeft(spaced(id)) { (s, m) =>
+        val (p, rep) = (s" ${m.left} ${m.right} ", s" ${m.left}${m.right} ")
+        s.replace(p, rep).replace(p, rep)
+      }.trim
+      val refDigest = java.security.MessageDigest.getInstance("MD5")
+        .digest(ref.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(digest == refDigest, s"doc $id digest mismatch")
+      val refTok = ref.split(" ").count(x => x != "|" && x.nonEmpty)
+      assert(ntok == refTok.toLong, s"doc $id token count mismatch")
+      assert(ntok > 0)
+    }
+    // the merges actually bit: some doc compressed below its char count
+    val chars = docs.select(sum(length(regexp_replace(col("text"), " ", ""))))
+      .head.getLong(0)
+    assert(got.map(_._3).sum < chars, "1.1k merges produced no compression")
+  }
+
   test("corpus stats are ordered: words <= bpe tokens <= chars, and compression is real") {
     val stats = SparkEntry.queries("corpus_tokenize")(
       spark, "/root/testdata/sf0.001").collect()

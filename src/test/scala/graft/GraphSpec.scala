@@ -48,6 +48,23 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("pagerank stops early at the 12-dp fixed point with unchanged ranks") {
+    // a symmetric 2-clique: both nodes hold rank 0.5 from the first
+    // step on, so the exact-decimal Σ|Δ| hits zero immediately and the
+    // loop must stop long before the cap — with ranks bit-identical to
+    // running the full count (a fixed point makes later steps identity)
+    val twoClique = Seq(("x", "y", 1L), ("y", "x", 1L))
+      .toDF("src", "dst", "w")
+    val (r2, it) = GraphOps.pagerankWithIters(twoClique, 10)
+    assert(it < 10, s"expected early stop, ran $it iterations")
+    val ranks = r2.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(ranks("x") == 0.5 && ranks("y") == 0.5, s"ranks $ranks")
+    // the full-count run lands on the identical vector
+    val rFull = GraphOps.pagerank(twoClique, 10)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(rFull == ranks)
+  }
+
   test("co-occurrence edges exclude self-pairs and count shared actors") {
     val e = GraphOps.coOccurrenceEdges(events, "trader_id", "symbol")
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))

@@ -30,6 +30,29 @@ class PackSpec extends AnyFunSuite with SparkTestBase {
     assert(fast == naive)
   }
 
+  test("all three prefix levels carry at a tiny width, still equal to naive cumsum") {
+    // width 3 over doc_ids 0..599: ~200 buckets and ~67 super-buckets,
+    // so the within-bucket, bucket-within-super, AND global super
+    // windows all accumulate non-zero offsets — the decomposition must
+    // still be bit-identical to the single global window
+    val dt = (0L until 600L).filter(_ % 7 != 0)
+      .map(i => (i, 1L + (i * 11) % 17)).toDF("doc_id", "n")
+    val fast = CorpusOps.packSpans(dt, 32L, bucketWidth = 3L)
+      .select("doc_id", "o", "s0", "s1").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val naive = dt.withColumn("o",
+        coalesce(sum(col("n")).over(Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("o"),
+        floor(col("o") / 32).cast("long").as("s0"),
+        floor((col("o") + col("n") - 1) / 32).cast("long").as("s1"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(fast == naive)
+  }
+
   test("manifest conserves tokens, fills every non-tail sequence, starts each doc once") {
     val manifest = SparkEntry.queries("corpus_pack_sequences")(spark, sf)
       .collect()

@@ -118,6 +118,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "|classes|-row model-stats table, broadcast (score fan-out)",
     "nb_confusion" -> "|classes|-row model-stats table, broadcast",
     "corpus_filter_nb" -> "|classes|-row model-stats table, broadcast",
+    "nb_filter_threshold_curve" ->
+      "|classes|-row model-stats table + 1-row per-arm count scalars, broadcast",
     "cluster_balanced_sample" ->
       "16-row centroid table, broadcast (cell assignment)",
     "bm25_typo_topk" ->

@@ -28,6 +28,17 @@ class QueriesDocSpec extends AnyFunSuite {
     assert(got == want, "row order diverged from registry order — regenerate")
   }
 
+  test("every family carries a scale-shape line (doc + generator map)") {
+    SparkEntry.families.foreach { case (family, _) =>
+      assert(graft.tools.QueriesDoc.familyScaleShape.contains(family),
+        s"$family has no scale-shape entry in QueriesDoc — add one")
+      assert(doc.contains(s"## $family"),
+        s"$family heading missing from QUERIES.md — regenerate")
+    }
+    assert(doc.contains("*Scale shape:*"),
+      "scale-shape lines missing — regenerate QUERIES.md")
+  }
+
   test("oracle kind column matches the registry") {
     val kinds = SparkEntry.registry
       .map(q => q.name -> (if (q.oracle.isDefined) "SQL hash" else "rows-only"))
