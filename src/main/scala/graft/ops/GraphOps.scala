@@ -68,15 +68,25 @@ object GraphOps {
     * `iters` (an oracle replaying the fixed count still hash-matches).
     * The signal is Σ|Δrank| summed in exact decimal (order-free, no
     * float tolerance), computed by the same node-keyed equality join
-    * the step itself runs; like dupClusters, each round caches its
-    * result and the delta agg is the action that materializes it —
-    * one job per round, no extra pass. */
+    * the step itself runs; the delta agg is the one action per round
+    * and also materializes that round's cache.
+    *
+    * Lineage is TRUNCATED every round (the materialized round wrapped
+    * back as a LogicalRDD): without it each round's logical plan nests
+    * the previous one, and by round 10 every action — and every later
+    * read of the final cache — pays multi-second replanning over the
+    * whole chain (measured 5 s per cached read, 41 s for the loop, vs
+    * 0.1 s / 4 s truncated). The RDD boundary keeps fault-recovery
+    * lineage at the RDD layer (the iterative-algorithm convention
+    * GraphX/MLlib use) and costs one row-conversion pass per round on
+    * the node-sized table. */
   def pagerank(edges: DataFrame, iters: Int): DataFrame =
     pagerankWithIters(edges, iters)._1
 
   /** [[pagerank]] plus the number of iterations actually executed —
     * `< iters` iff the 12-dp fixed point was reached early. */
   def pagerankWithIters(edges: DataFrame, iters: Int): (DataFrame, Int) = {
+    val spark = edges.sparkSession
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     val e = edges.join(outw, Seq("src"))
       .select(col("src"), col("dst"), col("w"), col("outw"))
@@ -93,20 +103,21 @@ object GraphOps {
     var it = 0
     var converged = false
     while (it < iters && !converged) {
-      val s = e.join(r, e("src") === r("node"))
+      val stepped = e.join(r, e("src") === r("node"))
         .select(col("dst"),
           round(col("rank") * col("w") / col("outw"), 12).as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c").cast(DecimalType(30, 12))).as("s"))
-      // the sum narrows to DECIMAL(20,12) before the damping multiply:
-      // at Spark's default widths 0.85 × a 38-precision decimal would
-      // overflow 38 and silently REDUCE scale (to 11), diverging from
-      // the oracle's exact 14-dp product; 20+2+1 = 23 never adjusts
-      val next = s.select(col("dst").as("node"),
-        round(teleport +
-          round(dDec * col("s").cast(DecimalType(20, 12)), 12), 12)
-          .cast("double").as("rank"))
-        .cache()
+        // the sum narrows to DECIMAL(20,12) before the damping multiply:
+        // at Spark's default widths 0.85 × a 38-precision decimal would
+        // overflow 38 and silently REDUCE scale (to 11), diverging from
+        // the oracle's exact 14-dp product; 20+2+1 = 23 never adjusts
+        .select(col("dst").as("node"),
+          round(teleport +
+            round(dDec * col("s").cast(DecimalType(20, 12)), 12), 12)
+            .cast("double").as("rank"))
+      // lineage truncation: constant-size plan per round (see above)
+      val next = spark.createDataFrame(stepped.rdd, stepped.schema).cache()
       // exact decimal Σ|Δ| — zero ⟺ the 12-dp rank vector is a fixed
       // point (the join is node-keyed equality, dimension-sized here,
       // node-sharded at scale). This action also materializes `next`.

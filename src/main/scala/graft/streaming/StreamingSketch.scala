@@ -35,10 +35,17 @@ object StreamingSketch {
     // (same posture as the other foreachBatch sinks).
     registersOf(graft.Tables.events(spark, dir).limit(0))
       .write.mode("append").parquet(out)
+    // Schema + ts normalization through the ONE source of truth
+    // (Tables.eventsOnDiskSchema / normalizeTs): the fixture's ts
+    // physical type has shipped as TIMESTAMP(NANOS) (long under
+    // nanosAsLong), TIMESTAMP(MICROS)/NTZ, and LTZ — reading the raw
+    // footer schema here without normalizing broke to_date() on the
+    // nanos-long shape (caught by the round-9 full-registry ×10 sweep;
+    // StreamingOhlc always did it right).
     val reader = spark.readStream
-      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .schema(graft.Tables.eventsOnDiskSchema(spark, dir))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val stream = reader.parquet(s"$dir/events.parque*")
+    val stream = graft.Tables.normalizeTs(reader.parquet(s"$dir/events.parque*"))
     val q = stream.writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
         registersOf(b).write.mode("append").parquet(out)
