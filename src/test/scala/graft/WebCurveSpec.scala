@@ -63,6 +63,42 @@ class WebCurveSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("dedup threshold curve: pairs/docs non-increasing, mean jaccard non-decreasing") {
+    val curve = SparkEntry.queries("dedup_threshold_curve")(spark, sf)
+      .collect()
+    assert(curve.length == 7)
+    val np = curve.map(_.getAs[Long]("n_pairs"))
+    assert(np.zip(np.tail).forall { case (a, b) => a >= b },
+      s"n_pairs not monotone: ${np.mkString(",")}")
+    val nd = curve.map(_.getAs[Long]("n_docs"))
+    assert(nd.zip(nd.tail).forall { case (a, b) => a >= b },
+      s"n_docs not monotone: ${nd.mkString(",")}")
+    // raising the cut can only remove the LOWEST-jaccard pairs, so the
+    // survivors' mean never decreases (on arms that keep any pairs)
+    val mj = curve.flatMap(r => Option(r.getAs[java.lang.Double]("mean_jaccard"))
+      .map(_.doubleValue))
+    assert(mj.zip(mj.tail).forall { case (a, b) => a <= b },
+      s"mean_jaccard not monotone: ${mj.mkString(",")}")
+  }
+
+  test("quality threshold curve: docs and tokens kept are non-increasing in the gate") {
+    val curve = SparkEntry.queries("quality_threshold_curve")(spark, sf)
+      .collect()
+    assert(curve.length == 6)
+    val nd = curve.map(_.getAs[Long]("n_docs"))
+    assert(nd.zip(nd.tail).forall { case (a, b) => a >= b },
+      s"n_docs not monotone: ${nd.mkString(",")}")
+    val nt = curve.map(_.getAs[Long]("n_tokens"))
+    assert(nt.zip(nt.tail).forall { case (a, b) => a >= b },
+      s"n_tokens not monotone: ${nt.mkString(",")}")
+    assert(nd.head > nd.last, "the gate never moved on this fixture")
+    // fractions agree with counts
+    curve.foreach { r =>
+      assert(r.getAs[Double]("doc_frac") <= 1.0 &&
+        r.getAs[Double]("token_frac") <= 1.0)
+    }
+  }
+
   test("nb threshold curve: selection and recall are non-increasing in the threshold") {
     val curve = SparkEntry.queries("nb_filter_threshold_curve")(spark, sf)
       .collect()
