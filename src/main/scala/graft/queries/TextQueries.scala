@@ -636,7 +636,10 @@ object TextQueries {
     * both engines append the SAME doc_id-keyed email / phone / IPv4 /
     * card spans before scanning — the regex machinery sees real
     * nonzero hits and the oracle checks counts AND redacted digest. */
-  private def piiAugment(docs: org.apache.spark.sql.DataFrame)
+  /** Deterministic planted-PII augmentation (shared with the per-domain
+    * rollup in WebQueries — package-visible so the fixture plumbing has
+    * exactly one definition per engine). */
+  private[queries] def piiAugment(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     docs.select(col("doc_id"), concat(
       col("text"),
@@ -654,6 +657,15 @@ object TextQueries {
 
   /** Oracle for [[pii_scan]] — built from the same PiiPatterns table as
     * the Spark side so the regexes cannot drift. */
+  /** Oracle twin of [[piiAugment]] (ends in a doc_id, text relation). */
+  private[queries] lazy val piiAugSql: String =
+    """SELECT doc_id, text
+      || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.org now' ELSE '' END
+      || CASE WHEN doc_id % 11 = 0 THEN ' call 212-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' soon' ELSE '' END
+      || CASE WHEN doc_id % 13 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 up' ELSE '' END
+      || CASE WHEN doc_id % 17 = 0 THEN ' card 4111 1111 1111 1111 ok' ELSE '' END AS text
+      FROM documents""".replaceAll("\\s+", " ")
+
   private lazy val piiOracle: String = {
         val counts = TextOps.PiiPatterns.map { case (kind, re, _) =>
           s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_$kind"
@@ -663,12 +675,7 @@ object TextQueries {
         val redacted = TextOps.PiiPatterns.foldLeft("text") {
           case (e, (_, re, tag)) => s"regexp_replace($e, '$re', '$tag', 'g')"
         }
-        s"""WITH aug AS (SELECT doc_id, text
-           || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.org now' ELSE '' END
-           || CASE WHEN doc_id % 11 = 0 THEN ' call 212-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' soon' ELSE '' END
-           || CASE WHEN doc_id % 13 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 up' ELSE '' END
-           || CASE WHEN doc_id % 17 = 0 THEN ' card 4111 1111 1111 1111 ok' ELSE '' END AS text
-           FROM documents)
+        s"""WITH aug AS ($piiAugSql)
            SELECT doc_id, $counts, CAST($total AS BIGINT) AS n_pii,
            md5($redacted) AS redacted_digest
            FROM aug ORDER BY doc_id""".replaceAll("\\s+", " ")

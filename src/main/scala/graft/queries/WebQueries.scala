@@ -173,6 +173,58 @@ object WebQueries {
            Blocked.map(d => s"'$d'").mkString(", ")})
          |GROUP BY domain ORDER BY domain""".stripMargin.replace("\n", " ")),
 
+    // Per-domain PII triage — the RefinedWeb-style "drop high-PII
+    // domains" input: the existing PII scanner (per-row-pure regex
+    // counts over the planted-span fixture) rolled up on the canonical
+    // domain key, with per-class sums and the fraction of the domain's
+    // docs carrying any PII. Composes the round's web layer with the
+    // compliance scanner — one narrow scan + one domain hash-agg; at
+    // 100 TB this is the per-domain statistic a crawler's allow-list
+    // policy reads next to domain_stats' dup rate.
+    Q("domain_pii_stats",
+      (s, dir) => {
+        val scan = graft.ops.TextOps.piiScan(
+          TextQueries.piiAugment(Tables.documents(s, dir)))
+        val dom = withUrl(s, dir).select(col("doc_id"), col("domain"))
+        scan.join(dom, Seq("doc_id"))
+          .groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_pii") > 0, 1L).otherwise(0L))
+              .as("docs_with_pii"),
+            sum(col("n_pii")).as("n_pii"),
+            sum(col("n_email")).as("n_email"),
+            sum(col("n_phone")).as("n_phone"),
+            sum(col("n_ipv4")).as("n_ipv4"),
+            sum(col("n_card")).as("n_card"))
+          .select(col("domain"), col("n_docs"), col("docs_with_pii"),
+            round(col("docs_with_pii").cast("double") / col("n_docs"), 6)
+              .as("pii_doc_rate"),
+            col("n_pii"), col("n_email"), col("n_phone"),
+            col("n_ipv4"), col("n_card"))
+          .orderBy("domain")
+      },
+      s"""WITH aug AS (${TextQueries.piiAugSql}), $duWith,
+         |p AS (SELECT a.doc_id, du.domain, ${
+           graft.ops.TextOps.PiiPatterns.map { case (kind, re, _) =>
+             s"CAST(len(regexp_extract_all(a.text, '$re')) AS BIGINT) AS n_$kind"
+           }.mkString(", ")},
+         |CAST(${graft.ops.TextOps.PiiPatterns.map { case (_, re, _) =>
+             s"len(regexp_extract_all(a.text, '$re'))" }.mkString(" + ")}
+         |  AS BIGINT) AS n_pii
+         |FROM aug a JOIN du ON a.doc_id = du.doc_id)
+         |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |CAST(SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS docs_with_pii,
+         |round(CAST(SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |  / count(*), 6) AS pii_doc_rate,
+         |CAST(SUM(n_pii) AS BIGINT) AS n_pii,
+         |CAST(SUM(n_email) AS BIGINT) AS n_email,
+         |CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+         |CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4,
+         |CAST(SUM(n_card) AS BIGINT) AS n_card
+         |FROM p GROUP BY domain ORDER BY domain"""
+        .stripMargin.replace("\n", " ")),
+
     // Per-domain quota sampling — the anti-mega-domain rebalancer
     // (C4 keeps at most N pages per domain so content farms can't
     // dominate the mix): each domain's quota filled by the smallest
