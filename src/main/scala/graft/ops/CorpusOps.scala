@@ -123,6 +123,56 @@ object CorpusOps {
         floor((col("o") + col("n") - 1) / seqLen).cast("long").as("s1"))
   }
 
+  /** [[packSpans]] over a deterministic PSEUDO-SHUFFLED global order —
+    * the order trainers actually pack (documents shuffled before
+    * concatenation so a sequence doesn't see one source's docs in a
+    * row). The shuffle is engine-portable and RNG-free: global order =
+    * (md5(doc_id) mod nBuckets, md5, doc_id).
+    *
+    * Hashing breaks [[packSpans]]' doc_id/width bucketing (hash values
+    * are sparse in their 60-bit range, so key-range buckets would
+    * degenerate to one row each and the top window back to corpus
+    * size); instead the hash is folded into a FIXED bucket count:
+    * level 1 windows within each of the nBuckets hash buckets
+    * (~n/nBuckets rows each, hash-balanced), level 2 prefixes bucket
+    * totals within bucketWidth-wide super-buckets, level 3's global
+    * window sees ≤ nBuckets/bucketWidth rows — a CONSTANT (1024 at the
+    * defaults) independent of corpus size. Same exact-integer
+    * decomposition, PackSpec proves equality with the naive cumsum
+    * over the hash order. */
+  def packSpansShuffled(docTokens: DataFrame, seqLen: Long,
+                        nBuckets: Long = 1L << 20,
+                        bucketWidth: Long = 1024L): DataFrame = {
+    val dt = docTokens.filter(col("n") > 0)
+      .withColumn("h",
+        graft.functions.Hashing.md5Long(col("doc_id").cast("string")))
+      .withColumn("bucket", (col("h") % nBuckets).cast("long"))
+      .withColumn("sbucket", floor(col("bucket") / bucketWidth).cast("long"))
+    val wIn = Window.partitionBy(col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = dt.withColumn("w_off",
+      coalesce(sum(col("n")).over(wIn), lit(0L)))
+    val buckets = dt.groupBy(col("sbucket"), col("bucket"))
+      .agg(sum(col("n")).as("b_n"))
+    val wB = Window.partitionBy(col("sbucket")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bOff = buckets
+      .withColumn("b_off", coalesce(sum(col("b_n")).over(wB), lit(0L)))
+    val wS = Window.orderBy(col("sbucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sOff = buckets.groupBy(col("sbucket")).agg(sum(col("b_n")).as("s_n"))
+      .withColumn("s_off", coalesce(sum(col("s_n")).over(wS), lit(0L)))
+      .select(col("sbucket"), col("s_off"))
+    val bucketOff = bOff.join(sOff, Seq("sbucket"))
+      .select(col("bucket"), (col("s_off") + col("b_off")).as("b_off"))
+    within.join(bucketOff, Seq("bucket"))
+      .withColumn("o", col("b_off") + col("w_off"))
+      .select(col("doc_id"), col("n"), col("o"),
+        floor(col("o") / seqLen).cast("long").as("s0"),
+        floor((col("o") + col("n") - 1) / seqLen).cast("long").as("s1"))
+  }
+
   /** Per-sequence manifest from [[packSpans]] output: how many docs
     * touch the sequence, how many START in it (the boundary
     * bookkeeping a loader needs to mask cross-doc attention), the

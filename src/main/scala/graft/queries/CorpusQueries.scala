@@ -29,6 +29,12 @@ object CorpusQueries {
     * interpolated into oracle SQL at object init). */
   private final val SampPerCell = 8
 
+  /** Hash-bucket count + super-bucket width for the SHUFFLED packing —
+    * small enough that all three prefix levels carry on the fixtures
+    * (production defaults are 2^20 / 1024; see packSpansShuffled). */
+  private final val ShufBuckets = 256L
+  private final val ShufWidth = 16L
+
   /** Per-doc trained-BPE token counts (doc_id, n) — the packing
     * queries' input, composing packing with the fit→apply tokenizer;
     * session-staged (Staged.bpeDocTokens) since three queries read it. */
@@ -345,6 +351,39 @@ object CorpusQueries {
          |SELECT seq_id, CAST(seq_id % 8 AS INT) AS pack_shard, n_docs,
          |n_starts, first_doc, last_doc, n_tokens
          |FROM m ORDER BY seq_id""".stripMargin.replace("\n", " ")),
+
+    // The SHUFFLED form of sequence packing — the order a trainer
+    // actually packs (docs pseudo-shuffled before concatenation so no
+    // sequence sees one source's docs in a row), with the shuffle
+    // deterministic and RNG-free: global order = (md5(doc_id) mod 256,
+    // md5, doc_id). Hash sparsity breaks doc_id-range bucketing, so
+    // the hierarchy folds the hash into a FIXED bucket count — the
+    // top window over ≤ nBuckets/width rows is CONSTANT-size at any
+    // corpus (see ops.CorpusOps.packSpansShuffled). The oracle replays
+    // the same hash order through one global cumsum; PackSpec proves
+    // the decomposition ≡ naive and that the packed order is a real
+    // permutation of the doc-ordered packing (same totals, different
+    // sequence assignment).
+    Q("corpus_pack_shuffled",
+      (s, dir) => CorpusOps.packManifest(
+          CorpusOps.packSpansShuffled(bpeDocTokens(s, dir), PackSeqLen,
+            ShufBuckets, ShufWidth), PackSeqLen)
+        .orderBy("seq_id"),
+      s"""$packSpansWith,
+         |soff AS (SELECT doc_id, n,
+         |  coalesce(sum(n) OVER (ORDER BY (H % $ShufBuckets), H, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+         |  FROM (SELECT doc_id, n,
+         |    ${Hashing.sqlMd5Long("CAST(doc_id AS VARCHAR)")} AS H
+         |    FROM dt WHERE n > 0)),
+         |sspans AS (SELECT doc_id, n, CAST(o AS BIGINT) AS o,
+         |  CAST(o // $PackSeqLen AS BIGINT) AS s0,
+         |  CAST((o + n - 1) // $PackSeqLen AS BIGINT) AS s1
+         |  FROM soff),
+         |x AS (SELECT doc_id, n, o, s0, s1,
+         |  unnest(generate_series(s0, s1)) AS seq_id FROM sspans)
+         |$packManifestSelect ORDER BY seq_id"""
+        .stripMargin.replace("\n", " ")),
 
     // Temperature-weighted mixture sampling (α = 0.5): the
     // multilingual rebalancing that samples language l ∝ p_l^α —

@@ -53,6 +53,38 @@ class PackSpec extends AnyFunSuite with SparkTestBase {
     assert(fast == naive)
   }
 
+  test("shuffled packing equals the naive hash-order cumsum and really permutes") {
+    val dt = (0L until 300L).filter(_ % 5 != 0)
+      .map(i => (i, 1L + (i * 13) % 19)).toDF("doc_id", "n")
+    // tiny buckets/width so every hierarchy level carries
+    val fast = graft.ops.CorpusOps
+      .packSpansShuffled(dt, 32L, nBuckets = 8L, bucketWidth = 2L)
+      .select("doc_id", "o").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h = graft.functions.Hashing.md5Long(col("doc_id").cast("string"))
+    val naive = dt
+      .withColumn("o", coalesce(sum(col("n")).over(
+        Window.orderBy((h % 8).asc, h.asc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("doc_id", "o").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == naive)
+    // same total token mass as ordered packing (conservation), but a
+    // genuinely different doc→offset assignment (a real permutation —
+    // offsets themselves are prefix sums, so only the total and the
+    // zero coincide across orders)
+    val ns = dt.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ordered = graft.ops.CorpusOps.packSpans(dt, 32L)
+      .select("doc_id", "o").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def total(off: Map[Long, Long]) =
+      off.map { case (d, o) => o + ns(d) }.max
+    assert(total(fast) == total(ordered),
+      "total token mass diverged between orders")
+    assert(fast.values.min == 0L && ordered.values.min == 0L)
+    assert(fast != ordered, "hash order did not actually shuffle")
+  }
+
   test("manifest conserves tokens, fills every non-tail sequence, starts each doc once") {
     val manifest = SparkEntry.queries("corpus_pack_sequences")(spark, sf)
       .collect()
