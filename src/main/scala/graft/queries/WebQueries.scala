@@ -84,8 +84,12 @@ object WebQueries {
 
   /** documents + (url, domain) — the input every query here shares. */
   private def withUrl(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .withColumn("url", urlCol)
+    urlize(Tables.documents(s, dir))
+
+  /** The same derivation over an arbitrary (doc_id, source) batch —
+    * the streaming twin applies it per micro-batch. */
+  private def urlize(docs: DataFrame): DataFrame =
+    docs.withColumn("url", urlCol)
       .withColumn("domain", UrlOps.domain(urlCol))
 
   /** Oracle CTE: `du(doc_id, text, lang, url, domain)`. */
@@ -108,6 +112,26 @@ object WebQueries {
           UrlOps.canonicalize(col("url")).as("canon_url"),
           col("domain"))
         .orderBy("doc_id"),
+      s"""WITH $duWith
+         |SELECT doc_id, url, ${UrlOps.sqlCanonicalize("url")} AS canon_url,
+         |domain FROM du ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+    // Streaming twin of url_canonicalize — URL hygiene IN FLIGHT (how
+    // a crawl-ingest pipeline actually runs the canonicalizer: on
+    // arriving pages, before any domain statistic sees them). The
+    // transform is per-row pure, so any micro-batch slicing yields the
+    // same rows through the replay-safe batch_id-keyed sink and the
+    // batch oracle applies verbatim.
+    Q("streaming_url_canonicalize",
+      (s, dir) => {
+        val work = graft.util.Fs.workDir("graft_stream_url", dir).toString
+        graft.util.Fs.deleteRec(work)
+        graft.streaming.StreamingDocApply.applyAvailableNow(s, dir, work,
+            b => urlize(b).select(col("doc_id"), col("url"),
+              UrlOps.canonicalize(col("url")).as("canon_url"),
+              col("domain")))
+          .orderBy("doc_id")
+      },
       s"""WITH $duWith
          |SELECT doc_id, url, ${UrlOps.sqlCanonicalize("url")} AS canon_url,
          |domain FROM du ORDER BY doc_id""".stripMargin.replace("\n", " ")),
