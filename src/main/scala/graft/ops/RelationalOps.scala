@@ -472,4 +472,114 @@ object RelationalOps {
       .agg(exactSum(col("rev")).as("revenue"),
         count(lit(1)).as("n_items"))
   }
+
+  /** TPC-H Q13 shape: per-customer order counts with ZERO-order
+    * customers kept, rolled into a count-of-counts distribution. The
+    * correlated form (`count(*) FROM orders WHERE o_custkey = c_custkey
+    * AND ...`) decorrelates into: pre-aggregate the fact on its own key
+    * (one shuffle, map-side partials), LEFT join from the customer side,
+    * coalesce the miss to 0 so empty groups survive — the thing a naive
+    * inner-join+groupBy silently drops. The second aggregate (the
+    * distribution) groups on the tiny c_count domain. At 100 TB both
+    * sides shuffle once on custkey; nothing is collected. */
+  def customerOrderDistribution(customer: DataFrame, orders: DataFrame,
+                                excludePriorities: Seq[String]): DataFrame = {
+    val counted = orders
+      .filter(!col("o_orderpriority").isin(excludePriorities: _*))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    customer.select(col("c_custkey"))
+      .join(counted, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q17 shape: revenue of small-quantity lines, where "small" is
+    * a CORRELATED scalar — 0.2 × the part's own average quantity.
+    * Decorrelation: the brand-filtered part keys broadcast into the fact
+    * scan; the per-part threshold is an aggregate over exactly those
+    * keys (itself part-bounded, so it broadcasts back); the final filter
+    * + sum is one pass. The correlated subquery never executes per-row —
+    * at 100 TB this is two broadcast joins and two aggregates, zero
+    * fact-side re-scans. Threshold arithmetic goes through exactAvg on
+    * both engines so the strict `<` can't flip on a last-ulp
+    * disagreement. */
+  def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame,
+                           brand: String, frac: Double): DataFrame = {
+    val parts = part.filter(col("p_brand") === brand).select(col("p_partkey"))
+    val li = lineitem
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+    val limits = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((exactAvg(col("l_quantity")) * lit(frac)).as("qty_limit"))
+    li.join(broadcast(limits), col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("qty_limit"))
+      .agg((exactSum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  /** TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    * finished multi-supplier order — a double-correlated EXISTS /
+    * NOT-EXISTS against the same fact. Decorrelation: one
+    * lineitem⋈orders join on orderkey tags each line late/on-time; the
+    * per-order profile (distinct suppliers, distinct LATE suppliers)
+    * is a groupBy on the SAME key, so Catalyst reuses the join's
+    * exchange; EXISTS becomes `n_supp > 1`, NOT-EXISTS becomes
+    * `n_late_supp = 1` on a line already known late. supplier⋈nation is
+    * broadcast. At 100 TB: one orderkey shuffle amortized across the
+    * join and both correlates — the naive form would re-scan lineitem
+    * twice per outer row. */
+  def waitingSuppliers(supplier: DataFrame, lineitem: DataFrame,
+                       orders: DataFrame, nation: DataFrame,
+                       nationName: String, lateDays: Int): DataFrame = {
+    val lo = lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(orders.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") +
+          expr(s"INTERVAL $lateDays DAYS"))
+    val perOrder = lo.groupBy(col("l_orderkey").as("g_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+    val natSupp = supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)
+          .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    lo.filter(col("late"))
+      .join(perOrder, col("l_orderkey") === col("g_orderkey"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** TPC-H Q22 shape: high-balance customers in a code set with no
+    * RECENT orders — NOT-IN/NOT-EXISTS anti-join + an uncorrelated
+    * scalar subquery + substring grouping. Decorrelation: the scalar avg
+    * is a 1-row aggregate broadcast-crossed into the filter (never a
+    * per-row subquery); NOT EXISTS is a left_anti join against the
+    * date-filtered order keys (the filter pushes to the orders scan, so
+    * the anti side is the recent slice, not the whole fact). */
+  def dormantHighValueCustomers(customer: DataFrame, orders: DataFrame,
+                                codes: Seq[String],
+                                sinceDate: String): DataFrame = {
+    val sel = customer
+      .withColumn("cntrycode", substring(col("c_name"), 16, 2))
+      .filter(col("cntrycode").isin(codes: _*))
+      .select(col("cntrycode"), col("c_custkey"), col("c_acctbal"))
+    val avgBal = sel.filter(col("c_acctbal") > 0.0)
+      .agg(exactAvg(col("c_acctbal")).as("avg_bal"))
+    val recent = orders.filter(col("o_orderdate") >= lit(sinceDate).cast("date"))
+      .select(col("o_custkey"))
+    sel.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        exactSum(col("c_acctbal")).as("totacctbal"))
+  }
 }

@@ -91,6 +91,19 @@ object WarehouseOps {
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n_rows"))
 
+  /** [[fileStats]] plus on-disk bytes per file (`_metadata.file_size`
+    * is a per-row constant within a file, so `max` reads it for free).
+    * Feeds [[compactPartitionsToBytes]]' row-width estimate. */
+  def fileSizeStats(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("_metadata.file_path").as("file"),
+        col("_metadata.file_size").as("size"))
+      .groupBy(col("file"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+        max(col("size")).as("bytes"))
+
   /** The pre-write frame compaction writes: one task per partition
     * value. Exposed so the plan-shape test pins the PRODUCTION read+
     * repartition, not a hand-built lookalike. */
@@ -118,6 +131,45 @@ object WarehouseOps {
       .partitionBy(partitionCol)
       .mode(SaveMode.Overwrite)
       .parquet(destPath)
+
+  /** Byte-size-targeted compaction: like [[compactPartitions]] but the
+    * split bound is a TARGET FILE SIZE, not a record count. Production
+    * compaction is byte-bound — row width drifts as schemas evolve and
+    * text columns grow, so a fixed records/file bound yields 10 MB files
+    * on one table and 10 GB files on another. One metadata-only
+    * aggregation over the source footprint (`_metadata.file_size` +
+    * count; no data columns read) estimates the table's on-disk
+    * bytes/row, and the record bound becomes
+    * `max(1, targetBytesPerFile / avgRowBytes)`.
+    *
+    * The estimate is from the SOURCE's encoding: if the source is
+    * pathologically fragmented, tiny files carry fixed parquet footer
+    * overhead, so avgRowBytes over-estimates and output files land
+    * UNDER target — the safe direction (never produces an
+    * over-target file from width drift alone; dictionary/RLE gains on
+    * consolidated files also only shrink output). Returns the record
+    * bound used, so callers can log/audit the decision. */
+  def compactPartitionsToBytes(spark: org.apache.spark.sql.SparkSession,
+                               srcPath: String, destPath: String,
+                               partitionCol: String = "trade_date",
+                               targetBytesPerFile: Long = 128L << 20): Long = {
+    require(targetBytesPerFile > 0, "targetBytesPerFile must be positive")
+    val agg = spark.read.parquet(srcPath)
+      .select(col("_metadata.file_path").as("file"),
+        col("_metadata.file_size").as("size"))
+      .groupBy(col("file")).agg(max(col("size")).as("bytes"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+      .agg(org.apache.spark.sql.functions.sum(col("bytes")).as("b"),
+        org.apache.spark.sql.functions.sum(col("n_rows")).as("r"))
+      .head()
+    val totalBytes = agg.getLong(0)
+    val totalRows = agg.getLong(1)
+    val avgRowBytes = math.max(1.0, totalBytes.toDouble / math.max(1L, totalRows))
+    val recordBound = math.max(1L, (targetBytesPerFile / avgRowBytes).toLong)
+    compactPartitions(spark, srcPath, destPath, partitionCol, recordBound)
+    recordBound
+  }
 
   /** Overwrite only the `partitionCol` values present in `updates`;
     * rows are clustered per partition first (one file per partition —

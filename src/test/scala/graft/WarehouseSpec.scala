@@ -106,4 +106,44 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     assert(stats.length < fragFiles,
       "compaction must reduce the file count")
   }
+
+  test("byte-targeted compaction derives a sane record bound and lands files near target") {
+    val frag = s"${System.getProperty("java.io.tmpdir")}/graft_wh_bfrag"
+    val tidy = s"${System.getProperty("java.io.tmpdir")}/graft_wh_btidy"
+    deleteRec(frag); deleteRec(tidy)
+    val ticks = TickOps.normalizeEvents(Tables.events(spark, sf))
+      .withColumn("trade_date", to_date(col("event_ts")))
+    ticks.repartition(40)
+      .write.partitionBy("trade_date").parquet(frag)
+
+    val target = 32L << 10 // 32 KiB — small enough to force splits here
+    val bound = WarehouseOps.compactPartitionsToBytes(
+      spark, frag, tidy, targetBytesPerFile = target)
+
+    // the derived record bound is target / avgRowBytes, recomputed here
+    // from the same metadata the op reads
+    val src = WarehouseOps.fileSizeStats(spark, frag)
+      .agg(sum(col("bytes")).as("b"), sum(col("n_rows")).as("r")).head()
+    val avgRowBytes = math.max(1.0,
+      src.getLong(0).toDouble / math.max(1L, src.getLong(1)))
+    assert(bound == math.max(1L, (target / avgRowBytes).toLong),
+      s"record bound $bound disagrees with the documented formula")
+    assert(bound > 0)
+
+    // content-preserving
+    val a = spark.read.parquet(frag)
+    val b = spark.read.parquet(tidy).select(a.columns.map(col): _*)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "byte-targeted compaction must not change table content")
+
+    // every output file respects the derived record bound, and —
+    // because the source's avgRowBytes over-estimates consolidated
+    // width (footer overhead on 40-way fragments, dictionary gains on
+    // merged files) — no output file exceeds the byte target with slack
+    val stats = WarehouseOps.fileSizeStats(spark, tidy).collect()
+    assert(stats.forall(_.getLong(1) <= bound), "record bound violated")
+    assert(stats.forall(_.getLong(2) <= target * 2),
+      s"an output file exceeds 2x the byte target: " +
+        stats.map(_.getLong(2)).max.toString)
+  }
 }
