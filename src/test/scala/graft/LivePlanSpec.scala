@@ -26,8 +26,12 @@ class LivePlanSpec extends AnyFunSuite with SparkTestBase {
     // order-independence: if another suite in this JVM already cached an
     // identical frame (Staged artifacts), the plan under test renders as
     // an InMemoryRelation wrapper whose EMBEDDED build plan double-counts
-    // the exchange scan below — assert on a cache-free plan
-    spark.catalog.clearCache()
+    // the exchange scan below — assert on a cache-free plan.
+    // Staged.clearSession (NOT spark.catalog.clearCache) so the staged
+    // memos are dropped along with their cached blocks: a bare
+    // clearCache leaves the memos returning now-uncached frames and
+    // every later suite silently recomputes staged builds per action.
+    graft.queries.Staged.clearSession(spark)
     val bars = TickOps.ohlcBars(
       TickOps.normalizeEvents(Tables.events(spark, sf)), "1 hour")
     val plan = executedPlan(bars)
@@ -307,6 +311,79 @@ class LivePlanSpec extends AnyFunSuite with SparkTestBase {
     assert(hash == 1,
       s"expected exactly the partition-key exchange, got $hash:\n$plan")
     graft.util.Fs.deleteRec(frag)
+  }
+
+  test("Q13: zero-group left join rides a decorrelated pre-aggregate, no cartesian") {
+    val df = SparkEntry.queries("q13_customer_distribution")(spark, sf)
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"Q13 degenerated to a non-equi join:\n$plan")
+    // decorrelation visible: the orders side is pre-aggregated on its
+    // own key BELOW the outer join (a correlated count would re-scan
+    // orders per customer; the naive inner-join+group drops zero rows)
+    val joinIdx = math.max(plan.indexOf("SortMergeJoin"),
+      math.max(plan.indexOf("ShuffledHashJoin"), plan.indexOf("BroadcastHashJoin")))
+    assert(joinIdx >= 0, s"expected a join operator:\n$plan")
+    assert(plan.indexOf("HashAggregate", joinIdx) > 0,
+      s"expected the fact pre-aggregate below the join:\n$plan")
+    assert(plan.contains("LeftOuter") || plan.contains("RightOuter"),
+      s"expected an outer join (zero-groups kept):\n$plan")
+  }
+
+  test("Q17: correlated avg decorrelates to broadcast threshold joins") {
+    val df = SparkEntry.queries("q17_small_quantity_revenue")(spark, sf)
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"Q17 degenerated to a non-equi join:\n$plan")
+    // both the brand part-key set and the per-part threshold table are
+    // part-bounded: each must broadcast; a shuffle join here means the
+    // correlated subquery turned into a fact-side shuffle at 100 TB
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 2, s"expected 2+ broadcast joins (keys + thresholds), got $bhj:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"Q17 must not shuffle the fact for a part-bounded threshold:\n$plan")
+  }
+
+  test("Q21: EXISTS/NOT-EXISTS share one order-key profile, dims broadcast") {
+    val df = SparkEntry.queries("q21_waiting_suppliers")(spark, sf)
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"Q21 degenerated to a non-equi join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"supplier⨝nation must broadcast into the fact:\n$plan")
+    // decorrelation visible: the per-order distinct-supplier profile is
+    // a HashAggregate keyed on the SAME orderkey the join uses — both
+    // correlated subqueries collapse into it (the correlated form would
+    // re-scan lineitem twice per outer row)
+    assert(plan.contains("count(distinct l_suppkey") ||
+      plan.contains("count(l_suppkey"),
+      s"expected the distinct-supplier order profile:\n$plan")
+    // the orderkey exchange is shared: join + profile agg + join-back
+    // must not each re-shuffle (allow the two join inputs + the final
+    // s_name agg; anything above that means the reuse broke)
+    val hash = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hash <= 4, s"expected ≤4 hash exchanges, got $hash:\n$plan")
+  }
+
+  test("Q22: scalar avg broadcasts as a 1-row cross; anti-join stays hash-keyed") {
+    val df = SparkEntry.queries("q22_dormant_customers")(spark, sf)
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"Q22 must not plan a cartesian product:\n$plan")
+    // the ONLY nested-loop allowed is the broadcast of the 1-row avg
+    // scalar (that is what decorrelating an uncorrelated scalar
+    // subquery should produce); the NOT-EXISTS must be an equality
+    // anti-join on custkey
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 1, s"expected at most the 1-row scalar BNLJ, got $bnlj:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"expected the dormancy anti-join:\n$plan")
+    // the recent-orders date filter must prune the anti side's scan
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"anti-side date filter must reach the orders scan:\n$plan")
   }
 
   test("grouping sets plan as one Expand + one aggregation shuffle") {
