@@ -444,4 +444,124 @@ object MultimodalOps {
       }
     }
   }
+
+  // ---- perceptual-hash image dedup (the LAION-style multimodal×dedup
+  // axis): dHash/aHash over really-decoded rasters, Hamming-banded via
+  // the SimHash band discipline (DedupOps.simhashHammingPairsFromSigs).
+
+  /** Perceptual-hash sample grid: payloads downscale to 9×7 by
+    * nearest-neighbor, dHash compares the 8 horizontal neighbor pairs
+    * per row (7×8 = 56 bits), aHash thresholds the 8×7 sub-grid against
+    * its own mean (56 bits). 56 ≤ 63 keeps every band value and the
+    * packed hash inside a non-negative BIGINT on BOTH engines (DuckDB
+    * raises on 1<<63). */
+  private[graft] val PhSampleW = 9
+  private[graft] val PhSampleH = 7
+
+  /** Deterministic NEAR-DUP image law (the dedup fixture law — distinct
+    * from [[lawPixel]]'s smooth gradient, which is dHash-degenerate:
+    * dHash is invariant to constant brightness shifts, so every
+    * gradient image hashes alike). Documents form groups of
+    * `groupSize`: the group id drives the gradient STRUCTURE
+    * (per-axis/cross-term multipliers), so distinct groups hash far
+    * apart; within a group, non-leader members get a sparse +128
+    * perturbation (~2 of the 63 sampled 2×2 blocks), so within-group
+    * dHash distance stays ≤6 — the planted near-dups a perceptual
+    * dedup must find. Closed-form in doc_id: the DuckDB oracle replays
+    * decode→downscale→hash arithmetically. */
+  private[graft] val PhGroupSize = 5L
+  private[graft] val PhW = 18
+  private[graft] val PhH = 14
+  private[graft] def phPixel(id: Long, x: Int, y: Int): Int = {
+    val g = id / PhGroupSize
+    val b = (x * (31 + g % 7) + y * (17 + g % 11) +
+      x * y * (7 + g % 5) + g * 101) % 256
+    if (id % PhGroupSize != 0 && (x / 2 + 9 * (y / 2) + id) % 29 == 0)
+      ((b + 128) % 256).toInt
+    else b.toInt
+  }
+
+  /** Documents → near-dup PNG media table: one real 18×14 PNG per
+    * doc_id rendered from [[phPixel]] and compressed INSIDE executors
+    * (same distributed-encode discipline as [[encodePngMedia]]). */
+  def encodeNearDupPngMedia(docs: DataFrame): DataFrame = {
+    val spark: SparkSession = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false)
+      ids.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          PhW, PhH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < PhH) {
+          var x = 0
+          while (x < PhW) { raster.setSample(x, y, 0, phPixel(id, x, y)); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, "image/png", bos.toByteArray)
+      }
+    }.toDF("media_id", "media_type", "payload")
+  }
+
+  /** Perceptual hashes of a raster: (media_id, dhash, ahash). */
+  final case class PHash(media_id: Long, dhash: Long, ahash: Long)
+
+  /** REAL perceptual-hash extraction: decode each PNG payload with
+    * `javax.imageio`, nearest-neighbor downscale to the 9×7 sample grid
+    * (sx = x·w/9, sy = y·h/7 — the same closed-form kernel
+    * [[resizePngMedia]] uses, so the oracle can replay it), then pack
+    * dHash (neighbor-greater bits) and aHash (above-mean bits) into
+    * 56-bit longs. Partition-batched; narrow, shuffle-free; payload
+    * bytes never reach the driver. At 100 TB this is the cheap map
+    * pass whose output (16 bytes/image) is what the dedup join
+    * actually shuffles. */
+  def perceptualHash(media: DataFrame): Dataset[PHash] = {
+    val spark: SparkSession = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        require(img != null,
+          s"media ${m.media_id}: payload is not a decodable image")
+        val raster = img.getRaster
+        val w = img.getWidth; val h = img.getHeight
+        val p = Array.ofDim[Int](PhSampleH, PhSampleW)
+        var y = 0
+        while (y < PhSampleH) {
+          var x = 0
+          while (x < PhSampleW) {
+            p(y)(x) = raster.getSample(x * w / PhSampleW, y * h / PhSampleH, 0)
+            x += 1
+          }
+          y += 1
+        }
+        var dh = 0L; var ah = 0L; var s = 0L
+        y = 0
+        while (y < PhSampleH) {
+          var x = 0
+          while (x < PhSampleW - 1) {
+            if (p(y)(x + 1) > p(y)(x)) dh |= 1L << (y * 8 + x)
+            s += p(y)(x)
+            x += 1
+          }
+          y += 1
+        }
+        y = 0
+        while (y < PhSampleH) {
+          var x = 0
+          while (x < PhSampleW - 1) {
+            if (56L * p(y)(x) > s) ah |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        PHash(m.media_id, dh, ah)
+      }
+    }
+  }
 }

@@ -16,6 +16,35 @@ object PipelineQueries {
   /** Per-run scratch dir for streaming sinks/checkpoints: deleted up
     * front so every invocation reprocesses from a clean slate (append
     * sinks + checkpoints are run artifacts, not shared fixtures). */
+  /** DuckDB replay of the near-dup image law → 9×7 downscale → dHash +
+    * aHash (MultimodalOps.phPixel/perceptualHash). Sampled raw coords
+    * are (2x, 2y) for sample (x, y) (18×14 render, x·w/9 = 2x kernel);
+    * the perturbation condition collapses to (x + 9y + doc_id) % 29.
+    * 56-bit packing via bit_or of shifted BIGINTs (DuckDB raises on
+    * 1<<63; bit 55 is the ceiling here). */
+  private val phashOracleCte: String =
+    """WITH d AS (SELECT doc_id FROM documents),
+      |grid AS (SELECT doc_id, CAST(y.range AS INT) AS y,
+      |  CAST(x.range AS INT) AS x FROM d, range(7) y, range(9) x),
+      |px AS (SELECT doc_id, y, x,
+      |  CASE WHEN doc_id % 5 <> 0 AND (x + 9*y + doc_id) % 29 = 0
+      |  THEN ((2*x)*(31 + (doc_id//5)%7) + (2*y)*(17 + (doc_id//5)%11)
+      |    + (4*x*y)*(7 + (doc_id//5)%5) + (doc_id//5)*101 + 128) % 256
+      |  ELSE ((2*x)*(31 + (doc_id//5)%7) + (2*y)*(17 + (doc_id//5)%11)
+      |    + (4*x*y)*(7 + (doc_id//5)%5) + (doc_id//5)*101) % 256
+      |  END AS p FROM grid),
+      |dh AS (SELECT a.doc_id,
+      |  bit_or(CASE WHEN b.p > a.p THEN (1::BIGINT << (a.y*8 + a.x))
+      |    ELSE 0::BIGINT END) AS dhash
+      |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.y = b.y
+      |  AND b.x = a.x + 1 WHERE a.x < 8 GROUP BY a.doc_id),
+      |ah AS (SELECT doc_id,
+      |  bit_or(CASE WHEN 56*p > s THEN (1::BIGINT << (y*8 + x))
+      |    ELSE 0::BIGINT END) AS ahash
+      |  FROM (SELECT doc_id, y, x, p,
+      |    sum(p) OVER (PARTITION BY doc_id) AS s FROM px WHERE x < 8)
+      |  GROUP BY doc_id)""".stripMargin.replace("\n", " ")
+
   private def freshWorkDir(prefix: String, dir: String): String = {
     val p = graft.util.Fs.workDir(prefix, dir)
     graft.util.Fs.deleteRec(p.toString)
@@ -46,6 +75,58 @@ object PipelineQueries {
          |CAST(max((x + y + doc_id) % 256) AS INT) AS px_max
          |FROM xy GROUP BY doc_id, wd, ht
          |ORDER BY media_id""".stripMargin.replace("\n", " ")),
+
+    // Perceptual image hashes over a REAL codec round-trip: the
+    // near-dup image law renders one 18×14 PNG per doc in executors
+    // (grouped structure + sparse perturbation — see
+    // MultimodalOps.phPixel), javax.imageio decodes it back, and dHash/
+    // aHash are packed from the 9×7 nearest-neighbor downscale. The
+    // oracle replays decode → downscale → hash arithmetically from the
+    // closed-form law, so a stride/axis/threshold bug shifts the hash.
+    Q("image_phash",
+      (s, dir) => Staged.retrieval(s, dir, "image_phash") {
+          MultimodalOps.perceptualHash(
+            MultimodalOps.encodeNearDupPngMedia(Tables.documents(s, dir)))
+            .toDF()
+        }.orderBy("media_id"),
+      s"""$phashOracleCte
+         |SELECT dh.doc_id AS media_id, dhash, ahash
+         |FROM dh JOIN ah ON dh.doc_id = ah.doc_id
+         |ORDER BY media_id""".stripMargin.replace("\n", " ")),
+
+    // Perceptual-hash image dedup (the LAION-style multimodal×dedup
+    // axis): Hamming-banded dHash self-join — the 56-bit hash splits
+    // into 7 bands of 8 bits, so by pigeonhole every pair at distance
+    // ≤6 agrees on at least one full band; the candidate join is
+    // EQUALITY-keyed on (band, value), never all-pairs, then one
+    // xor+popcount verifies (DedupOps.simhashHammingPairsFromSigs —
+    // the SimHash band discipline reused verbatim). The oracle replays
+    // the hash law and states the all-pairs predicate directly (its
+    // prerogative at 500 rows; the Spark side must stay banded —
+    // LivePlanSpec pins no-cartesian).
+    Q("image_phash_dedup",
+      (s, dir) => {
+        val h = Staged.retrieval(s, dir, "image_phash") {
+          MultimodalOps.perceptualHash(
+            MultimodalOps.encodeNearDupPngMedia(Tables.documents(s, dir)))
+            .toDF()
+        }
+        graft.ops.DedupOps.simhashHammingPairsFromSigs(
+            h.select(col("media_id").as("doc_id"),
+              col("dhash").as("simhash")),
+            nBits = 56, nBands = 7, maxHamming = 6)
+          .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+            col("hamming"))
+          .orderBy("media_a", "media_b")
+      },
+      s"""$phashOracleCte,
+         |hashes AS (SELECT dh.doc_id AS media_id, dhash
+         |  FROM dh JOIN ah ON dh.doc_id = ah.doc_id)
+         |SELECT a.media_id AS media_a, b.media_id AS media_b,
+         |CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+         |FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+         |ORDER BY media_a, media_b""".stripMargin.replace("\n", " ")),
 
     // REAL audio codec round-trip: one RIFF/WAVE payload per doc
     // synthesized + containerized in executors (javax.sound.sampled),

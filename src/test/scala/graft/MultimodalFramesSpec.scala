@@ -103,6 +103,54 @@ class MultimodalFramesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("perceptual hash reproduces the closed-form law through the real codec") {
+    val docs = Tables.documents(spark, dir).limit(60)
+    val got = MultimodalOps.perceptualHash(
+      MultimodalOps.encodeNearDupPngMedia(docs)).collect()
+    assert(got.length == 60)
+    got.foreach { h =>
+      val id = h.media_id
+      val p = Array.tabulate(7, 9)((y, x) =>
+        MultimodalOps.phPixel(id, 2 * x, 2 * y))
+      var dh = 0L; var ah = 0L; var s = 0L
+      for (y <- 0 until 7; x <- 0 until 8) s += p(y)(x)
+      for (y <- 0 until 7; x <- 0 until 8) {
+        if (p(y)(x + 1) > p(y)(x)) dh |= 1L << (y * 8 + x)
+        if (56L * p(y)(x) > s) ah |= 1L << (y * 8 + x)
+      }
+      assert(h.dhash == dh, s"media $id dhash")
+      assert(h.ahash == ah, s"media $id ahash")
+      assert(dh >= 0L && ah >= 0L, "56-bit hashes must stay non-negative")
+    }
+  }
+
+  test("banded phash dedup ≡ brute force, and finds every planted within-group pair") {
+    val docs = Tables.documents(spark, dir).limit(100)
+    val hashes = MultimodalOps.perceptualHash(
+      MultimodalOps.encodeNearDupPngMedia(docs)).toDF()
+    val sigs = hashes.select(col("media_id").as("doc_id"),
+      col("dhash").as("simhash"))
+    val banded = ops.DedupOps.simhashHammingPairsFromSigs(
+        sigs, nBits = 56, nBands = 7, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force on the collected 100 hashes (test-only oracle)
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (a, b, d)).toSet
+    assert(banded == brute,
+      s"banding lost/invented pairs: ${(banded diff brute) ++ (brute diff banded)}")
+    // every within-group (planted near-dup) pair is found
+    val groups = hs.map(_._1).toSeq.groupBy(_ / MultimodalOps.PhGroupSize)
+    val planted: Set[(Long, Long)] = groups.values.toSeq.flatMap { g =>
+      for (a <- g; b <- g if a < b) yield (a, b)
+    }.toSet
+    val foundPairs = banded.map(t => (t._1, t._2))
+    assert(planted.subsetOf(foundPairs),
+      s"missed planted pairs: ${planted diff foundPairs}")
+  }
+
   test("corrupt payload fails loudly, not silently") {
     import spark.implicits._
     val junk = Seq((1L, "image/gif", Array[Byte](1, 2, 3)))
