@@ -84,7 +84,18 @@ object GraphOps {
     pagerankWithIters(edges, iters)._1
 
   /** [[pagerank]] plus the number of iterations actually executed —
-    * `< iters` iff the 12-dp fixed point was reached early. */
+    * `< iters` iff the 12-dp fixed point was reached early.
+    *
+    * CACHE LIFECYCLE: the returned frame is the final round's CACHED
+    * node-sized table, and the cache is owned by the caller —
+    * `unpersist()` it when done. It cannot be dropped here: the round
+    * caches are what break the per-round RDD recomputation chain, so
+    * unpersisting before return would make every downstream action
+    * replay all `iters` rounds. A caller that invokes this repeatedly
+    * without unpersisting (e.g. bench reps) accumulates one node-sized
+    * cached block per call until LRU eviction — harmless for
+    * dimension-sized node sets, but a long-lived service should
+    * unpersist explicitly. */
   def pagerankWithIters(edges: DataFrame, iters: Int): (DataFrame, Int) = {
     val spark = edges.sparkSession
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
@@ -121,10 +132,17 @@ object GraphOps {
       // exact decimal Σ|Δ| — zero ⟺ the 12-dp rank vector is a fixed
       // point (the join is node-keyed equality, dimension-sized here,
       // node-sharded at scale). This action also materializes `next`.
+      // FULL OUTER, not inner: the symmetric-edge-list precondition
+      // fixes the node set each round, but on an input outside that
+      // contract (dangling nodes shrinking one side) an inner join
+      // could drop the divergent rows and report a spurious zero —
+      // a missing side coalesces to a rank the other side can't equal
+      // (ranks are positive), so node-set drift reads as divergence
+      // and the loop runs its full budget instead of stopping wrong.
       val delta = next
-        .join(r.withColumnRenamed("rank", "prev"), Seq("node"))
-        .agg(sum(abs(col("rank").cast(DecimalType(30, 12))
-          - col("prev").cast(DecimalType(30, 12)))))
+        .join(r.withColumnRenamed("rank", "prev"), Seq("node"), "full_outer")
+        .agg(sum(abs(coalesce(col("rank"), lit(-1.0)).cast(DecimalType(30, 12))
+          - coalesce(col("prev"), lit(-1.0)).cast(DecimalType(30, 12)))))
         .first().getDecimal(0)
       converged = delta != null && delta.signum == 0
       r.unpersist()

@@ -24,7 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object UrlOps {
 
-  /** Param names treated as tracking noise (regex alternation). */
+  /** Param names treated as tracking noise (regex alternation) — the
+    * CCNet/C4 web-curation convention. Caveat: bare `ref` is in the
+    * list because referral tags dominate its real-world use, but some
+    * sites carry a CONTENT-BEARING ref= (a resource reference); those
+    * URLs collapse onto one canonical form. That loses nothing for
+    * frequency/quota stats, but if canonical URLs ever become the key
+    * of an EXACT dedup, scope `ref` to known tracking values (or drop
+    * it) so distinct resources don't merge. */
   final val TrackingParams = "utm_[a-z]+|gclid|fbclid|ref|msclkid"
 
   /** Lowercased scheme of a URL literal. */
