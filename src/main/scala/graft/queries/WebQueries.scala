@@ -29,7 +29,7 @@ object WebQueries {
 
   /** Per-domain quota for the sampler (final val: interpolated into
     * oracle SQL at object init). */
-  private final val DomainQuota = 10
+  private[graft] final val DomainQuota = 10
 
   /** Blocked domains — the curation blocklist (spam/SEO-farm stand-in).
     * Tiny by nature: broadcast anti-join, never a shuffle. */
@@ -88,7 +88,7 @@ object WebQueries {
 
   /** The same derivation over an arbitrary (doc_id, source) batch —
     * the streaming twin applies it per micro-batch. */
-  private def urlize(docs: DataFrame): DataFrame =
+  private[graft] def urlize(docs: DataFrame): DataFrame =
     docs.withColumn("url", urlCol)
       .withColumn("domain", UrlOps.domain(urlCol))
 
@@ -273,6 +273,29 @@ object WebQueries {
          |  SELECT domain, doc_id, row_number() OVER (PARTITION BY domain
          |    ORDER BY ${Hashing.sqlMd5Long("CAST(doc_id AS VARCHAR)")} ASC,
          |    doc_id ASC) AS rnk FROM du)
+         |WHERE rnk <= $DomainQuota
+         |ORDER BY domain, samp_rank""".stripMargin.replace("\n", " ")),
+
+    // Streaming twin of the quota sampler — the crawl-frontier quota IN
+    // FLIGHT: per-domain admission counts persist across micro-batches
+    // (flatMapGroupsWithState on domain; one int of state per domain,
+    // bounded by |domains| forever). Streaming admission is FIRST-COME
+    // in ingest (doc_id) order — the batch sampler's md5-rank fill is a
+    // corpus-wide ranking no append stream can honor — so the oracle
+    // ranks by doc_id. Admission depends only on per-domain arrival
+    // position, so any micro-batch slicing yields the identical sample
+    // (StreamingQuotaSpec asserts slicing invariance on explicit
+    // MemoryStream slicings).
+    Q("streaming_domain_quota",
+      (s, dir) => graft.streaming.StreamingQuota
+        .domainQuotaAvailableNow(s, dir, DomainQuota,
+          b => urlize(b).select(col("domain"), col("doc_id")),
+          queryName = "stream_quota_driver")
+        .orderBy("domain", "samp_rank"),
+      s"""WITH $duWith
+         |SELECT domain, doc_id, CAST(rnk AS INT) AS samp_rank FROM (
+         |  SELECT domain, doc_id, row_number() OVER (PARTITION BY domain
+         |    ORDER BY doc_id ASC) AS rnk FROM du)
          |WHERE rnk <= $DomainQuota
          |ORDER BY domain, samp_rank""".stripMargin.replace("\n", " ")))
 }
