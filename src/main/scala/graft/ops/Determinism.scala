@@ -40,6 +40,22 @@ object Determinism {
   def sqlExactAvg(expr: String): String =
     s"(${sqlExactSum(expr)} / COUNT($expr))"
 
+  /** Composite argmin/argmax tie-break key: epoch micros of `ts` scaled
+    * by 10^10 plus the unique `id` — ONE orderable scalar both engines
+    * compare identically, so min_by/max_by(price, key) is deterministic
+    * even when several events share a timestamp (real tick data does;
+    * the ×10 scale fixture provably does). Contract: 0 ≤ id < 10^10 and
+    * ts ≥ epoch (both hold for every fixture and the MakeScale decade
+    * fixtures, whose shifted ids stay under 10^10). Decimal(28,0)
+    * micros × 10^10 tops out at ~27 digits — inside DECIMAL(38,0) on
+    * the Spark side and HUGEINT on DuckDB's. */
+  def tsTieKey(ts: Column, id: Column): Column =
+    unix_micros(ts).cast(DecimalType(28, 0)) * lit(10000000000L) + id
+
+  /** Oracle-SQL twin of [[tsTieKey]]. */
+  def sqlTsTieKey(ts: String, id: String): String =
+    s"(CAST(epoch_us($ts) AS HUGEINT) * 10000000000 + ($id))"
+
   /** IEEE −0.0 → +0.0 (adding +0.0 maps −0.0 to +0.0 and is identity on
     * every other double, NaN/±inf included). A round() landing on zero
     * from below yields −0.0 in one engine and +0.0 in the other —

@@ -473,6 +473,45 @@ object RelationalOps {
         count(lit(1)).as("n_items"))
   }
 
+  /** CONSULT the CMS join-size estimate to pick a join strategy — the
+    * loop from "what a cost-based planner consults" (`join_size_est`)
+    * to a consulted number. The first join's estimated OUTPUT decides
+    * the second join's strategy: an estimated |A⋈B| within
+    * `broadcastRowLimit` broadcasts the joined result into the fact
+    * `c`; anything larger is pinned to a shuffle join. The estimate is
+    * two single-scan d×w sketches + an O(d·w) merge (never a key
+    * exchange, never the join itself) — exactly the number Spark's own
+    * size-in-bytes stats CANNOT give for a join OUTPUT, which is why
+    * engines carry cardinality sketches for multi-join planning.
+    * Both branches hint explicitly: the decision belongs to the
+    * consulted estimate, not to whatever AQE guesses later (AQE still
+    * re-splits skew inside the chosen strategy).
+    *
+    * The sketch's bias is one-sided (AMS inner product over-counts by
+    * collision cross terms, E ≈ nA·nB/w per row), so a wrong answer can
+    * only DECLINE a broadcast that would have fit — the safe direction;
+    * it can never broadcast something the estimate said was small when
+    * it wasn't. Returns (plan, estimatedRows, broadcastChosen). */
+  def estimateAdvisedJoin(a: DataFrame, aKey: String,
+                          b: DataFrame, bKey: String,
+                          c: DataFrame, cKey: String, abProbeKey: String,
+                          d: Int, w: Int,
+                          broadcastRowLimit: Long): (DataFrame, Long, Boolean) = {
+    val est = SketchOps.cmsJoinSizeEst(a, col(aKey), b, col(bKey), d, w)
+      .head().getLong(0)
+    // the first join is left to the optimizer's own stats (its inputs
+    // are scans, where size-in-bytes IS available); only the second
+    // join — whose build side is a join OUTPUT no static stat covers —
+    // consults the sketch. `abProbeKey` is the A-side column the fact
+    // `c` probes on.
+    val ab = a.join(b, col(aKey) === col(bKey))
+    val useBroadcast = est <= broadcastRowLimit
+    val joined =
+      if (useBroadcast) c.join(broadcast(ab), col(cKey) === col(abProbeKey))
+      else c.join(ab.hint("merge"), col(cKey) === col(abProbeKey))
+    (joined, est, useBroadcast)
+  }
+
   /** TPC-H Q13 shape: per-customer order counts with ZERO-order
     * customers kept, rolled into a count-of-counts distribution. The
     * correlated form (`count(*) FROM orders WHERE o_custkey = c_custkey

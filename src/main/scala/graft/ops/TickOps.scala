@@ -65,34 +65,51 @@ object TickOps {
   def validRows(df: DataFrame, cols: Seq[String]): DataFrame =
     df.filter(!invalidPredicate(cols.map(col)))
 
+  /** The open/close argmin/argmax key: the (ts, id) composite
+    * (Determinism.tsTieKey) when the frame carries the unique id
+    * column, else the bare timestamp. Same-timestamp ticks are real
+    * (and the ×10 scale fixture proved a bare-ts key picks different
+    * winners in different engines); id-less callers keep the old
+    * semantics with ties documented as arbitrary. */
+  private def tieKeyOrTs(ticks: DataFrame, ts: String, id: String): Column =
+    if (ticks.columns.contains(id)) Determinism.tsTieKey(col(ts), col(id))
+    else col(ts)
+
   /** Daily OHLC per symbol (A1, `:155-161`). One hash-agg shuffle on
-    * (trade_date, symbol); min_by/max_by replace order-dependent first/last. */
+    * (trade_date, symbol); min_by/max_by replace order-dependent
+    * first/last, keyed on the (ts, id) composite so same-timestamp
+    * ticks — real tick data has them; the ×10 fixture proved the bare
+    * ts key diverges between engines — break ties deterministically. */
   def dailyOhlc(ticks: DataFrame, symbol: String = "symbol",
                 ts: String = "event_ts", price: String = "price",
-                qty: String = "qty"): DataFrame =
+                qty: String = "qty", id: String = "event_id"): DataFrame = {
+    val key = tieKeyOrTs(ticks, ts, id)
     ticks.groupBy(to_date(col(ts)).as("trade_date"), col(symbol))
       .agg(
-        min_by(col(price), col(ts)).as("open"),
+        min_by(col(price), key).as("open"),
         max(col(price)).as("high"),
         min(col(price)).as("low"),
-        max_by(col(price), col(ts)).as("close"),
+        max_by(col(price), key).as("close"),
         count(lit(1)).as("n_ticks"))
+  }
 
   /** N-duration OHLC bars (W4/`:326-340` intent): tumbling window +
     * min_by/max_by — ONE shuffle, vs the reference MV's window-sort +
     * DISTINCT (two wide exchanges). `window()` buckets are epoch-aligned. */
   def ohlcBars(ticks: DataFrame, duration: String,
                symbol: String = "symbol", ts: String = "event_ts",
-               price: String = "price"): DataFrame =
+               price: String = "price", id: String = "event_id"): DataFrame = {
+    val key = tieKeyOrTs(ticks, ts, id)
     ticks.groupBy(window(col(ts), duration).as("w"), col(symbol))
       .agg(
-        min_by(col(price), col(ts)).as("open"),
+        min_by(col(price), key).as("open"),
         max(col(price)).as("high"),
         min(col(price)).as("low"),
-        max_by(col(price), col(ts)).as("close"),
+        max_by(col(price), key).as("close"),
         count(lit(1)).as("n_ticks"))
       .select(col("w.start").as("bar_start"), col(symbol),
         col("open"), col("high"), col("low"), col("close"), col("n_ticks"))
+  }
 
   /** Partial OHLC bar state: [[ohlcBars]]' aggregate plus the first/last
     * tick timestamps the MERGE needs to re-derive open/close across
@@ -100,19 +117,24 @@ object TickOps {
     * is min/max/min_by/max_by/sum, all of which merge associatively). */
   def ohlcPartial(ticks: DataFrame, duration: String,
                   symbol: String = "symbol", ts: String = "event_ts",
-                  price: String = "price"): DataFrame =
+                  price: String = "price", id: String = "event_id"): DataFrame = {
+    val key = tieKeyOrTs(ticks, ts, id)
     ticks.groupBy(window(col(ts), duration).as("w"), col(symbol))
       .agg(
-        min_by(col(price), col(ts)).as("open"),
+        min_by(col(price), key).as("open"),
         max(col(price)).as("high"),
         min(col(price)).as("low"),
-        max_by(col(price), col(ts)).as("close"),
+        max_by(col(price), key).as("close"),
         count(lit(1)).as("n_ticks"),
-        min(col(ts)).as("ts_first"),
-        max(col(ts)).as("ts_last"))
+        // the MERGE's tie-break keys: composite (ts, id) extrema, so a
+        // partial split that lands same-timestamp ticks in different
+        // partials still re-derives the same open/close as recompute
+        min(key).as("key_first"),
+        max(key).as("key_last"))
       .select(col("w.start").as("bar_start"), col(symbol),
         col("open"), col("high"), col("low"), col("close"),
-        col("n_ticks"), col("ts_first"), col("ts_last"))
+        col("n_ticks"), col("key_first"), col("key_last"))
+  }
 
   /** Merge partial bar states into final bars: open follows the
     * earliest partial, close the latest, high/low/n_ticks combine
@@ -126,10 +148,10 @@ object TickOps {
   def ohlcMerge(partials: DataFrame, symbol: String = "symbol"): DataFrame =
     partials.groupBy(col("bar_start"), col(symbol))
       .agg(
-        min_by(col("open"), col("ts_first")).as("open"),
+        min_by(col("open"), col("key_first")).as("open"),
         max(col("high")).as("high"),
         min(col("low")).as("low"),
-        max_by(col("close"), col("ts_last")).as("close"),
+        max_by(col("close"), col("key_last")).as("close"),
         sum(col("n_ticks")).as("n_ticks"))
       .select(col("bar_start"), col(symbol),
         col("open"), col("high"), col("low"), col("close"), col("n_ticks"))
@@ -158,10 +180,15 @@ object TickOps {
     * Kept alongside ohlcBars to prove plan equivalence; the groupBy twin is
     * the scale-preferred form (single shuffle, no sort). */
   def hourlyOhlcMv(ticks: DataFrame, symbol: String = "symbol",
-                   ts: String = "event_ts", price: String = "price"): DataFrame = {
+                   ts: String = "event_ts", price: String = "price",
+                   id: String = "event_id"): DataFrame = {
     val hour = date_trunc("hour", col(ts))
     val part = Window.partitionBy(col(symbol), hour)
-    val ordered = part.orderBy(col(ts))
+    // (ts, id) ordering: same-timestamp ticks sort deterministically,
+    // so first/last over the frame match the groupBy twin's tie-break
+    val ordered =
+      if (ticks.columns.contains(id)) part.orderBy(col(ts), col(id))
+      else part.orderBy(col(ts))
     val full = ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ticks.select(
         col(symbol),

@@ -42,14 +42,18 @@ object StreamingOhlc {
                        maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val ticks = TickOps.normalizeEvents(
       rawEventStream(spark, dir, maxFilesPerTrigger))
+    // (ts, event_id) composite argmin/argmax key — the batch twin's
+    // tie-break, so a stream replaying same-timestamp ticks in any
+    // micro-batch order finalizes identical bars
+    val key = graft.ops.Determinism.tsTieKey(col("event_ts"), col("event_id"))
     ticks
       .withWatermark("event_ts", "1 hour")
       .groupBy(window(col("event_ts"), "1 hour").as("w"), col("symbol"))
       .agg(
-        min_by(col("price"), col("event_ts")).as("open"),
+        min_by(col("price"), key).as("open"),
         max(col("price")).as("high"),
         min(col("price")).as("low"),
-        max_by(col("price"), col("event_ts")).as("close"),
+        max_by(col("price"), key).as("close"),
         count(lit(1)).as("n_ticks"))
       .select(col("w.start").as("bar_start"), col("symbol"),
         col("open"), col("high"), col("low"), col("close"), col("n_ticks"))

@@ -386,6 +386,36 @@ class LivePlanSpec extends AnyFunSuite with SparkTestBase {
       s"anti-side date filter must reach the orders scan:\n$plan")
   }
 
+  test("consulted join-size estimate flips broadcast vs shuffle on a real pair") {
+    // orders⋈customer estimated by the CMS sketch, its OUTPUT joined
+    // into lineitem: the same consulted number must produce a broadcast
+    // second join when it fits the limit and a shuffle join when it
+    // doesn't — the join_size_est artifact actually driving a plan.
+    val orders = Tables.orders(spark, sf)
+    val customer = Tables.customer(spark, sf)
+    val lineitem = Tables.lineitem(spark, sf)
+    val (planB, est, choseB) = ops.RelationalOps.estimateAdvisedJoin(
+      orders, "o_custkey", customer, "c_custkey",
+      lineitem, "l_orderkey", "o_orderkey", 5, 256,
+      broadcastRowLimit = 10000000L)
+    assert(est > 0, "sketch estimate must be positive on the fixture")
+    assert(choseB, s"estimate $est should fit the 10M broadcast limit")
+    val pB = executedPlan(planB)
+    val bIdx = pB.indexOf("BroadcastHashJoin [l_orderkey")
+    assert(bIdx >= 0, s"second join must broadcast the estimated-small result:\n$pB")
+
+    val (planS, est2, choseS) = ops.RelationalOps.estimateAdvisedJoin(
+      orders, "o_custkey", customer, "c_custkey",
+      lineitem, "l_orderkey", "o_orderkey", 5, 256,
+      broadcastRowLimit = 0L)
+    assert(est2 == est, "the consulted number is deterministic")
+    assert(!choseS)
+    val pS = executedPlan(planS)
+    assert(pS.contains("SortMergeJoin [l_orderkey") ||
+      pS.contains("ShuffledHashJoin [l_orderkey"),
+      s"declined broadcast must shuffle the second join:\n$pS")
+  }
+
   test("grouping sets plan as one Expand + one aggregation shuffle") {
     val plan = executedPlan(SparkEntry.queries("sql_grouping_sets")(spark, sf))
     assert(plan.contains("Expand"), s"expected Expand for grouping sets:\n$plan")
