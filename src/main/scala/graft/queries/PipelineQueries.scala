@@ -128,6 +128,45 @@ object PipelineQueries {
          |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
          |ORDER BY media_a, media_b""".stripMargin.replace("\n", " ")),
 
+    // Perceptual-dup CLUSTERS — the step after the pair screen in a
+    // LAION-style image pipeline (keep one exemplar per visual
+    // cluster): min-label propagation (DedupOps.dupClusters — the
+    // text-dedup component machinery reused verbatim) over the banded
+    // dHash pairs; only docs appearing in some pair are labeled, the
+    // text dedup_clusters convention. Oracle: recursive-CTE transitive
+    // closure over the replayed hash law.
+    Q("image_dup_clusters",
+      (s, dir) => {
+        val h = Staged.retrieval(s, dir, "image_phash") {
+          MultimodalOps.perceptualHash(
+            MultimodalOps.encodeNearDupPngMedia(Tables.documents(s, dir)))
+            .toDF()
+        }
+        graft.ops.DedupOps.dupClusters(
+            graft.ops.DedupOps.simhashHammingPairsFromSigs(
+              h.select(col("media_id").as("doc_id"),
+                col("dhash").as("simhash")),
+              nBits = 56, nBands = 7, maxHamming = 6))
+          .select(col("doc_id").as("media_id"), col("cluster_id"))
+          .orderBy("media_id")
+      },
+      s"""${phashOracleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |hashes AS (SELECT dh.doc_id AS media_id, dhash
+         |  FROM dh JOIN ah ON dh.doc_id = ah.doc_id),
+         |prs AS (SELECT a.media_id AS a, b.media_id AS b
+         |  FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6),
+         |edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |clusters AS (
+         |  SELECT a AS media_id, least(a, min(b)) AS cluster_id
+         |  FROM reach GROUP BY a)
+         |SELECT media_id, cluster_id FROM clusters
+         |ORDER BY media_id""".stripMargin.replace("\n", " ")),
+
     // REAL audio codec round-trip: one RIFF/WAVE payload per doc
     // synthesized + containerized in executors (javax.sound.sampled),
     // decoded back through the same stack, whole-clip features
