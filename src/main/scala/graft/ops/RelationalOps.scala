@@ -596,6 +596,99 @@ object RelationalOps {
       .agg(count(lit(1)).as("numwait"))
   }
 
+  /** TPC-H Q11 shape: groups whose aggregate clears a GLOBAL-scalar
+    * threshold (an uncorrelated subquery in HAVING) — here parts whose
+    * revenue exceeds `factor` × the average per-part revenue (TPC-H's
+    * 0.0001/SF constant made scale-free). Decorrelation: the 1-row
+    * global aggregate broadcast-crosses into the per-part aggregate's
+    * filter; one fact scan feeds both via exchange reuse when plans
+    * align, and the threshold compare is exactSum arithmetic on both
+    * engines. */
+  def importantParts(lineitem: DataFrame, factor: Double): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+    val perPart = lineitem.groupBy(col("l_partkey"))
+      .agg(exactSum(rev).as("value"))
+    val global = lineitem.agg(
+      (lit(factor) * exactSum(rev) / countDistinct(col("l_partkey")))
+        .as("threshold"))
+    perPart.crossJoin(broadcast(global))
+      .filter(col("value") > col("threshold"))
+      .select(col("l_partkey"), col("value"))
+  }
+
+  /** TPC-H Q15 shape: argmax against an aggregated view — the
+    * supplier(s) whose windowed revenue EQUALS the view's max (a scalar
+    * subquery over the same aggregate). Decorrelation: the revenue view
+    * aggregates once; its 1-row max broadcast-crosses back as an
+    * equality filter (exact decimal sums make the double equality
+    * engine-portable); supplier is a broadcast dim. */
+  def topRevenueSupplier(lineitem: DataFrame, supplier: DataFrame,
+                         fromDate: String, toDate: String): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(fromDate).cast("date") &&
+        col("l_shipdate") < lit(toDate).cast("date"))
+      .groupBy(col("l_suppkey"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** TPC-H Q16 shape: distinct-supplier counts per part attribute with
+    * a NOT-IN exclusion set — suppliers with a negative balance (the
+    * fixture's complaints stand-in) never count. Decorrelation: NOT IN
+    * over a non-null key column is a left_anti join; the exclusion set
+    * and the filtered part attributes both broadcast, so the fact scan
+    * never shuffles before the distinct-count aggregate. */
+  def supplierCountByPartAttrs(lineitem: DataFrame, part: DataFrame,
+                               supplier: DataFrame, excludeBrand: String,
+                               sizes: Seq[Int]): DataFrame = {
+    val excluded = supplier.filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    val parts = part
+      .filter(col("p_brand") =!= excludeBrand && col("p_size").isin(sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    lineitem.select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q20 shape: membership in a correlated agg-vs-agg threshold —
+    * suppliers whose PROMO-part quantity in the window exceeds `frac` ×
+    * their total shipped quantity (TPC-H's available-stock comparison
+    * re-keyed to the fixture, which has no partsupp). Decorrelation:
+    * the correlated per-supplier sums collapse into ONE grouped
+    * aggregate with a conditional sum — the IN-subquery becomes a
+    * semi-join of the qualifying keys into the supplier dim (broadcast:
+    * qualifying keys ≤ |suppliers|). */
+  def promoHeavySuppliers(lineitem: DataFrame, part: DataFrame,
+                          supplier: DataFrame, fromDate: String,
+                          toDate: String, frac: Double): DataFrame = {
+    val promoParts = part.select(col("p_partkey"),
+      (col("p_type") === "PROMO").as("is_promo"))
+    val qualifying = lineitem
+      .filter(col("l_shipdate") >= lit(fromDate).cast("date") &&
+        col("l_shipdate") < lit(toDate).cast("date"))
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(
+        exactSum(when(col("is_promo"), col("l_quantity")).otherwise(0.0))
+          .as("promo_qty"),
+        exactSum(col("l_quantity")).as("total_qty"))
+      .filter(col("promo_qty") > lit(frac) * col("total_qty"))
+      .select(col("l_suppkey"))
+    supplier.join(broadcast(qualifying),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+  }
+
   /** TPC-H Q22 shape: high-balance customers in a code set with no
     * RECENT orders — NOT-IN/NOT-EXISTS anti-join + an uncorrelated
     * scalar subquery + substring grouping. Decorrelation: the scalar avg

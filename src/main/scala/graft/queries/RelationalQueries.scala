@@ -499,6 +499,85 @@ object RelationalQueries {
          |GROUP BY cntrycode ORDER BY cntrycode"""
         .stripMargin.replace("\n", " ")),
 
+    // TPC-H Q11 shape: HAVING against a global scalar (uncorrelated
+    // subquery) — parts whose revenue clears 1.5× the average per-part
+    // revenue (scale-free where TPC-H's constant is 0.0001/SF). The
+    // 1-row global aggregate broadcast-crosses into the filter.
+    Q("q11_important_parts",
+      (s, dir) => RelationalOps.importantParts(Tables.lineitem(s, dir), 1.5)
+        .orderBy(desc("value"), col("l_partkey")),
+      s"""SELECT l_partkey,
+         |${sqlExactSum("l_extendedprice * (1 - l_discount)")} AS value
+         |FROM lineitem GROUP BY l_partkey
+         |HAVING ${sqlExactSum("l_extendedprice * (1 - l_discount)")} > (
+         |  SELECT 1.5 * ${sqlExactSum("l_extendedprice * (1 - l_discount)")}
+         |    / COUNT(DISTINCT l_partkey) FROM lineitem)
+         |ORDER BY value DESC, l_partkey"""
+        .stripMargin.replace("\n", " ")),
+
+    // TPC-H Q15 shape: argmax against an aggregated view — the
+    // supplier(s) whose Q1-1996 revenue equals the view's max (scalar
+    // subquery over the same aggregate; exact decimal sums make the
+    // double equality engine-portable).
+    Q("q15_top_supplier",
+      (s, dir) => RelationalOps.topRevenueSupplier(
+          Tables.lineitem(s, dir), Tables.supplier(s, dir),
+          "1996-01-01", "1996-04-01")
+        .orderBy("s_suppkey"),
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |  ${sqlExactSum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= DATE '1996-01-01'
+         |  AND l_shipdate < DATE '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin.replace("\n", " ")),
+
+    // TPC-H Q16 shape: NOT-IN exclusion + distinct-count per attribute
+    // triple — negative-balance suppliers (the complaints stand-in)
+    // excluded via left_anti, then count(DISTINCT supplier) per
+    // (brand, type, size) over a brand/size-filtered part set.
+    Q("q16_supplier_count",
+      (s, dir) => RelationalOps.supplierCountByPartAttrs(
+          Tables.lineitem(s, dir), Tables.part(s, dir),
+          Tables.supplier(s, dir), "Brand#1", Seq(1, 5, 9, 13))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
+          col("p_size")),
+      """SELECT p_brand, p_type, p_size,
+        |CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13)
+        |AND l_suppkey NOT IN (
+        |  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+        .stripMargin.replace("\n", " ")),
+
+    // TPC-H Q20 shape: IN-membership over a correlated agg-vs-agg
+    // threshold — suppliers whose 1996 PROMO quantity exceeds 15% of
+    // their total 1996 quantity (the available-stock comparison
+    // re-keyed; the fixture has no partsupp). The oracle states the
+    // IN + HAVING form; Spark collapses both correlated sums into one
+    // conditional aggregate and semi-joins the qualifying keys.
+    Q("q20_promo_heavy_suppliers",
+      (s, dir) => RelationalOps.promoHeavySuppliers(
+          Tables.lineitem(s, dir), Tables.part(s, dir),
+          Tables.supplier(s, dir), "1996-01-01", "1997-01-01", 0.15)
+        .orderBy("s_suppkey"),
+      s"""SELECT s_suppkey, s_name FROM supplier
+         |WHERE s_suppkey IN (
+         |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= DATE '1996-01-01'
+         |  AND l_shipdate < DATE '1997-01-01'
+         |  GROUP BY l_suppkey
+         |  HAVING ${sqlExactSum(
+             "CASE WHEN p_type = 'PROMO' THEN l_quantity ELSE 0.0 END")}
+         |  > 0.15 * ${sqlExactSum("l_quantity")})
+         |ORDER BY s_suppkey""".stripMargin.replace("\n", " ")),
+
     // Snapshot diff — the table-versioning audit (Delta/Iceberg
     // time-travel's "what changed" query as an explicit operator):
     // v2 is derived from orders by a deterministic mutation script

@@ -386,6 +386,34 @@ class LivePlanSpec extends AnyFunSuite with SparkTestBase {
       s"anti-side date filter must reach the orders scan:\n$plan")
   }
 
+  test("Q11/Q15: global-scalar thresholds ride a 1-row broadcast cross, no cartesian") {
+    Seq("q11_important_parts", "q15_top_supplier").foreach { n =>
+      val plan = executedPlan(SparkEntry.queries(n)(spark, sf))
+      assert(!plan.contains("CartesianProduct"),
+        s"$n planned a cartesian product:\n$plan")
+      // the only nested-loop allowed is the broadcast of the 1-row
+      // global aggregate (threshold / max) — decorrelating an
+      // uncorrelated scalar subquery
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+      assert(bnlj <= 1, s"$n: expected at most the 1-row scalar BNLJ, got $bnlj:\n$plan")
+    }
+  }
+
+  test("Q16/Q20: exclusion and membership stay broadcast anti/semi joins") {
+    val p16 = executedPlan(SparkEntry.queries("q16_supplier_count")(spark, sf))
+    assert(p16.contains("LeftAnti"),
+      s"Q16 NOT IN must decorrelate to an anti-join:\n$p16")
+    assert(!p16.contains("CartesianProduct") &&
+      !p16.contains("BroadcastNestedLoopJoin"),
+      s"Q16 degenerated to a non-equi join:\n$p16")
+    val p20 = executedPlan(SparkEntry.queries("q20_promo_heavy_suppliers")(spark, sf))
+    assert(p20.contains("LeftSemi"),
+      s"Q20 IN must decorrelate to a semi-join:\n$p20")
+    assert(!p20.contains("CartesianProduct") &&
+      !p20.contains("BroadcastNestedLoopJoin"),
+      s"Q20 degenerated to a non-equi join:\n$p20")
+  }
+
   test("consulted join-size estimate flips broadcast vs shuffle on a real pair") {
     // orders⋈customer estimated by the CMS sketch, its OUTPUT joined
     // into lineitem: the same consulted number must produce a broadcast
