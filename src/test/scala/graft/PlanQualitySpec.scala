@@ -133,7 +133,13 @@ class PlanQualitySpec extends AnyFunSuite {
     "typo_retrieval_eval" ->
       "contains the whitelisted raw/corrected/colbert arms + stats scalars",
     "bm25_capped_eval" ->
-      "1-row doc-count/posting-count scalars, broadcast (knob eval)")
+      "1-row doc-count/posting-count scalars, broadcast (knob eval)",
+    "q22_dormant_customers" ->
+      "1-row cohort-average scalar, broadcast (uncorrelated subquery)",
+    "q11_important_parts" ->
+      "1-row global revenue-threshold scalar, broadcast (HAVING subquery)",
+    "q15_top_supplier" ->
+      "1-row view-max scalar, broadcast (argmax against the agg view)")
 
   private def sections: Seq[(String, String)] = {
     val parts = plans.split("\n## ").toSeq.drop(1)
