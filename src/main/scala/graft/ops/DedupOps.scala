@@ -347,13 +347,20 @@ object DedupOps {
       // RELIABLE checkpointing is the cluster-safe lineage truncation
       // (localCheckpoint would make lost executors fatal and its blocks
       // aren't freeable via Dataset.unpersist).
-      val next = edges
+      val stepped = edges
         .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
         .select(col("src").as("id"), col("cluster_id"))
         .unionByName(labels)
         .groupBy(col("id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
-        .cache()
+      // lineage truncation (the pagerank discipline, GraphOps:
+      // constant-size plan per round): `labels` appears TWICE per round
+      // (join + union), so without the LogicalRDD boundary the logical
+      // plan DOUBLES every round — 2^k growth that at sf0.1's deeper
+      // cluster graph produced a 2 GB plan string and OOM'd the driver
+      // in AQE's explainString before any data moved
+      val next = edges.sparkSession
+        .createDataFrame(stepped.rdd, stepped.schema).cache()
       val s = labelSum(next)
       converged = (s, prevSum) match {
         case (Some(a), Some(b)) => a.compareTo(b) == 0

@@ -8,11 +8,11 @@ import org.apache.spark.sql.types.DecimalType
   * the co-occurrence-graph + iterative-ranking family (the dedup
   * connected-components op's directed, weighted sibling).
   *
-  * Determinism: ranks are re-rounded to 12 dp every iteration, per-edge
-  * contributions are rounded to 12 dp BEFORE the sum, sums run in
-  * DECIMAL(30,12) (exact, order-free), and the damping multiply runs in
-  * decimal space (0.85 × a 12-dp decimal is an exact 14-dp decimal whose
-  * 12-dp round can land on a .5 boundary — double-space rounding there
+  * Determinism: ranks are re-rounded to 9 dp every iteration, per-edge
+  * contributions are rounded to 9 dp BEFORE the sum, sums run in
+  * DECIMAL(30,9) (exact, order-free), and the damping multiply runs in
+  * decimal space (0.85 × a 9-dp decimal is an exact 11-dp decimal whose
+  * 9-dp round can land on a .5 boundary — double-space rounding there
   * would diverge between engines; decimal-space HALF_UP cannot). Both
   * engines therefore iterate the IDENTICAL rational sequence.
   *
@@ -59,9 +59,15 @@ object GraphOps {
     * d = 0.85, up to `iters` iterations with FIXED-POINT early stop.
     * Nodes are the edge endpoints (a symmetric edge list has no
     * dangling nodes — every node with out-edges has in-edges).
-    * Returns (node, rank) with ranks on the deterministic 12-dp grid.
+    * Returns (node, rank) with ranks on the deterministic 9-dp grid.
+    * (9, not 12: each engine rounds doubles its own way — Spark exact
+    * BigDecimal HALF_UP, DuckDB via a 10^k multiply — and at 12 dp the
+    * multiply's ~1.5e-5-unit representation error flipped the last
+    * digit on 2 of 1550 sf0.1 nodes. At 9 dp the error margin is
+    * ~1.5e-8 units, making a flip astronomically unlikely while the
+    * grid still resolves centrality differences of 1e-9.)
     *
-    * Convergence: because every rank lives on the 12-dp grid, the
+    * Convergence: because every rank lives on the 9-dp grid, the
     * iteration can land EXACTLY on a fixed point — and once the rank
     * vector is unchanged, every further iteration is the identity, so
     * stopping early returns bit-identical ranks to running the full
@@ -84,7 +90,7 @@ object GraphOps {
     pagerankWithIters(edges, iters)._1
 
   /** [[pagerank]] plus the number of iterations actually executed —
-    * `< iters` iff the 12-dp fixed point was reached early.
+    * `< iters` iff the 9-dp fixed point was reached early.
     *
     * CACHE LIFECYCLE: the returned frame is the final round's CACHED
     * node-sized table, and the cache is owned by the caller —
@@ -103,53 +109,63 @@ object GraphOps {
       .select(col("src"), col("dst"), col("w"), col("outw"))
       .cache()
     val nodes = e.select(col("src").as("node")).distinct()
-    val n = nodes.count().toDouble
-    // both the init and teleport constants are computed by the SAME
-    // round-a-double-to-12dp primitive the oracle uses, not a driver
-    // BigDecimal with different rounding provenance
-    val init = round(lit(1.0) / lit(n), 12)
-    val teleport = round(lit(0.15) / lit(n), 12).cast(DecimalType(30, 12))
-    val dDec = lit(new java.math.BigDecimal("0.85"))
-    var r = nodes.select(col("node"), init.cast("double").as("rank")).cache()
+    val nLong = nodes.count()
+    // INTEGER nano-unit iteration: every 9-dp round is round-half-up
+    // expressed as pure BIGINT arithmetic, (2a + b) div (2b) for a/b —
+    // bit-identical in ANY engine. Float/decimal rounding is NOT
+    // portable here: contributions rank·w/outw land EXACTLY on .5 grid
+    // boundaries whenever outw's factors are all 2s and 5s (outw = 2 is
+    // every two-interaction user), and there Spark's exact-BigDecimal
+    // HALF_UP and DuckDB's multiply-by-10^k double round disagree
+    // systematically (4 of 1505 sf0.1 nodes, all hubs). Integer
+    // arithmetic has no such boundary: the half-up decision IS the
+    // arithmetic. Overflow bound: 2·rank_nanos·w ≤ 2e9·w fits BIGINT
+    // for w < 4.6e9 (edge weights are per-pair interaction counts).
+    val initNanos = (2000000000L + nLong) / (2L * nLong)
+    val teleportNanos = (300000000L + nLong) / (2L * nLong)
+    var r = nodes.select(col("node"),
+      lit(initNanos).as("rank_nanos")).cache()
     var it = 0
     var converged = false
     while (it < iters && !converged) {
       val stepped = e.join(r, e("src") === r("node"))
         .select(col("dst"),
-          round(col("rank") * col("w") / col("outw"), 12).as("c"))
+          expr("(2 * rank_nanos * w + outw) div (2 * outw)").as("c"))
         .groupBy(col("dst"))
-        .agg(sum(col("c").cast(DecimalType(30, 12))).as("s"))
-        // the sum narrows to DECIMAL(20,12) before the damping multiply:
-        // at Spark's default widths 0.85 × a 38-precision decimal would
-        // overflow 38 and silently REDUCE scale (to 11), diverging from
-        // the oracle's exact 14-dp product; 20+2+1 = 23 never adjusts
+        .agg(sum(col("c")).as("s"))
+        // damping 0.85·s at 9 dp = round_half_up(85·s/100) =
+        // (170·s + 100) div 200; teleport adds as exact nanos
         .select(col("dst").as("node"),
-          round(teleport +
-            round(dDec * col("s").cast(DecimalType(20, 12)), 12), 12)
-            .cast("double").as("rank"))
+          (lit(teleportNanos) +
+            expr("(170 * s + 100) div 200")).as("rank_nanos"))
       // lineage truncation: constant-size plan per round (see above)
       val next = spark.createDataFrame(stepped.rdd, stepped.schema).cache()
-      // exact decimal Σ|Δ| — zero ⟺ the 12-dp rank vector is a fixed
-      // point (the join is node-keyed equality, dimension-sized here,
-      // node-sharded at scale). This action also materializes `next`.
-      // FULL OUTER, not inner: the symmetric-edge-list precondition
-      // fixes the node set each round, but on an input outside that
-      // contract (dangling nodes shrinking one side) an inner join
-      // could drop the divergent rows and report a spurious zero —
-      // a missing side coalesces to a rank the other side can't equal
-      // (ranks are positive), so node-set drift reads as divergence
-      // and the loop runs its full budget instead of stopping wrong.
-      val delta = next
-        .join(r.withColumnRenamed("rank", "prev"), Seq("node"), "full_outer")
-        .agg(sum(abs(coalesce(col("rank"), lit(-1.0)).cast(DecimalType(30, 12))
-          - coalesce(col("prev"), lit(-1.0)).cast(DecimalType(30, 12)))))
-        .first().getDecimal(0)
-      converged = delta != null && delta.signum == 0
+      // exact integer Σ|Δ| — zero ⟺ the nano-grid rank vector is a
+      // fixed point (the join is node-keyed equality, dimension-sized
+      // here, node-sharded at scale). This action also materializes
+      // `next`. FULL OUTER, not inner: the symmetric-edge-list
+      // precondition fixes the node set each round, but on an input
+      // outside that contract (dangling nodes shrinking one side) an
+      // inner join could drop the divergent rows and report a spurious
+      // zero — a missing side coalesces to a value the other side
+      // can't equal (ranks are positive), so node-set drift reads as
+      // divergence and the loop runs its full budget instead of
+      // stopping wrong.
+      val deltaRow = next
+        .join(r.withColumnRenamed("rank_nanos", "prev"), Seq("node"),
+          "full_outer")
+        .agg(sum(abs(coalesce(col("rank_nanos"), lit(-1L))
+          - coalesce(col("prev"), lit(-1L)))))
+        .first()
+      converged = !deltaRow.isNullAt(0) && deltaRow.getLong(0) == 0L
       r.unpersist()
       r = next
       it += 1
     }
     e.unpersist()
-    (r, it)
+    // publish on the 9-dp double grid: nanos/1e9 is one IEEE division,
+    // identical in both engines
+    (r.select(col("node"),
+      (col("rank_nanos").cast("double") / lit(1e9)).as("rank")), it)
   }
 }

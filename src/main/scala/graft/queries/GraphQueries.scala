@@ -48,7 +48,7 @@ object GraphQueries {
        |gew AS (SELECT ge.src, ge.dst, ge.w, gow.outw
        |  FROM ge JOIN gow ON ge.src = gow.src),
        |gnodes AS (SELECT DISTINCT src AS node FROM ge),
-       |gnn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM gnodes)"""
+       |gnn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM gnodes)"""
       .stripMargin.replace("\n", " ")
 
   val all: Seq[Q] = Seq(
@@ -73,28 +73,28 @@ object GraphQueries {
     // (each superstep = one equality join + one bounded aggregate, the
     // message-passing shape that shards by node key on a billion-node
     // graph). NO pinned constants: both engines iterate the identical
-    // 12-dp rational sequence from the raw events (contributions
-    // rounded before DECIMAL sums; damping multiply in decimal space —
-    // see GraphOps), so the oracle match proves ten chained
-    // fixed-point steps bit-for-bit.
+    // INTEGER nano-unit sequence from the raw events — every 9-dp
+    // half-up round is (2a + b) // (2b) on BIGINTs (see GraphOps: float
+    // and decimal rounding disagree between engines exactly on the .5
+    // boundaries that power-of-2/5 out-degrees produce), so the oracle
+    // match proves ten chained fixed-point steps bit-for-bit.
     Q("graph_pagerank",
       (s, dir) => ranks(s, dir).orderBy("node"),
       s"""WITH RECURSIVE $edgesWith,
-         |pr(it, node, rank) AS (
-         |  SELECT 0, node, CAST(round(CAST(1.0 AS DOUBLE) / n, 12)
-         |    AS DOUBLE)
+         |pr(it, node, rank_nanos) AS (
+         |  SELECT 0, node, (2000000000 + n) // (2 * n)
          |  FROM gnodes CROSS JOIN gnn
          |  UNION ALL
-         |  SELECT it + 1, dst, CAST(round(
-         |    CAST(round(CAST(0.15 AS DOUBLE) / n, 12) AS DECIMAL(30,12)) +
-         |    round(CAST(0.85 AS DECIMAL(3,2)) *
-         |      CAST(s AS DECIMAL(20,12)), 12), 12) AS DOUBLE)
+         |  SELECT it + 1, dst,
+         |    (SELECT (300000000 + n) // (2 * n) FROM gnn)
+         |    + (170 * s + 100) // 200
          |  FROM (
          |    SELECT pr.it, gew.dst,
-         |    SUM(CAST(round(pr.rank * gew.w / gew.outw, 12)
-         |      AS DECIMAL(30,12))) AS s
+         |    SUM((2 * pr.rank_nanos * gew.w + gew.outw)
+         |      // (2 * gew.outw)) AS s
          |    FROM pr JOIN gew ON pr.node = gew.src
-         |    WHERE pr.it < $PrIters GROUP BY 1, 2) CROSS JOIN gnn)
-         |SELECT node, rank FROM pr WHERE it = $PrIters
+         |    WHERE pr.it < $PrIters GROUP BY 1, 2))
+         |SELECT node, CAST(rank_nanos AS DOUBLE) / 1e9 AS rank
+         |FROM pr WHERE it = $PrIters
          |ORDER BY node""".stripMargin.replace("\n", " ")))
 }

@@ -34,8 +34,8 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       GraphOps.bipartiteEdges(events, "trader_id", "symbol"), 10)
       .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
     val mass = r.values.sum
-    // per-node 12-dp rounding drifts mass by at most nodes × 5e-13
-    assert(math.abs(mass - 1.0) < 1e-9, s"mass $mass")
+    // per-node 9-dp rounding drifts mass by at most nodes × 5e-10
+    assert(math.abs(mass - 1.0) < 1e-7, s"mass $mass")
     // 'hub' is touched by all four users — it must outrank every
     // other symbol (u:1 touches 4 symbols and ties hub exactly by
     // symmetry, so users are compared with ≥)
@@ -48,7 +48,7 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("pagerank stops early at the 12-dp fixed point with unchanged ranks") {
+  test("pagerank stops early at the 9-dp fixed point with unchanged ranks") {
     // a symmetric 2-clique: both nodes hold rank 0.5 from the first
     // step on, so the exact-decimal Σ|Δ| hits zero immediately and the
     // loop must stop long before the cap — with ranks bit-identical to
