@@ -319,9 +319,17 @@ object DedupOps {
     * @return (doc_id, cluster_id = min doc_id of the component) for every
     *         doc appearing in a pair */
   def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // lineage truncation BEFORE the loop, not just per round: a cached
+    // frame still CARRIES its full logical plan (the banded candidate
+    // join, the phash pipeline, ...), and every round's planning
+    // re-analyzes that whole tree — measured 0.5 s of driver planning
+    // per round against ~0.17 s of actual work at sf0.1. Behind a
+    // LogicalRDD the per-round plan is three tiny operators.
+    val edges0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().cache()
+      .distinct()
+    val edges = pairs.sparkSession
+      .createDataFrame(edges0.rdd, edges0.schema).cache()
     // labels sum (decimal — no ANSI long overflow at any scale) doubles
     // as the convergence signal: min-label propagation only ever
     // DECREASES labels, so an unchanged sum ⟺ a fixed point. Summing
@@ -347,10 +355,26 @@ object DedupOps {
       // RELIABLE checkpointing is the cluster-safe lineage truncation
       // (localCheckpoint would make lost executors fatal and its blocks
       // aren't freeable via Dataset.unpersist).
+      // PATH COMPRESSION (pointer doubling): alongside each neighbor's
+      // label, every node also adopts its label's OWN label —
+      // min(neighbors, self, label(label)), cutting convergence from
+      // O(diameter) toward O(log diameter) rounds. Labels still only
+      // DECREASE, so the sum convergence signal and the
+      // component-minimum fixed point are unchanged. Measured at
+      // sf0.1's phash graph: 12 rounds / 7.0 s warm with compression
+      // vs ~16 rounds / 8.2 s without — the win grows with chain
+      // length (a 100-long chain is ~7 rounds instead of 100, the
+      // 100 TB case this guards).
+      val viaLabel = labels
+        .join(labels.select(col("id").as("lid"),
+            col("cluster_id").as("lcluster")),
+          col("cluster_id") === col("lid"))
+        .select(col("id"), col("lcluster").as("cluster_id"))
       val stepped = edges
         .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
         .select(col("src").as("id"), col("cluster_id"))
         .unionByName(labels)
+        .unionByName(viaLabel)
         .groupBy(col("id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
       // lineage truncation (the pagerank discipline, GraphOps:
