@@ -40,21 +40,34 @@ object Determinism {
   def sqlExactAvg(expr: String): String =
     s"(${sqlExactSum(expr)} / COUNT($expr))"
 
-  /** Composite argmin/argmax tie-break key: epoch micros of `ts` scaled
-    * by 10^10 plus the unique `id` — ONE orderable scalar both engines
-    * compare identically, so min_by/max_by(price, key) is deterministic
-    * even when several events share a timestamp (real tick data does;
-    * the ×10 scale fixture provably does). Contract: 0 ≤ id < 10^10 and
-    * ts ≥ epoch (both hold for every fixture and the MakeScale decade
-    * fixtures, whose shifted ids stay under 10^10). Decimal(28,0)
-    * micros × 10^10 tops out at ~27 digits — inside DECIMAL(38,0) on
-    * the Spark side and HUGEINT on DuckDB's. */
+  /** Composite argmin/argmax tie-break key: a (epoch-micros, id) STRUCT,
+    * compared lexicographically — so min_by/max_by(price, key) is
+    * deterministic even when several events share a timestamp (real tick
+    * data does; the ×10 scale fixture provably does). Structs beat the
+    * round-9 DECIMAL(38,0) scalar (micros·10^10 + id) two ways:
+    * (1) NO range contract — any timestamp, any id magnitude; the
+    * decimal form silently bled ids ≥ 10^10 into the timestamp digits,
+    * and a BIGINT rebase can't hold both a multi-month micros span and
+    * a wide id in 63 bits; (2) the per-row hot-path comparison is two
+    * long compares instead of 38-digit decimal multiply-adds — measured
+    * ~2× on the whole OHLC family (BASELINE.md round 11). Remaining
+    * contract: `id` is UNIQUE (ties beyond (ts,id) are impossible) and
+    * both fields non-null on aggregated rows. */
   def tsTieKey(ts: Column, id: Column): Column =
-    unix_micros(ts).cast(DecimalType(28, 0)) * lit(10000000000L) + id
+    struct(unix_micros(ts).as("k1"), id.as("k2"))
 
-  /** Oracle-SQL twin of [[tsTieKey]]. */
-  def sqlTsTieKey(ts: String, id: String): String =
-    s"(CAST(epoch_us($ts) AS HUGEINT) * 10000000000 + ($id))"
+  /** Oracle-SQL twin of a Spark `min_by(value, tsTieKey(ts,id))`.
+    * DuckDB 1.0's arg_min can't take a STRUCT ordering key, but its
+    * min() over a struct IS lexicographic, so the twin packs the key
+    * fields ahead of the value and extracts `.v` from the struct
+    * extremum. `value` must be non-null (a null field would put the
+    * whole struct under engine-specific null ordering). */
+  def sqlArgMinTs(value: String, ts: String, id: String): String =
+    s"(min(struct_pack(k1 := epoch_us($ts), k2 := ($id), v := ($value)))).v"
+
+  /** Oracle-SQL twin of `max_by(value, tsTieKey(ts,id))`. */
+  def sqlArgMaxTs(value: String, ts: String, id: String): String =
+    s"(max(struct_pack(k1 := epoch_us($ts), k2 := ($id), v := ($value)))).v"
 
   /** IEEE −0.0 → +0.0 (adding +0.0 maps −0.0 to +0.0 and is identity on
     * every other double, NaN/±inf included). A round() landing on zero

@@ -386,8 +386,7 @@ object AnalyticsQueries {
       },
       s"""WITH bars AS (
          |  SELECT make_timestamp((epoch_us(event_ts) // 3600000000) * 3600000000) AS bar_start,
-         |  symbol, arg_max(price,
-         |    ${graft.ops.Determinism.sqlTsTieKey("event_ts", "event_id")})
+         |  symbol, ${graft.ops.Determinism.sqlArgMaxTs("price", "event_ts", "event_id")}
          |    AS close, count(*) AS n_ticks
          |  FROM ($normalizedSql) GROUP BY 1, 2),
          |bounds AS (SELECT symbol, min(bar_start) AS t0, max(bar_start) AS t1

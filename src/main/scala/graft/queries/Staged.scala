@@ -568,4 +568,14 @@ object Staged {
     registerCleanup(s)
     retrMemo.getOrElseUpdate((s, dir, tag), build.cache())
   }
+
+  /** The retrieval-artifact tags currently staged for a session —
+    * StagedLifecycleSpec's prewarm-coverage probe (a staged key that
+    * only appears when a QUERY runs means prewarm missed it and the
+    * bench bills that build to the first rep — the round-10
+    * typo_retrieval_eval `weak` was exactly this shape). */
+  def retrievalKeys(s: SparkSession, dir: String): Set[String] =
+    retrMemo.keysIterator.collect {
+      case (ks, kd, tag) if ks == s && kd == dir => tag
+    }.toSet
 }

@@ -23,23 +23,26 @@ object TickQueries {
       |CAST(json_extract_string(props, '$.k') AS DOUBLE) AS qty, event_id
       |FROM events""".stripMargin.replace("\n", " ")
 
-  /** The open/close argmin/argmax key: (event_ts, event_id) composite —
-    * Determinism.sqlTsTieKey, matching TickOps' tsTieKey, so bars stay
-    * engine-deterministic when several ticks share a timestamp. */
-  private val tieKey: String =
-    graft.ops.Determinism.sqlTsTieKey("event_ts", "event_id")
+  /** The open/close argmin/argmax twins on the (event_ts, event_id)
+    * struct key — Determinism.sqlArgMinTs/sqlArgMaxTs, matching TickOps'
+    * tsTieKey, so bars stay engine-deterministic when several ticks
+    * share a timestamp. */
+  private def argMinTs(v: String): String =
+    graft.ops.Determinism.sqlArgMinTs(v, "event_ts", "event_id")
+  private def argMaxTs(v: String): String =
+    graft.ops.Determinism.sqlArgMaxTs(v, "event_ts", "event_id")
 
   private def ohlcSql(bucketUs: Long, where: String = ""): String =
     s"""SELECT make_timestamp((epoch_us(event_ts) // $bucketUs) * $bucketUs) AS bar_start,
-       |symbol, arg_min(price, $tieKey) AS open, max(price) AS high,
-       |min(price) AS low, arg_max(price, $tieKey) AS close,
+       |symbol, ${argMinTs("price")} AS open, max(price) AS high,
+       |min(price) AS low, ${argMaxTs("price")} AS close,
        |count(*) AS n_ticks
        |FROM ($normalizedSql) $where GROUP BY 1, 2""".stripMargin.replace("\n", " ")
 
   private[queries] val dailySql =
     s"""SELECT CAST(event_ts AS DATE) AS trade_date, symbol,
-       |arg_min(price, $tieKey) AS open, max(price) AS high,
-       |min(price) AS low, arg_max(price, $tieKey) AS close,
+       |${argMinTs("price")} AS open, max(price) AS high,
+       |min(price) AS low, ${argMaxTs("price")} AS close,
        |count(*) AS n_ticks
        |FROM ($normalizedSql) GROUP BY 1, 2""".stripMargin.replace("\n", " ")
 
@@ -112,8 +115,8 @@ object TickQueries {
       (s, dir) => TickOps.hourlyOhlcMv(ticks(s, dir))
         .orderBy("symbol", "bar_hour"),
       s"""SELECT symbol, make_timestamp((epoch_us(event_ts) // 3600000000) * 3600000000) AS bar_hour,
-         |arg_min(price, $tieKey) AS open, max(price) AS high, min(price) AS low,
-         |arg_max(price, $tieKey) AS close
+         |${argMinTs("price")} AS open, max(price) AS high, min(price) AS low,
+         |${argMaxTs("price")} AS close
          |FROM ($normalizedSql) GROUP BY 1, 2
          |ORDER BY symbol, bar_hour""".stripMargin.replace("\n", " ")),
 

@@ -49,4 +49,23 @@ class StagedLifecycleSpec extends AnyFunSuite with SparkTestBase {
     Staged.clearSession(spark)
     Staged.clearSession(other)
   }
+
+  test("prewarm covers every retrieval staged key the queries create") {
+    // The bench bills any staged build that prewarm misses to the first
+    // rep of whatever query touches it (the round-10 typo_retrieval_eval
+    // `weak`: two BM25 eval arms recomputed per rep while the colbert arm
+    // read a staged table). Contract: after Staged.prewarm, executing
+    // every retrieval-family query must create NO new retrieval keys.
+    Staged.clearSession(spark)
+    Staged.prewarm(spark, sf)
+    val warmed = Staged.retrievalKeys(spark, sf)
+    assert(warmed.nonEmpty, "prewarm should stage retrieval artifacts")
+    graft.queries.RetrievalQueries.all.foreach { q =>
+      q.fn(spark, sf).write.format("noop").mode("overwrite").save()
+      val now = Staged.retrievalKeys(spark, sf)
+      assert((now -- warmed).isEmpty,
+        s"query ${q.name} staged keys prewarm missed: ${now -- warmed}")
+    }
+    Staged.clearSession(spark)
+  }
 }
