@@ -487,6 +487,74 @@ object DedupOps {
       .distinct()
   }
 
+  /** Hamming-banded near-dup pairs over SEQUENCES of per-frame
+    * signatures — the video half of the perceptual-dedup story
+    * (per-frame dHash → order-respecting sequence distance): the
+    * distance between two same-length sequences is the SUM of aligned
+    * per-frame Hamming distances, and the band key gains the frame
+    * index, so candidates are an EQUALITY join on (frame, band, value)
+    * — never all-pairs, the [[simhashHammingPairsFromSigs]] discipline
+    * lifted to sequences.
+    *
+    * Exactness (pigeonhole, per aligned pair): a sequence of nf frames
+    * exposes nf·nBands band slots; if every slot differs the summed
+    * distance is ≥ nf·nBands, so any pair within `maxTotalHamming` <
+    * nBands·`minFrames` collides on at least one slot. `minFrames` is
+    * the caller's declared lower bound on sequence length (the fixture
+    * law guarantees 3). Different-length sequences are not near-dups
+    * by definition here (a dropped/added frame breaks alignment) —
+    * the verify step keeps equal `n_frames` only.
+    *
+    * Input: one row per (media_id, n_frames, frame_idx, sig). Scale
+    * shape: banding explodes to nf·nBands small rows per media; the
+    * candidate join is equality-keyed; the verify join ships one
+    * nf-long array per side per candidate and reduces it with ONE
+    * codegen'd zip_with/aggregate — output bytes, not raster bytes,
+    * are all that ever shuffles. */
+  def hammingSeqPairs(frameSigs: DataFrame, nBits: Int, nBands: Int,
+                      maxTotalHamming: Int, minFrames: Int = 1): DataFrame = {
+    require(nBits % nBands == 0, "nBits must split into equal bands")
+    require(minFrames >= 1, "minFrames must be >= 1")
+    require(maxTotalHamming < nBands * minFrames,
+      s"exact banding needs maxTotalHamming < nBands*minFrames " +
+        s"(pigeonhole over the shortest sequence): " +
+        s"$maxTotalHamming >= $nBands*$minFrames")
+    val bandBits = nBits / nBands
+    val mask = (1L << bandBits) - 1
+    // aligned signature arrays, frame order pinned by the struct sort
+    val seqs = frameSigs.groupBy(col("media_id"), col("n_frames"))
+      .agg(array_sort(collect_list(struct(col("frame_idx"), col("sig"))))
+        .as("fs"))
+      .select(col("media_id"), col("n_frames"),
+        transform(col("fs"), f => f.getField("sig")).as("sig_seq"))
+    val banded = frameSigs.select(col("media_id"), col("frame_idx"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * bandBits).bitwiseAND(mask)
+              .as("bv"))): _*)).as("bk"))
+      .select(col("media_id"), col("frame_idx"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.frame_idx") === col("b.frame_idx") &&
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("ma"), col("b.media_id").as("mb"))
+      // dedup band collisions BEFORE shipping sequence arrays into the
+      // verify join — candidates, not collisions, bound the array join
+      .distinct()
+    cands
+      .join(seqs.as("sa"), col("ma") === col("sa.media_id"))
+      .join(seqs.as("sb"), col("mb") === col("sb.media_id"))
+      .filter(col("sa.n_frames") === col("sb.n_frames"))
+      .select(col("ma").as("media_a"), col("mb").as("media_b"),
+        aggregate(
+          zip_with(col("sa.sig_seq"), col("sb.sig_seq"),
+            (x, y) => call_function("bit_count", x.bitwiseXOR(y))
+              .cast("long")),
+          lit(0L), (acc, v) => acc + v).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxTotalHamming)
+  }
+
   /** Maximal duplicated token SPANS between document pairs — the exact-
     * substring dedup signal (Lee et al. 2022's "Deduplicating Training
     * Data Makes Language Models Better" shape): every shared run of

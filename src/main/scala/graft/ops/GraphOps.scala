@@ -92,16 +92,25 @@ object GraphOps {
   /** [[pagerank]] plus the number of iterations actually executed —
     * `< iters` iff the 9-dp fixed point was reached early.
     *
-    * CACHE LIFECYCLE: the returned frame is the final round's CACHED
-    * node-sized table, and the cache is owned by the caller —
-    * `unpersist()` it when done. It cannot be dropped here: the round
-    * caches are what break the per-round RDD recomputation chain, so
-    * unpersisting before return would make every downstream action
-    * replay all `iters` rounds. A caller that invokes this repeatedly
-    * without unpersisting (e.g. bench reps) accumulates one node-sized
-    * cached block per call until LRU eviction — harmless for
-    * dimension-sized node sets, but a long-lived service should
-    * unpersist explicitly. */
+    * CACHE LIFECYCLE: the returned frame is itself CACHED and
+    * materialized (node-sized), and the cache is owned by the caller —
+    * `unpersist()` on the RETURNED frame frees it (it is the cached
+    * plan, not a projection over one — a projection would not
+    * plan-match the cache entry and the documented contract couldn't
+    * free anything). The final round's internal nanos cache is dropped
+    * here, AFTER the published frame materializes from it. A caller
+    * that invokes this repeatedly without unpersisting (e.g. bench
+    * reps) accumulates one node-sized cached block per call until LRU
+    * eviction — harmless for dimension-sized node sets, but a
+    * long-lived service should unpersist explicitly.
+    *
+    * NODE-COUNT ENVELOPE: the fixed-point unit is nanos on BIGINTs, so
+    * the initial rank 1/n and the teleport 0.15/n must be ≥ 1 nano-unit
+    * half-up — n ≤ 3·10^8 nodes (beyond that (3·10^8+n)/(2n) floors to
+    * 0 and the teleport term would silently vanish; the pre-round-10
+    * 12-dp decimal iteration resolved 1e-12 but was not cross-engine
+    * portable). Enforced with a named require, not silent degradation.
+    * Edge-weight bound (w < 4.6·10^9) documented at the step formula. */
   def pagerankWithIters(edges: DataFrame, iters: Int): (DataFrame, Int) = {
     val spark = edges.sparkSession
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
@@ -121,6 +130,10 @@ object GraphOps {
     // arithmetic has no such boundary: the half-up decision IS the
     // arithmetic. Overflow bound: 2·rank_nanos·w ≤ 2e9·w fits BIGINT
     // for w < 4.6e9 (edge weights are per-pair interaction counts).
+    require(nLong <= 300000000L,
+      s"pagerank nano-grid supports at most 3e8 nodes (got $nLong): " +
+        "teleport 0.15/n rounds half-up to 0 nano-units past that — " +
+        "re-derive the fixed-point unit from n (e.g. picos) to go larger")
     val initNanos = (2000000000L + nLong) / (2L * nLong)
     val teleportNanos = (300000000L + nLong) / (2L * nLong)
     var r = nodes.select(col("node"),
@@ -164,8 +177,14 @@ object GraphOps {
     }
     e.unpersist()
     // publish on the 9-dp double grid: nanos/1e9 is one IEEE division,
-    // identical in both engines
-    (r.select(col("node"),
-      (col("rank_nanos").cast("double") / lit(1e9)).as("rank")), it)
+    // identical in both engines. The published projection is cached and
+    // materialized HERE so (a) the caller's unpersist() plan-matches the
+    // frame we hand out, and (b) the internal nanos cache can be dropped
+    // now — materializing from it first avoids replaying any round.
+    val published = r.select(col("node"),
+      (col("rank_nanos").cast("double") / lit(1e9)).as("rank")).cache()
+    published.count()
+    r.unpersist()
+    (published, it)
   }
 }

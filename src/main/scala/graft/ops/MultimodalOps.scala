@@ -506,6 +506,115 @@ object MultimodalOps {
     }.toDF("media_id", "media_type", "payload")
   }
 
+  /** Deterministic NEAR-DUP video law — the sequence sibling of
+    * [[phPixel]]: documents form groups of [[VdGroupSize]]; the group id
+    * drives the gradient structure (per-axis/cross/FRAME multipliers) and
+    * the frame COUNT (3 + g%3 — sequence length is a group property, so
+    * planted near-dups align frame-for-frame), while non-leader members
+    * get a sparse +128 perturbation (~0.6 sampled blocks per frame at
+    * the %101 rate, so the summed per-frame dHash distance stays ≤8).
+    * Distinct groups differ in some multiplier unless they agree mod
+    * 7, 11, 5, 13 AND 3 simultaneously — lcm 15015 group structures, so
+    * even the ×10 decade fixture (10k groups) plants no cross-group
+    * collisions (the image law's 385 structures collide quadratically
+    * there; the video law is built not to). Frames are 18×14 = exactly
+    * 2× the 9×7 sample grid, so the decode→downscale replay is
+    * pixel(2x, 2y) — closed-form for the oracle, like [[phPixel]]. */
+  private[graft] val VdGroupSize = 5L
+  private[graft] def vdFrames(id: Long): Int = (3 + (id / VdGroupSize) % 3).toInt
+  private[graft] def vdPixel(id: Long, f: Int, x: Int, y: Int): Int = {
+    val g = id / VdGroupSize
+    val b = (x * (31 + g % 7) + y * (17 + g % 11) +
+      x * y * (7 + g % 5) + f * (23 + g % 13) + g * 101) % 256
+    if (id % VdGroupSize != 0 && (x / 2 + 9 * (y / 2) + 63 * f + id) % 101 == 0)
+      ((b + 128) % 256).toInt
+    else b.toInt
+  }
+
+  /** Documents → near-dup animated-GIF media table: one REAL multi-frame
+    * GIF per doc_id rendered from [[vdPixel]] and compressed inside
+    * executors (the [[encodeGifMedia]] distributed-encode discipline on
+    * the near-dup law). */
+  def encodeNearDupGifMedia(docs: DataFrame): DataFrame = {
+    val spark: SparkSession = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      ids.map { id =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < vdFrames(id)) {
+          val img = new java.awt.image.BufferedImage(
+            PhW, PhH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < PhH) {
+            var x = 0
+            while (x < PhW) { raster.setSample(x, y, 0, vdPixel(id, f, x, y)); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.close()
+        (id, "image/gif", bos.toByteArray)
+      }
+    }.toDF("media_id", "media_type", "payload")
+  }
+
+  /** One frame's perceptual hash: (media_id, n_frames, frame_idx, dhash). */
+  final case class FrameHash(media_id: Long, n_frames: Int, frame_idx: Int,
+                             dhash: Long)
+
+  /** REAL per-frame dHash extraction: parse each GIF container with
+    * `javax.imageio`, decode EVERY frame, downscale to the 9×7 sample
+    * grid and pack the 56-bit dHash — the [[perceptualHash]] kernel
+    * applied per frame. Narrow, shuffle-free; output is 20 bytes/frame,
+    * which is all the sequence-dedup join ever shuffles at 100 TB. */
+  def perFrameDHash(media: DataFrame): Dataset[FrameHash] = {
+    val spark: SparkSession = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { m =>
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        reader.setInput(iis)
+        try {
+          val n = reader.getNumImages(true)
+          require(n > 0, s"media ${m.media_id}: payload has no decodable frames")
+          (0 until n).map { f =>
+            val img = reader.read(f)
+            val w = img.getWidth; val h = img.getHeight
+            var dh = 0L
+            var y = 0
+            while (y < PhSampleH) {
+              var x = 0
+              while (x < PhSampleW - 1) {
+                val a = img.getRGB(x * w / PhSampleW, y * h / PhSampleH) & 0xff
+                val b = img.getRGB((x + 1) * w / PhSampleW, y * h / PhSampleH) & 0xff
+                if (b > a) dh |= 1L << (y * 8 + x)
+                x += 1
+              }
+              y += 1
+            }
+            FrameHash(m.media_id, n, f, dh)
+          }
+        } finally {
+          reader.dispose(); iis.close()
+        }
+      }
+    }
+  }
+
   /** Perceptual hashes of a raster: (media_id, dhash, ahash). */
   final case class PHash(media_id: Long, dhash: Long, ahash: Long)
 

@@ -580,20 +580,37 @@ object RelationalOps {
       .withColumn("late",
         col("l_shipdate") > col("o_orderdate") +
           expr(s"INTERVAL $lateDays DAYS"))
-    val perOrder = lo.groupBy(col("l_orderkey").as("g_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+    // Two-pass distinct-then-count, NOT a double countDistinct: two
+    // distinct aggregates over one groupBy plan through Spark's Expand
+    // (every fact row duplicated per distinct column → the orderkey
+    // exchange ships 2× the join output; the ×10 decade measured 6.7×
+    // from exactly that, BASELINE.md round 10). Instead the fact rows
+    // collapse to DISTINCT (order, supplier) pairs first — partial
+    // aggregation combines map-side, so the first exchange carries
+    // ~distinct pairs, not items — and both per-order profiles are
+    // windows over that one pair-agg exchange (count + conditional
+    // count share the orderkey partitioning; late-item counts ride the
+    // same pass, so the raw fact table is never rejoined). */
+    val pairAgg = lo.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("supp_late"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late_items"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey"))
+    val profiled = pairAgg
+      .withColumn("n_supp", count(lit(1)).over(wOrd))
+      .withColumn("n_late_supp",
+        count(when(col("supp_late"), lit(1))).over(wOrd))
     val natSupp = supplier
       .join(broadcast(nation.filter(col("n_name") === nationName)
           .select(col("n_nationkey"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"))
-    lo.filter(col("late"))
-      .join(perOrder, col("l_orderkey") === col("g_orderkey"))
-      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+    profiled
+      .filter(col("supp_late") && col("n_supp") > 1 &&
+        col("n_late_supp") === 1)
       .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("n_late_items")).as("numwait"))
   }
 
   /** TPC-H Q11 shape: groups whose aggregate clears a GLOBAL-scalar

@@ -1052,6 +1052,52 @@ object SimilarityOps {
       .agg(max(col("cosine_sim")).as("cosine_sim"))
   }
 
+  /** SemDedup-style within-cell semantic prune (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication" — the keep-one-per-ε-ball pass a training-data
+    * pipeline runs AFTER exact/near-dup text dedup): vectors are
+    * assigned to their single nearest IVF cell (the paper's k-means
+    * cluster), and within each cell any vector whose cosine to a
+    * SMALLER-id cellmate reaches `eps` is dropped, that smallest
+    * similar id reported as its exemplar. Keep-the-min-id is this
+    * repo's exact-dedup exemplar rule lifted to ε-balls — deterministic
+    * and order-free, where the paper's sequential greedy cover is
+    * neither (documented divergence: a chain a~b~c with a≁c keeps
+    * {a, c} under greedy but only {a} here — the stricter prune).
+    *
+    * Scale shape: candidates are the cell-equality self-join (never
+    * all-pairs; Σ|cell|² bounded by the corpus-following cell count —
+    * autoCellCount — and optionally `maxCellSize` hot-cell splitting),
+    * the drop decision is one groupBy(vec_b) min/max, and the verdict
+    * joins back to the assignment — three equality shuffles total,
+    * independent of corpus size per cell. Returns every corpus vector:
+    * (vec_id, cell, kept, exemplar, max_sim — the
+    * strongest duplicate evidence, not necessarily to the exemplar). */
+  def semDedupWithinCellsNorm(corpus: DataFrame, centroids: DataFrame,
+                              eps: Double,
+                              maxCellSize: Long = Long.MaxValue): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val assigned = capCells(corpus.select(col("vec_id"), col("n_emb"),
+      explode(nearestCellsCol(centroids, 1, col("n_emb"))).as("cell")),
+      maxCellSize)
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("n_emb").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("n_emb").as("eb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        dotCosine(col("ea"), col("eb")).as("cosine_sim"))
+      .filter(col("cosine_sim") >= eps)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("exemplar"),
+        max(col("cosine_sim")).as("max_sim"))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("exemplar").isNull.as("kept"),
+        col("exemplar"), col("max_sim"))
+  }
+
   /** Hard-negative mining for contrastive/metric training: for each
     * query vector, the top-k most-similar corpus vectors carrying a
     * DIFFERENT class label — the negatives that most confuse an

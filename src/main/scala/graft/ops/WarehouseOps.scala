@@ -163,6 +163,11 @@ object WarehouseOps {
       .agg(org.apache.spark.sql.functions.sum(col("bytes")).as("b"),
         org.apache.spark.sql.functions.sum(col("n_rows")).as("r"))
       .head()
+    // sum() over zero rows is NULL (schema-only parquet): fail with a
+    // named precondition, not an opaque NPE from getLong
+    require(!agg.isNullAt(0) && !agg.isNullAt(1),
+      s"compactPartitionsToBytes: source table at $srcPath is empty — " +
+        "no rows to derive a per-file record bound from")
     val totalBytes = agg.getLong(0)
     val totalRows = agg.getLong(1)
     val avgRowBytes = math.max(1.0, totalBytes.toDouble / math.max(1L, totalRows))

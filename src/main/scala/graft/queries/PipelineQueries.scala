@@ -22,6 +22,40 @@ object PipelineQueries {
     * the perturbation condition collapses to (x + 9y + doc_id) % 29.
     * 56-bit packing via bit_or of shifted BIGINTs (DuckDB raises on
     * 1<<63; bit 55 is the ceiling here). */
+  /** Per-frame dHash replay of the near-dup VIDEO law — the sequence
+    * sibling of [[phashOracleCte]] (MultimodalOps.vdPixel/perFrameDHash):
+    * frames are 18×14 = 2× the 9×7 sample grid, so sampled raw coords
+    * are (2x, 2y) and the perturbation condition collapses to
+    * (x + 9y + 63f + doc_id) % 101. Yields `vdh(doc_id, nf, f, dhash)`. */
+  private val videoDhashOracleCte: String =
+    """WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+      |frf AS (SELECT doc_id, 3 + (doc_id//5)%3 AS nf,
+      |  CAST(unnest(range(0, 3 + (doc_id//5)%3)) AS INT) AS f FROM d),
+      |vgrid AS (SELECT doc_id, nf, f, CAST(y.range AS INT) AS y,
+      |  CAST(x.range AS INT) AS x FROM frf, range(7) y, range(9) x),
+      |vpx AS (SELECT doc_id, nf, f, y, x,
+      |  CASE WHEN doc_id % 5 <> 0 AND (x + 9*y + 63*f + doc_id) % 101 = 0
+      |  THEN ((2*x)*(31 + (doc_id//5)%7) + (2*y)*(17 + (doc_id//5)%11)
+      |    + (4*x*y)*(7 + (doc_id//5)%5) + f*(23 + (doc_id//5)%13)
+      |    + (doc_id//5)*101 + 128) % 256
+      |  ELSE ((2*x)*(31 + (doc_id//5)%7) + (2*y)*(17 + (doc_id//5)%11)
+      |    + (4*x*y)*(7 + (doc_id//5)%5) + f*(23 + (doc_id//5)%13)
+      |    + (doc_id//5)*101) % 256
+      |  END AS p FROM vgrid),
+      |vdh AS (SELECT a.doc_id, a.nf, a.f,
+      |  bit_or(CASE WHEN b.p > a.p THEN (1::BIGINT << (a.y*8 + a.x))
+      |    ELSE 0::BIGINT END) AS dhash
+      |  FROM vpx a JOIN vpx b ON a.doc_id = b.doc_id AND a.f = b.f
+      |  AND a.y = b.y AND b.x = a.x + 1 WHERE a.x < 8
+      |  GROUP BY a.doc_id, a.nf, a.f),
+      |vprs AS (SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+      |  CAST(SUM(bit_count(xor(a.dhash, b.dhash))) AS INT) AS hamming
+      |  FROM vdh a JOIN vdh b
+      |  ON a.doc_id < b.doc_id AND a.nf = b.nf AND a.f = b.f
+      |  GROUP BY 1, 2
+      |  HAVING SUM(bit_count(xor(a.dhash, b.dhash))) <= 8)"""
+      .stripMargin.replace("\n", " ")
+
   private val phashOracleCte: String =
     """WITH d AS (SELECT doc_id FROM documents),
       |grid AS (SELECT doc_id, CAST(y.range AS INT) AS y,
@@ -165,6 +199,83 @@ object PipelineQueries {
          |  SELECT a AS media_id, least(a, min(b)) AS cluster_id
          |  FROM reach GROUP BY a)
          |SELECT media_id, cluster_id FROM clusters
+         |ORDER BY media_id""".stripMargin.replace("\n", " ")),
+
+    // Per-frame perceptual hashes over a REAL multi-frame codec round
+    // trip — step 1 of the VIDEO near-dup story (the composition gap
+    // VERDICT r10 named): the near-dup video law renders one animated
+    // GIF per doc in executors (group-structured gradients + sparse
+    // perturbation, frame count a group property — MultimodalOps
+    // .vdPixel), javax.imageio parses the container back, and every
+    // frame reduces to a 56-bit dHash. The oracle replays
+    // decode→downscale→hash arithmetically from the closed-form law.
+    Q("video_phash",
+      (s, dir) => Staged.retrieval(s, dir, "video_phash") {
+          MultimodalOps.perFrameDHash(
+            MultimodalOps.encodeNearDupGifMedia(Tables.documents(s, dir)))
+            .toDF()
+        }.orderBy("media_id", "frame_idx"),
+      s"""$videoDhashOracleCte
+         |SELECT doc_id AS media_id, CAST(nf AS INT) AS n_frames,
+         |f AS frame_idx, dhash FROM vdh
+         |ORDER BY media_id, frame_idx""".stripMargin.replace("\n", " ")),
+
+    // Video near-dup PAIRS: order-respecting sequence distance (sum of
+    // aligned per-frame dHash Hamming distances) with the band key
+    // lifted to (frame, band, value) — candidates stay an EQUALITY
+    // join, never all-pairs (DedupOps.hammingSeqPairs; pigeonhole
+    // bound 8 < 7 bands × 3 min frames). The oracle states the
+    // all-pairs predicate directly — its prerogative at fixture scale;
+    // the Spark side must stay banded (LivePlanSpec pins no-cartesian).
+    Q("video_dup_pairs",
+      (s, dir) => {
+        val h = Staged.retrieval(s, dir, "video_phash") {
+          MultimodalOps.perFrameDHash(
+            MultimodalOps.encodeNearDupGifMedia(Tables.documents(s, dir)))
+            .toDF()
+        }
+        graft.ops.DedupOps.hammingSeqPairs(
+            h.select(col("media_id"), col("n_frames"), col("frame_idx"),
+              col("dhash").as("sig")),
+            nBits = 56, nBands = 7, maxTotalHamming = 8, minFrames = 3)
+          .orderBy("media_a", "media_b")
+      },
+      s"""$videoDhashOracleCte
+         |SELECT media_a, media_b, hamming FROM vprs
+         |ORDER BY media_a, media_b""".stripMargin.replace("\n", " ")),
+
+    // Video near-dup CLUSTERS: min-label propagation over the banded
+    // sequence pairs (DedupOps.dupClusters — the text/image component
+    // machinery reused verbatim); only docs appearing in some pair are
+    // labeled. Oracle: recursive-CTE transitive closure over the
+    // replayed law.
+    Q("video_dup_clusters",
+      (s, dir) => {
+        val h = Staged.retrieval(s, dir, "video_phash") {
+          MultimodalOps.perFrameDHash(
+            MultimodalOps.encodeNearDupGifMedia(Tables.documents(s, dir)))
+            .toDF()
+        }
+        graft.ops.DedupOps.dupClusters(
+            graft.ops.DedupOps.hammingSeqPairs(
+              h.select(col("media_id"), col("n_frames"), col("frame_idx"),
+                col("dhash").as("sig")),
+              nBits = 56, nBands = 7, maxTotalHamming = 8, minFrames = 3)
+              .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
+          .select(col("doc_id").as("media_id"), col("cluster_id"))
+          .orderBy("media_id")
+      },
+      s"""$videoDhashOracleCte,
+         |vedges AS (SELECT media_a AS a, media_b AS b FROM vprs
+         |  UNION SELECT media_b, media_a FROM vprs),
+         |vreach(a, b) AS (
+         |  SELECT a, b FROM vedges
+         |  UNION
+         |  SELECT r.a, e.b FROM vreach r JOIN vedges e ON r.b = e.a),
+         |vclusters AS (
+         |  SELECT a AS media_id, least(a, min(b)) AS cluster_id
+         |  FROM vreach GROUP BY a)
+         |SELECT media_id, cluster_id FROM vclusters
          |ORDER BY media_id""".stripMargin.replace("\n", " ")),
 
     // REAL audio codec round-trip: one RIFF/WAVE payload per doc

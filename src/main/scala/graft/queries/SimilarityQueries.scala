@@ -1052,6 +1052,32 @@ object SimilarityQueries {
          |SELECT vec_a, vec_b, cosine_sim FROM blocked
          |ORDER BY vec_a, vec_b""".stripMargin.replace("\n", " ")),
 
+    // SemDedup within-cell semantic prune (Abbas et al. 2023 — the
+    // keep-one-per-ε-ball pass composing the IVF cells with the blocked
+    // cosine screen; VERDICT r10 gap 4): every vector lands in its ONE
+    // nearest cell, and any vector within ε=0.4 of a smaller-id
+    // cellmate is dropped with that smallest similar id as its
+    // exemplar (keep-min-id — deterministic where the paper's
+    // sequential greedy is not; divergence documented at
+    // SimilarityOps.semDedupWithinCellsNorm). Emits EVERY vector with
+    // kept/dropped + evidence, so the downstream corpus filter is one
+    // semi-join. Cost is bounded by Σ|cell|² exactly like
+    // dedup_embedding_cosine (cells follow the corpus; hot cells can
+    // split via maxCellSize).
+    Q("semdedup_cells",
+      (s, dir) => {
+        val corpus = Staged.normCorpus(s, dir)
+        val nCells = SimilarityOps.autoCellCount(Staged.corpusCount(s, dir))
+        SimilarityOps.semDedupWithinCellsNorm(corpus,
+            Staged.ivfCentroids(s, dir, nCells), 0.4)
+          .orderBy("vec_id")
+      },
+      s"""$semdedupWith
+         |SELECT asg.vec_id, asg.cell, d.exemplar IS NULL AS kept,
+         |d.exemplar, d.max_sim
+         |FROM assigned1 asg LEFT JOIN dropped d ON asg.vec_id = d.vec_id
+         |ORDER BY asg.vec_id""".stripMargin.replace("\n", " ")),
+
     // Two-level blocked near-dup — the headline's successor past the
     // flat quantizer's ~10^8-vector driver-matrix cap: identical fused
     // candidates-and-verify movement, but cell ids come from the
@@ -1873,6 +1899,33 @@ object SimilarityQueries {
        |  ORDER BY rrf_score DESC, neighbor_id ASC) AS rnk FROM r)
        |SELECT query_id, neighbor_id, rrf_score, CAST(rnk AS INT) AS rank
        |FROM k WHERE rnk <= $K""".stripMargin.replace("\n", " ")
+
+  /** SemDedup oracle prelude: single-nearest-cell assignment
+    * (`assigned1`), within-cell ≥ε pairs, and the per-vector drop
+    * verdict (`dropped`: min-id exemplar + strongest-duplicate sim) —
+    * mirrors SimilarityOps.semDedupWithinCellsNorm verbatim. */
+  private lazy val semdedupWith: String =
+    s"""WITH corpus AS ($normCorpus),
+       |cents AS (SELECT * FROM ${OracleFrags.ivfCentroids(16)}),
+       |assigned1 AS (
+       |  SELECT vec_id, centroid_id AS cell FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${dotCosine("e.n_emb", "c.c_emb")} DESC, c.centroid_id ASC) AS rn
+       |    FROM corpus e CROSS JOIN cents c)
+       |  WHERE rn <= 1),
+       |prs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${dotCosine("ca.n_emb", "cb.n_emb")} AS cosine_sim
+       |  FROM assigned1 a JOIN assigned1 b
+       |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN corpus ca ON a.vec_id = ca.vec_id
+       |  JOIN corpus cb ON b.vec_id = cb.vec_id),
+       |dropped AS (
+       |  SELECT vec_b AS vec_id, min(vec_a) AS exemplar,
+       |  max(cosine_sim) AS max_sim
+       |  FROM prs WHERE cosine_sim >= 0.4 GROUP BY vec_b)"""
+      .stripMargin.replace("\n", " ")
 
   /** IVF-cell blocked near-dup pairs (nprobe 2 of 16 cells), as a WITH
     * prelude ending in the `blocked` relation — shared by the headline

@@ -60,6 +60,12 @@ object Staged {
       }
     drop(memo); drop(corpusMemo); drop(centroidMemo)
     drop(simhashMemo); drop(clusterMemo); drop(minhashMemo)
+    uniMemo.filterInPlace { case (k, _) => k._1 != s }
+    uniTokMemo.filterInPlace { case (k, df) =>
+      val keep = k._1 != s
+      if (!keep) safeUnpersist(df)
+      keep
+    }
     retrMemo.filterInPlace { case (k, df) =>
       val keep = k._1 != s
       if (!keep) safeUnpersist(df)
@@ -69,6 +75,7 @@ object Staged {
     layoutMemo.filterInPlace { case (k, _) => k._1 != s }
     warehouseMemo.filterInPlace { case (k, _) => k._1 != s }
     fragMemo.filterInPlace { case (k, _) => k._1 != s }
+    snapMemo.filterInPlace { case (k, _) => k._1 != s }
     bpeMemo.filterInPlace { case (k, _) => k._1 != s }
     pcaMemo.filterInPlace { case (k, _) => k._1 != s }
     bpeTokMemo.filterInPlace { case (k, df) =>
@@ -341,6 +348,48 @@ object Staged {
     })
   }
 
+  private val uniMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), Seq[graft.ops.UnigramPiece]]
+
+  private val uniTokMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
+  /** The trained unigram-LM piece table — the OTHER tokenizer model
+    * (ops.UnigramOps), trained once per session+dir over the same
+    * capped word-frequency table as [[bpeMerges]] and shared by
+    * `unigram_model`, `corpus_tokenize_unigram`, and the fertility
+    * duel. */
+  def unigramModel(s: SparkSession,
+                   dir: String): Seq[graft.ops.UnigramPiece] = {
+    registerCleanup(s)
+    uniMemo.getOrElseUpdate((s, dir), {
+      import org.apache.spark.sql.functions.col
+      val wf = graft.ops.BpeOps
+        .wordFrequencies(Tables.documents(s, dir))
+        .orderBy(col("f").desc, col("w").asc)
+        .limit(100000)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+        .sortBy(_._1)
+      graft.ops.UnigramOps.train(wf,
+        seedMulti = TextQueries.UniSeedMulti,
+        emRounds = TextQueries.UniEmRounds,
+        vocabSize = TextQueries.UniVocabSize)
+    })
+  }
+
+  /** Per-doc unigram tokenization stats, cached — shared by
+    * `corpus_tokenize_unigram` and the fertility duel. */
+  def uniTokStats(s: SparkSession, dir: String): DataFrame = {
+    registerCleanup(s)
+    uniTokMemo.getOrElseUpdate((s, dir),
+      graft.ops.UnigramOps.tokenizeStatsUnigram(
+          Tables.documents(s, dir), unigramModel(s, dir))
+        .cache())
+  }
+
   private val bpeMemo =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, Int), Seq[graft.ops.BpeMerge]]
@@ -548,10 +597,61 @@ object Staged {
     countMemo.clear(); annIndexMemo.clear(); pqMemo.clear()
     annAppendMemo.clear(); layoutMemo.clear(); warehouseMemo.clear()
     fragMemo.clear()
-    bpeMemo.clear(); pcaMemo.clear()
+    bpeMemo.clear(); pcaMemo.clear(); uniMemo.clear()
+    uniTokMemo.values.foreach(safeUnpersist); uniTokMemo.clear()
     bpeTokMemo.values.foreach(safeUnpersist); bpeTokMemo.clear()
     spanMemo.values.foreach(safeUnpersist); spanMemo.clear()
     retrMemo.values.foreach(safeUnpersist); retrMemo.clear()
+  }
+
+  private val snapMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** One-time versioned snapshot table over `orders` — the time-travel
+    * queries' commit log (built once per (session, dir) so the billed
+    * queries time reconstruction reads, not the log's own writes).
+    * Five commits, every mutation a DETERMINISTIC function of the
+    * source table so the DuckDB oracle can replay any version's state
+    * directly from `orders`:
+    *   v0 init       — (o_orderkey, o_orderstatus, o_totalprice)
+    *   v1 upsert     — keys %7==0 → ('V1', +100.0); inserts (-k-1,
+    *                   'I1', 1.0) for keys %13==0
+    *   v2 delete     — keys %11==0 tombstoned
+    *   v3 checkpoint — full-snapshot base commit (readAsOf(≥3) replays
+    *                   from here, not from v0)
+    *   v4 upsert     — keys %5==0 → ('V4', +200.0) — note %55==0 keys
+    *                   were deleted at v2 and REVIVE here (upsert
+    *                   semantics: latest version of the key wins)
+    * Returns the table root path. */
+  def snapshotTable(s: SparkSession, dir: String): String = {
+    registerCleanup(s)
+    snapMemo.getOrElseUpdate((s, dir), {
+      import org.apache.spark.sql.functions.{col, lit, when}
+      import graft.ops.SnapshotOps
+      val path = graft.util.Fs.workDir("graft_snap_staged", dir).toString
+      graft.util.Fs.deleteRec(path)
+      val v0 = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      SnapshotOps.initTable(v0, path, "o_orderkey")
+      val hit7 = v0.filter(col("o_orderkey") % 7 === 0)
+      SnapshotOps.commitUpsert(path,
+        hit7.select(col("o_orderkey"), lit("V1").as("o_orderstatus"),
+            (col("o_totalprice") + 100.0).as("o_totalprice"))
+          .unionByName(v0.filter(col("o_orderkey") % 13 === 0)
+            .select((-col("o_orderkey") - 1L).as("o_orderkey"),
+              lit("I1").as("o_orderstatus"), lit(1.0).as("o_totalprice"))),
+        "o_orderkey")
+      SnapshotOps.commitDelete(s, path,
+        v0.filter(col("o_orderkey") % 11 === 0).select(col("o_orderkey")),
+        "o_orderkey")
+      SnapshotOps.checkpoint(s, path, "o_orderkey")
+      SnapshotOps.commitUpsert(path,
+        v0.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), lit("V4").as("o_orderstatus"),
+            (col("o_totalprice") + 200.0).as("o_totalprice")),
+        "o_orderkey")
+      path
+    })
   }
 
   private val retrMemo =

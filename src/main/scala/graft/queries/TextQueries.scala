@@ -21,6 +21,13 @@ object TextQueries {
   // the sequence-packing queries so both families tokenize identically
   private[queries] final val BpeNMerges = 16
 
+  // Unigram-LM trainer budget (ops.UnigramOps): seed vocabulary width,
+  // hard-EM rounds, and the pruned final vocabulary — pinned here
+  // because the oracle SQL interpolates all three
+  private[queries] final val UniSeedMulti = 64
+  private[queries] final val UniEmRounds = 2
+  private[queries] final val UniVocabSize = 40
+
   /** Min-quality arms for the quality-gate tuning curve — spanning the
     * fixture's observed score range (0.3–0.7). */
   private final val QualityCurveThs = Seq(0.35, 0.45, 0.5, 0.55, 0.6, 0.65)
@@ -32,6 +39,8 @@ object TextQueries {
       s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     Staged.bpeMerges(s, dir, BpeNMerges)
     Staged.bpeDocTokens(s, dir).count()
+    Staged.unigramModel(s, dir)
+    Staged.uniTokStats(s, dir).count()
     qualityScores(s, dir).count()
     ()
   }
@@ -457,6 +466,106 @@ object TextQueries {
       },
       corpusTokenizeSql),
 
+    // Unigram-LM tokenizer fit — the OTHER production tokenizer next to
+    // BPE (Kudo 2018; VERDICT r10 gap 1): seed substring vocabulary →
+    // hard-EM (Viterbi E-step, integer recount M-step, 9-dp smoothed
+    // scores) → count-rank prune (ops.UnigramOps — semantics and
+    // documented simplifications pinned there). The oracle replays the
+    // ENTIRE fit: seed CTEs, each EM round as a recursive Viterbi CTE
+    // whose DP history rides in the row, the prune, and the final
+    // smoothed scores — merge selection, tie-breaks (longer-last-piece),
+    // and every 9-dp logp hash-match. Same bounded-input discipline as
+    // bpe_merges: one corpus hash-agg in, a tens-of-rows model out.
+    Q("unigram_model",
+      (s, dir) => {
+        import s.implicits._
+        Staged.unigramModel(s, dir)
+          .map(m => (m.piece, m.cnt, m.logp))
+          .toDF("piece", "cnt", "logp")
+          .orderBy("piece")
+      },
+      s"""WITH RECURSIVE $unigramTrainerCtes
+         |SELECT piece, cnt, logp FROM umodel
+         |ORDER BY piece""".stripMargin.replace("\n", " ")),
+
+    // The unigram tokenizer APPLIED corpus-wide: every document's words
+    // Viterbi-segmented with the trained model in an EXECUTOR loop over
+    // the broadcast score map (constant plan size at any vocabulary —
+    // the corpus_tokenize_loop discipline), reported as per-doc stats +
+    // the md5 of the canonical piece form. The oracle re-trains the
+    // model, segments the DISTINCT corpus words once, and reassembles
+    // each document in token order — so fit, segmentation, tie-breaks,
+    // and the canonical form all round-trip across engines.
+    Q("corpus_tokenize_unigram",
+      (s, dir) => Staged.uniTokStats(s, dir).orderBy("doc_id"),
+      s"""WITH RECURSIVE $unigramApplyCtes
+         |SELECT doc_id, n_words, n_chars, n_unigram_tokens,
+         |chars_per_token, tokens_digest FROM ustats
+         |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+    // BPE vs unigram head-to-head (the fertility duel): per-language
+    // corpus compression under BOTH trained tokenizers from one scan
+    // each — tokens, chars/token, and tokens-per-word fertility. The
+    // number a pipeline actually picks its tokenizer by; both arms'
+    // full fits replay inside one oracle query.
+    Q("tokenizer_duel",
+      (s, dir) => {
+        def arm(stats: org.apache.spark.sql.DataFrame, tokCol: String,
+                name: String) =
+          stats.join(Tables.documents(s, dir)
+              .select(col("doc_id"), col("lang")), Seq("doc_id"))
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).cast("long").as("n_docs"),
+              sum(col("n_words")).cast("long").as("tot_words"),
+              sum(col(tokCol)).cast("long").as("tot_tokens"),
+              round(sum(col("n_chars")).cast("double")
+                / sum(col(tokCol)), 6).as("chars_per_token"),
+              round(sum(col(tokCol)).cast("double")
+                / sum(col("n_words")), 6).as("tokens_per_word"))
+            .withColumn("tokenizer", lit(name))
+        arm(Staged.bpeTokStats(s, dir), "n_bpe_tokens", "bpe")
+          .unionByName(
+            arm(Staged.uniTokStats(s, dir), "n_unigram_tokens", "unigram"))
+          .select(col("tokenizer"), col("lang"), col("n_docs"),
+            col("tot_words"), col("tot_tokens"), col("chars_per_token"),
+            col("tokens_per_word"))
+          .orderBy("tokenizer", "lang")
+      },
+      s"""WITH RECURSIVE $unigramApplyCtes,
+         |${bpeApplyWith.replaceFirst("WITH RECURSIVE ", "")},
+         |bstats AS (
+         |  SELECT f.doc_id,
+         |  len(list_filter(string_split(trim(f.s), ' '),
+         |    x -> length(x) > 0)) -
+         |  len(list_filter(string_split(trim(f.s), ' '),
+         |    x -> x = '|')) AS ntok,
+         |  f.n_words, f.n_chars
+         |  FROM fin f),
+         |duel AS (
+         |  SELECT 'bpe' AS tokenizer, d.lang,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(b.n_words) AS BIGINT) AS tot_words,
+         |    CAST(SUM(b.ntok) AS BIGINT) AS tot_tokens,
+         |    round(CAST(SUM(b.n_chars) AS DOUBLE)
+         |      / nullif(SUM(b.ntok), 0), 6) AS chars_per_token,
+         |    round(CAST(SUM(b.ntok) AS DOUBLE)
+         |      / nullif(SUM(b.n_words), 0), 6) AS tokens_per_word
+         |  FROM bstats b JOIN documents d ON b.doc_id = d.doc_id
+         |  GROUP BY d.lang
+         |  UNION ALL
+         |  SELECT 'unigram', d.lang, CAST(count(*) AS BIGINT),
+         |    CAST(SUM(u.n_words) AS BIGINT),
+         |    CAST(SUM(u.n_unigram_tokens) AS BIGINT),
+         |    round(CAST(SUM(u.n_chars) AS DOUBLE)
+         |      / nullif(SUM(u.n_unigram_tokens), 0), 6),
+         |    round(CAST(SUM(u.n_unigram_tokens) AS DOUBLE)
+         |      / nullif(SUM(u.n_words), 0), 6)
+         |  FROM ustats u JOIN documents d ON u.doc_id = d.doc_id
+         |  GROUP BY d.lang)
+         |SELECT tokenizer, lang, n_docs, tot_words, tot_tokens,
+         |chars_per_token, tokens_per_word FROM duel
+         |ORDER BY tokenizer, lang""".stripMargin.replace("\n", " ")),
+
     // Count-min sketch heavy hitters: d=4 hash rows × w=16 buckets over
     // the token stream, estimate = min over rows — the mergeable
     // frequency sketch for vocabularies that fit nowhere. Hashes are
@@ -501,6 +610,132 @@ object TextQueries {
          |  FROM fin f JOIN documents d ON f.doc_id = d.doc_id)
          |GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "))
   )
+
+  /** One recursive Viterbi CTE pass (the unigram oracle's workhorse):
+    * segments every `uwf` word under score table `vsc`(p, lp), ending
+    * in `{name}(w, f, seg)`. The DP carries the last [[UnigramOps
+    * .MaxPieceLen]] states as a fixed 4-list of (score, seg) structs —
+    * a recursive term only sees the previous iteration, so the history
+    * rides IN the row; the per-position argmax is max(struct(sc, l,
+    * seg)) over the ≤4 candidate lengths (two candidates with equal l
+    * are the same substring, so sc-then-l is a total order — the Scala
+    * trainer's exact tie-break). */
+  private def uniViterbiCte(name: String, vsc: String): String =
+    s"""${name}_dp AS (
+       |  SELECT w, f, length(w) AS wlen, 0 AS j,
+       |    [NULL, NULL, NULL, {'sc': 0.0, 'seg': ''}]
+       |      ::STRUCT(sc DOUBLE, seg VARCHAR)[] AS hist
+       |  FROM uwf
+       |  UNION ALL
+       |  SELECT w, f, wlen, j + 1,
+       |    [hist[2], hist[3], hist[4],
+       |     {'sc': best0.sc, 'seg': best0.seg}
+       |       ::STRUCT(sc DOUBLE, seg VARCHAR)]
+       |  FROM (
+       |    SELECT w, f, wlen, j, hist,
+       |      (SELECT max(struct_pack(
+       |          sc := hist[5 - l.l].sc + v.lp,
+       |          l := l.l,
+       |          seg := CASE WHEN hist[5 - l.l].seg = '' THEN v.p
+       |                 ELSE hist[5 - l.l].seg || ' ' || v.p END))
+       |       FROM range(1, 5) l(l)
+       |       JOIN $vsc v ON v.p = w[j + 2 - l.l : j + 1]
+       |       WHERE l.l <= j + 1 AND hist[5 - l.l].sc IS NOT NULL) AS best0
+       |    FROM ${name}_dp WHERE j < wlen)
+       |),
+       |$name AS (SELECT w, f, hist[4].seg AS seg FROM ${name}_dp
+       |  WHERE j = wlen)""".stripMargin
+
+  /** M-step CTEs for EM round `n`: piece counts from segmentation
+    * `seg`, then smoothed 9-dp scores over the seed vocabulary
+    * (unused pieces drop to count 0; Laplace keeps them scorable). */
+  private def uniCountScoreCte(n: Int, seg: String): String =
+    s"""ucnt$n AS (
+       |  SELECT p, SUM(f) AS c FROM (
+       |    SELECT unnest(string_split(seg, ' ')) AS p, f FROM $seg)
+       |  GROUP BY p),
+       |uvc$n AS (SELECT v.p, coalesce(c.c, 0) AS c
+       |  FROM uvocab0 v LEFT JOIN ucnt$n c ON v.p = c.p),
+       |uvsc$n AS (SELECT p, c, round(ln((c + 1.0) /
+       |    ((SELECT SUM(c) FROM uvc$n) + (SELECT count(*) FROM uvc$n))), 9)
+       |    AS lp
+       |  FROM uvc$n)""".stripMargin
+
+  /** Oracle prelude replaying ops.UnigramOps.train verbatim (must
+    * follow a WITH RECURSIVE): seed substring counts → [[UniEmRounds]]
+    * unrolled hard-EM rounds (recursive Viterbi E-step + count/score
+    * M-step) → count-rank prune → `umodel(piece, cnt, logp)` and its
+    * score view `ufsc(p, lp)`. */
+  private lazy val unigramTrainerCtes: String = {
+    val seed =
+      s"""uwf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM
+         |  (SELECT unnest($toks) AS w FROM documents) t
+         |  WHERE length(w) > 0 GROUP BY w),
+         |usubs AS (
+         |  SELECT w[i+1 : i+l] AS p, SUM(f) AS c
+         |  FROM (SELECT w, f, CAST(unnest(range(length(w))) AS INT) AS i
+         |    FROM uwf) t,
+         |  range(1, 5) u(l)
+         |  WHERE i + l <= length(w) GROUP BY 1),
+         |uchars AS (SELECT p, c FROM usubs WHERE length(p) = 1),
+         |uvocab0 AS (SELECT p, c FROM uchars UNION ALL
+         |  SELECT p, c FROM (SELECT p, c FROM usubs WHERE length(p) > 1
+         |    ORDER BY c DESC, p ASC LIMIT $UniSeedMulti)),
+         |uvsc0 AS (SELECT p, c, round(ln((c + 1.0) /
+         |    ((SELECT SUM(c) FROM uvocab0)
+         |     + (SELECT count(*) FROM uvocab0))), 9) AS lp
+         |  FROM uvocab0)""".stripMargin
+    val rounds = (1 to UniEmRounds).map { r =>
+      uniViterbiCte(s"useg$r", s"uvsc${r - 1}") + ",\n" +
+        uniCountScoreCte(r, s"useg$r")
+    }.mkString(",\n")
+    val prune =
+      s"""ufinalv AS (
+         |  SELECT p FROM uchars
+         |  UNION ALL
+         |  SELECT p FROM (SELECT v.p FROM uvocab0 v
+         |    JOIN uvc$UniEmRounds c ON v.p = c.p
+         |    WHERE length(v.p) > 1
+         |    ORDER BY c.c DESC, v.p ASC
+         |    LIMIT $UniVocabSize - (SELECT count(*) FROM uchars))),
+         |umodel AS (
+         |  SELECT f.p AS piece, CAST(c.c AS BIGINT) AS cnt,
+         |  round(ln((c.c + 1.0) /
+         |      ((SELECT SUM(c2.c) FROM ufinalv f2
+         |        JOIN uvc$UniEmRounds c2 ON f2.p = c2.p)
+         |       + (SELECT count(*) FROM ufinalv))), 9) AS logp
+         |  FROM ufinalv f JOIN uvc$UniEmRounds c ON f.p = c.p),
+         |ufsc AS (SELECT piece AS p, logp AS lp FROM umodel)"""
+        .stripMargin
+    (seed + ",\n" + rounds + ",\n" + prune).replace("\n", " ")
+  }
+
+  /** Apply-side oracle CTEs: final-model Viterbi over the distinct
+    * corpus words, rejoined per doc in token order — ends in
+    * `ustats(doc_id, n_words, n_chars, n_unigram_tokens,
+    * chars_per_token, tokens_digest)`. */
+  private lazy val unigramApplyCtes: String =
+    (unigramTrainerCtes + ",\n" + uniViterbiCte("usegf", "ufsc") + ",\n" +
+      s"""udtoks AS (SELECT doc_id,
+         |  list_filter($toks, x -> length(x) > 0) AS ts FROM documents),
+         |udwords AS (SELECT doc_id, ts,
+         |  CAST(unnest(range(1, len(ts) + 1)) AS INT) AS i FROM udtoks),
+         |udocseg AS (SELECT d.doc_id,
+         |    string_agg(sg.seg, ' | ' ORDER BY d.i) AS form,
+         |    CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(length(d.ts[d.i])) AS BIGINT) AS n_chars,
+         |    CAST(SUM(len(string_split(sg.seg, ' '))) AS BIGINT) AS ntok
+         |  FROM udwords d JOIN usegf sg ON d.ts[d.i] = sg.w
+         |  GROUP BY d.doc_id),
+         |ustats AS (SELECT dt.doc_id,
+         |    coalesce(u.n_words, 0) AS n_words,
+         |    coalesce(u.n_chars, 0) AS n_chars,
+         |    coalesce(u.ntok, 0) AS n_unigram_tokens,
+         |    round(CAST(coalesce(u.n_chars, 0) AS DOUBLE)
+         |      / nullif(coalesce(u.ntok, 0), 0), 6) AS chars_per_token,
+         |    md5(coalesce(u.form, '')) AS tokens_digest
+         |  FROM udtoks dt LEFT JOIN udocseg u ON dt.doc_id = u.doc_id)"""
+        .stripMargin).replace("\n", " ")
 
   /** Shared oracle prelude replaying ops.BpeOps.train as a recursive
     * CTE (ends in `st`; the final state row's `merges` list is the

@@ -65,6 +65,29 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(rFull == ranks)
   }
 
+  test("pagerank cache contract: unpersisting the returned frame frees it") {
+    // the documented lifecycle: the caller owns one cached node-sized
+    // block per call and unpersist() on the RETURNED frame must
+    // plan-match the cache entry (a projection over the cache wouldn't)
+    val twoClique = Seq(("x", "y", 1L), ("y", "x", 1L))
+      .toDF("src", "dst", "w")
+    val (r, _) = GraphOps.pagerankWithIters(twoClique, 3)
+    assert(r.storageLevel.useMemory, "returned frame should be cached")
+    r.unpersist()
+    assert(!r.storageLevel.useMemory,
+      "unpersist on the returned frame must free the cache entry")
+  }
+
+  test("pagerank refuses node counts past the nano-grid envelope") {
+    // n > 3e8 would floor the teleport term to 0 nano-units — the
+    // require turns that silent envelope breach into a named error.
+    // (Building 3e8 real nodes is not a unit test; assert the message
+    // contract on the boundary formula instead.)
+    val teleportAt = (n: Long) => (300000000L + n) / (2L * n)
+    assert(teleportAt(300000000L) >= 1L, "3e8 nodes is inside the envelope")
+    assert(teleportAt(300000001L) == 0L, "3e8+1 nodes floors teleport to 0")
+  }
+
   test("co-occurrence edges exclude self-pairs and count shared actors") {
     val e = GraphOps.coOccurrenceEdges(events, "trader_id", "symbol")
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))

@@ -210,6 +210,18 @@ class LivePlanSpec extends AnyFunSuite with SparkTestBase {
     assert(bPlan.contains("BroadcastHashJoin") ||
       bPlan.contains("ShuffledHashJoin") || bPlan.contains("SortMergeJoin"),
       s"expected an equality-keyed candidate join:\n$bPlan")
+
+    // the video sequence screen: candidates must stay equality-keyed on
+    // (frame, band, value) — the frame dimension must not push the join
+    // into a non-equi form
+    val vh = ops.MultimodalOps.perFrameDHash(
+      ops.MultimodalOps.encodeNearDupGifMedia(docs)).toDF()
+    val vPairs = ops.DedupOps.hammingSeqPairs(
+      vh.select(col("media_id"), col("n_frames"), col("frame_idx"),
+        col("dhash").as("sig")), 56, 7, 8, minFrames = 3)
+    val vPlan = executedPlan(vPairs)
+    assert(!vPlan.contains("CartesianProduct"),
+      s"video sequence pair screen degenerated to all-pairs:\n$vPlan")
   }
 
   test("catalog warehouse query: bucketed layout keeps agg + join exchange-free") {

@@ -160,4 +160,41 @@ class MultimodalFramesSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(ex.getMessage != null)
   }
+
+  test("video sequence banding finds exactly the brute-force pair set") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir).limit(100)
+    val fh = MultimodalOps.perFrameDHash(
+      MultimodalOps.encodeNearDupGifMedia(docs)).toDF().cache()
+    val banded = graft.ops.DedupOps.hammingSeqPairs(
+        fh.select(col("media_id"), col("n_frames"), col("frame_idx"),
+          col("dhash").as("sig")), 56, 7, 8, minFrames = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force on the collected frame hashes (test-only oracle):
+    // aligned same-length sequences, summed per-frame Hamming
+    val seqs = fh.collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+      .groupBy(_._1)
+      .map { case (id, rows) => id -> rows.sortBy(_._2).map(_._3).toSeq }
+    val brute = (for {
+      (a, sa) <- seqs.toSeq; (b, sb) <- seqs.toSeq
+      if a < b && sa.length == sb.length
+      d = sa.zip(sb).map { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) }.sum
+      if d <= 8
+    } yield (a, b, d)).toSet
+    assert(banded == brute,
+      s"sequence banding lost/invented pairs: " +
+        s"${(banded diff brute) ++ (brute diff banded)}")
+    // every within-group (planted near-dup) pair is found, and the law
+    // plants NO cross-group pairs (frame count + multipliers separate
+    // all 15015 group structures)
+    val planted: Set[(Long, Long)] = seqs.keys.toSeq
+      .groupBy(_ / MultimodalOps.VdGroupSize).values.toSeq.flatMap { g =>
+        for (a <- g; b <- g if a < b) yield (a, b)
+      }.toSet
+    assert(banded.map(t => (t._1, t._2)) == planted,
+      "found pairs must be exactly the planted within-group set")
+    fh.unpersist()
+  }
 }

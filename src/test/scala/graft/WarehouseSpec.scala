@@ -107,6 +107,21 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
       "compaction must reduce the file count")
   }
 
+  test("byte-targeted compaction fails loudly on an empty source table") {
+    // sum() over zero rows is NULL — without the guard this was an
+    // opaque NullPointerException from getLong
+    val empty = s"${System.getProperty("java.io.tmpdir")}/graft_wh_empty"
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_wh_empty_out"
+    deleteRec(empty); deleteRec(out)
+    TickOps.normalizeEvents(Tables.events(spark, sf))
+      .withColumn("trade_date", to_date(col("event_ts")))
+      .limit(0).write.parquet(empty)
+    val e = intercept[IllegalArgumentException] {
+      WarehouseOps.compactPartitionsToBytes(spark, empty, out)
+    }
+    assert(e.getMessage.contains("empty"), e.getMessage)
+  }
+
   test("byte-targeted compaction derives a sane record bound and lands files near target") {
     val frag = s"${System.getProperty("java.io.tmpdir")}/graft_wh_bfrag"
     val tidy = s"${System.getProperty("java.io.tmpdir")}/graft_wh_btidy"
