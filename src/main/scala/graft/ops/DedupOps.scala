@@ -457,7 +457,22 @@ object DedupOps {
   /** Same, over an already-computed (doc_id, simhash) signature table —
     * lets a staged/cached signature set serve both the signature query
     * and the pair screen (and keeps the self-join from recomputing the
-    * token votes twice). */
+    * token votes twice).
+    *
+    * SCALE SHAPE (round-11 ×100 adjudication): the band join runs over
+    * DISTINCT signatures, never docs. A near-dup corpus repeats
+    * signatures heavily (the ×100 image fixture: 500k docs, 109k
+    * distinct hashes), and banding the doc table directly made the
+    * candidate mass Σ C(docs-per-band-value, 2) ≈ 4.6·10^10 at 500k
+    * docs — byte-wide band values collide constantly at that scale, so
+    * the screen went candidate-quadratic while the true output was
+    * ~100× smaller (measured 860 s warm; BASELINE.md round 11). Now:
+    * (1) identical-signature pairs expand per hash group — a pure
+    * output-bound equality self-join; (2) the banded screen + verify
+    * runs on the distinct-signature table; (3) qualifying HASH pairs
+    * expand back to doc pairs through two equality joins — output-bound
+    * again. The only non-output term left is banding collisions among
+    * DISTINCT signatures, the irreducible core of the method. */
   def simhashHammingPairsFromSigs(sigs: DataFrame, nBits: Int = 32,
                                   nBands: Int = 4, maxHamming: Int = 3): DataFrame = {
     require(nBits % nBands == 0, "nBits must split into equal bands")
@@ -465,18 +480,18 @@ object DedupOps {
       "exact banding needs maxHamming < nBands (pigeonhole)")
     val bandBits = nBits / nBands
     val mask = (1L << bandBits) - 1
-    val banded = sigs
-      .select(col("doc_id"), col("simhash"),
+    val dist = sigs.select(col("simhash")).distinct()
+    val banded = dist
+      .select(col("simhash"),
         explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("simhash"), b * bandBits).bitwiseAND(mask)
               .as("bv"))): _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"),
-        col("bk.band").as("band"), col("bk.bv").as("bv"))
-    banded.as("a").join(banded.as("b"),
+      .select(col("simhash"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val hashPairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("ha"), col("b.simhash").as("hb"),
         call_function("bit_count",
           col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int")
           .as("hamming"))
@@ -485,6 +500,19 @@ object DedupOps {
       // surviving pairs, not every band collision
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    val cross = hashPairs
+      .join(sigs.select(col("doc_id").as("da"), col("simhash").as("ha")),
+        Seq("ha"))
+      .join(sigs.select(col("doc_id").as("db"), col("simhash").as("hb")),
+        Seq("hb"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    val within = sigs.as("a")
+      .join(sigs.as("b"), col("a.simhash") === col("b.simhash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(0).as("hamming"))
+    cross.unionByName(within)
   }
 
   /** Hamming-banded near-dup pairs over SEQUENCES of per-frame

@@ -508,8 +508,10 @@ object MultimodalOps {
 
   /** Deterministic NEAR-DUP video law — the sequence sibling of
     * [[phPixel]]: documents form groups of [[VdGroupSize]]; the group id
-    * drives the gradient structure (per-axis/cross/FRAME multipliers) and
-    * the frame COUNT (3 + g%3 — sequence length is a group property, so
+    * drives the gradient structure (per-axis/cross multipliers and a
+    * frame-COUPLED x-gradient term — coupled, not additive, because a
+    * per-frame constant offset is dHash-invariant and would collapse
+    * the %13 axis out of the separation) and the frame COUNT (3 + g%3 — sequence length is a group property, so
     * planted near-dups align frame-for-frame), while non-leader members
     * get a sparse +128 perturbation (~0.6 sampled blocks per frame at
     * the %101 rate, so the summed per-frame dHash distance stays ≤8).
@@ -525,7 +527,7 @@ object MultimodalOps {
   private[graft] def vdPixel(id: Long, f: Int, x: Int, y: Int): Int = {
     val g = id / VdGroupSize
     val b = (x * (31 + g % 7) + y * (17 + g % 11) +
-      x * y * (7 + g % 5) + f * (23 + g % 13) + g * 101) % 256
+      x * y * (7 + g % 5) + x * f * (23 + g % 13) + g * 101) % 256
     if (id % VdGroupSize != 0 && (x / 2 + 9 * (y / 2) + 63 * f + id) % 101 == 0)
       ((b + 128) % 256).toInt
     else b.toInt

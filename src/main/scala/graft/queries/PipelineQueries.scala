@@ -36,10 +36,10 @@ object PipelineQueries {
       |vpx AS (SELECT doc_id, nf, f, y, x,
       |  CASE WHEN doc_id % 5 <> 0 AND (x + 9*y + 63*f + doc_id) % 101 = 0
       |  THEN ((2*x)*(31 + (doc_id//5)%7) + (2*y)*(17 + (doc_id//5)%11)
-      |    + (4*x*y)*(7 + (doc_id//5)%5) + f*(23 + (doc_id//5)%13)
+      |    + (4*x*y)*(7 + (doc_id//5)%5) + (2*x)*f*(23 + (doc_id//5)%13)
       |    + (doc_id//5)*101 + 128) % 256
       |  ELSE ((2*x)*(31 + (doc_id//5)%7) + (2*y)*(17 + (doc_id//5)%11)
-      |    + (4*x*y)*(7 + (doc_id//5)%5) + f*(23 + (doc_id//5)%13)
+      |    + (4*x*y)*(7 + (doc_id//5)%5) + (2*x)*f*(23 + (doc_id//5)%13)
       |    + (doc_id//5)*101) % 256
       |  END AS p FROM vgrid),
       |vdh AS (SELECT a.doc_id, a.nf, a.f,
@@ -48,13 +48,20 @@ object PipelineQueries {
       |  FROM vpx a JOIN vpx b ON a.doc_id = b.doc_id AND a.f = b.f
       |  AND a.y = b.y AND b.x = a.x + 1 WHERE a.x < 8
       |  GROUP BY a.doc_id, a.nf, a.f),
+      |vseq AS (SELECT doc_id, nf, list(dhash ORDER BY f) AS sq
+      |  FROM vdh GROUP BY doc_id, nf),
       |vprs AS (SELECT a.doc_id AS media_a, b.doc_id AS media_b,
-      |  CAST(SUM(bit_count(xor(a.dhash, b.dhash))) AS INT) AS hamming
-      |  FROM vdh a JOIN vdh b
-      |  ON a.doc_id < b.doc_id AND a.nf = b.nf AND a.f = b.f
-      |  GROUP BY 1, 2
-      |  HAVING SUM(bit_count(xor(a.dhash, b.dhash))) <= 8)"""
+      |  CAST(list_sum(list_transform(range(1, a.nf + 1),
+      |    i -> bit_count(xor(a.sq[i], b.sq[i])))) AS INT) AS hamming
+      |  FROM vseq a JOIN vseq b ON a.nf = b.nf AND a.doc_id < b.doc_id
+      |  WHERE list_sum(list_transform(range(1, a.nf + 1),
+      |    i -> bit_count(xor(a.sq[i], b.sq[i])))) <= 8)"""
       .stripMargin.replace("\n", " ")
+  // ^ vprs streams pairs through a per-row list reduction and FILTERS
+  //   before anything aggregates — the earlier per-(pair) GROUP BY form
+  //   built ~half a billion groups of aggregation state at the ×10
+  //   fixture and never finished; the all-pairs SCAN is the oracle's
+  //   prerogative, unbounded aggregation state is not
 
   private val phashOracleCte: String =
     """WITH d AS (SELECT doc_id FROM documents),
@@ -223,10 +230,17 @@ object PipelineQueries {
     // Video near-dup PAIRS: order-respecting sequence distance (sum of
     // aligned per-frame dHash Hamming distances) with the band key
     // lifted to (frame, band, value) — candidates stay an EQUALITY
-    // join, never all-pairs (DedupOps.hammingSeqPairs; pigeonhole
-    // bound 8 < 7 bands × 3 min frames). The oracle states the
-    // all-pairs predicate directly — its prerogative at fixture scale;
-    // the Spark side must stay banded (LivePlanSpec pins no-cartesian).
+    // join, never all-pairs (DedupOps.hammingSeqPairs). FOUR 14-bit
+    // bands, not the image screen's seven 8-bit ones: sequences can
+    // afford wider bands because the pigeonhole budget multiplies by
+    // frames (8 < 4 bands × 3 min frames), and at 50k+ media an 8-bit
+    // band has only 256 values — random hashes collide on a byte
+    // constantly, and the candidate set goes quadratic on band-value
+    // collisions alone (measured: the 7×8-bit form produced ~170M
+    // candidates at the ×10 fixture; 14-bit bands cut collision mass
+    // ×64). The oracle states the all-pairs predicate directly — its
+    // prerogative at fixture scale; the Spark side must stay banded
+    // (LivePlanSpec pins no-cartesian).
     Q("video_dup_pairs",
       (s, dir) => {
         val h = Staged.retrieval(s, dir, "video_phash") {
@@ -237,7 +251,7 @@ object PipelineQueries {
         graft.ops.DedupOps.hammingSeqPairs(
             h.select(col("media_id"), col("n_frames"), col("frame_idx"),
               col("dhash").as("sig")),
-            nBits = 56, nBands = 7, maxTotalHamming = 8, minFrames = 3)
+            nBits = 56, nBands = 4, maxTotalHamming = 8, minFrames = 3)
           .orderBy("media_a", "media_b")
       },
       s"""$videoDhashOracleCte
@@ -260,7 +274,7 @@ object PipelineQueries {
             graft.ops.DedupOps.hammingSeqPairs(
               h.select(col("media_id"), col("n_frames"), col("frame_idx"),
                 col("dhash").as("sig")),
-              nBits = 56, nBands = 7, maxTotalHamming = 8, minFrames = 3)
+              nBits = 56, nBands = 4, maxTotalHamming = 8, minFrames = 3)
               .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
           .select(col("doc_id").as("media_id"), col("cluster_id"))
           .orderBy("media_id")

@@ -629,22 +629,30 @@ object TextQueries {
        |  UNION ALL
        |  SELECT w, f, wlen, j + 1,
        |    [hist[2], hist[3], hist[4],
-       |     {'sc': best0.sc, 'seg': best0.seg}
+       |     {'sc': best.sc, 'seg': best.seg}
        |       ::STRUCT(sc DOUBLE, seg VARCHAR)]
        |  FROM (
        |    SELECT w, f, wlen, j, hist,
-       |      (SELECT max(struct_pack(
-       |          sc := hist[5 - l.l].sc + v.lp,
-       |          l := l.l,
-       |          seg := CASE WHEN hist[5 - l.l].seg = '' THEN v.p
-       |                 ELSE hist[5 - l.l].seg || ' ' || v.p END))
-       |       FROM range(1, 5) l(l)
-       |       JOIN $vsc v ON v.p = w[j + 2 - l.l : j + 1]
-       |       WHERE l.l <= j + 1 AND hist[5 - l.l].sc IS NOT NULL) AS best0
-       |    FROM ${name}_dp WHERE j < wlen)
+       |      max(struct_pack(
+       |        sc := hist[5 - l.l].sc + v.lp,
+       |        l := l.l,
+       |        seg := CASE WHEN hist[5 - l.l].seg = '' THEN v.p
+       |               ELSE hist[5 - l.l].seg || ' ' || v.p END)) AS best
+       |    FROM ${name}_dp
+       |    JOIN range(1, 5) l(l) ON l.l <= j + 1
+       |    JOIN $vsc v ON v.p = w[j + 2 - l.l : j + 1]
+       |    WHERE j < wlen AND hist[5 - l.l].sc IS NOT NULL
+       |    GROUP BY w, f, wlen, j, hist)
        |),
        |$name AS (SELECT w, f, hist[4].seg AS seg FROM ${name}_dp
        |  WHERE j = wlen)""".stripMargin
+  // ^ the per-position argmax is a JOIN + GROUP BY against the score
+  //   table, not a correlated scalar subquery: DuckDB re-executes a
+  //   correlated probe's ENTIRE upstream chain per row, which priced the
+  //   ×10 trainer at 432 s (3 s in this form); and the score tables of
+  //   rounds ≥2 cannot be hinted MATERIALIZED — DuckDB 1.0 mis-evaluates
+  //   a materialized CTE downstream of a recursive one (bisected:
+  //   ucnt1/uvc1/uvsc1/useg1 each flip values when hinted)
 
   /** M-step CTEs for EM round `n`: piece counts from segmentation
     * `seg`, then smoothed 9-dp scores over the seed vocabulary
@@ -668,20 +676,20 @@ object TextQueries {
     * score view `ufsc(p, lp)`. */
   private lazy val unigramTrainerCtes: String = {
     val seed =
-      s"""uwf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM
+      s"""uwf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM
          |  (SELECT unnest($toks) AS w FROM documents) t
          |  WHERE length(w) > 0 GROUP BY w),
-         |usubs AS (
+         |usubs AS MATERIALIZED (
          |  SELECT w[i+1 : i+l] AS p, SUM(f) AS c
          |  FROM (SELECT w, f, CAST(unnest(range(length(w))) AS INT) AS i
          |    FROM uwf) t,
          |  range(1, 5) u(l)
          |  WHERE i + l <= length(w) GROUP BY 1),
          |uchars AS (SELECT p, c FROM usubs WHERE length(p) = 1),
-         |uvocab0 AS (SELECT p, c FROM uchars UNION ALL
+         |uvocab0 AS MATERIALIZED (SELECT p, c FROM uchars UNION ALL
          |  SELECT p, c FROM (SELECT p, c FROM usubs WHERE length(p) > 1
          |    ORDER BY c DESC, p ASC LIMIT $UniSeedMulti)),
-         |uvsc0 AS (SELECT p, c, round(ln((c + 1.0) /
+         |uvsc0 AS MATERIALIZED (SELECT p, c, round(ln((c + 1.0) /
          |    ((SELECT SUM(c) FROM uvocab0)
          |     + (SELECT count(*) FROM uvocab0))), 9) AS lp
          |  FROM uvocab0)""".stripMargin
@@ -718,14 +726,15 @@ object TextQueries {
     (unigramTrainerCtes + ",\n" + uniViterbiCte("usegf", "ufsc") + ",\n" +
       s"""udtoks AS (SELECT doc_id,
          |  list_filter($toks, x -> length(x) > 0) AS ts FROM documents),
-         |udwords AS (SELECT doc_id, ts,
-         |  CAST(unnest(range(1, len(ts) + 1)) AS INT) AS i FROM udtoks),
+         |udwords AS (SELECT doc_id,
+         |  CAST(unnest(range(1, len(ts) + 1)) AS INT) AS i,
+         |  unnest(ts) AS w FROM udtoks),
          |udocseg AS (SELECT d.doc_id,
          |    string_agg(sg.seg, ' | ' ORDER BY d.i) AS form,
          |    CAST(count(*) AS BIGINT) AS n_words,
-         |    CAST(SUM(length(d.ts[d.i])) AS BIGINT) AS n_chars,
+         |    CAST(SUM(length(d.w)) AS BIGINT) AS n_chars,
          |    CAST(SUM(len(string_split(sg.seg, ' '))) AS BIGINT) AS ntok
-         |  FROM udwords d JOIN usegf sg ON d.ts[d.i] = sg.w
+         |  FROM udwords d JOIN usegf sg ON d.w = sg.w
          |  GROUP BY d.doc_id),
          |ustats AS (SELECT dt.doc_id,
          |    coalesce(u.n_words, 0) AS n_words,

@@ -218,7 +218,7 @@ class LivePlanSpec extends AnyFunSuite with SparkTestBase {
       ops.MultimodalOps.encodeNearDupGifMedia(docs)).toDF()
     val vPairs = ops.DedupOps.hammingSeqPairs(
       vh.select(col("media_id"), col("n_frames"), col("frame_idx"),
-        col("dhash").as("sig")), 56, 7, 8, minFrames = 3)
+        col("dhash").as("sig")), 56, 4, 8, minFrames = 3)
     val vPlan = executedPlan(vPairs)
     assert(!vPlan.contains("CartesianProduct"),
       s"video sequence pair screen degenerated to all-pairs:\n$vPlan")
@@ -366,16 +366,18 @@ class LivePlanSpec extends AnyFunSuite with SparkTestBase {
       s"Q21 degenerated to a non-equi join:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"supplier⨝nation must broadcast into the fact:\n$plan")
-    // decorrelation visible: the per-order distinct-supplier profile is
-    // a HashAggregate keyed on the SAME orderkey the join uses — both
-    // correlated subqueries collapse into it (the correlated form would
-    // re-scan lineitem twice per outer row)
-    assert(plan.contains("count(distinct l_suppkey") ||
-      plan.contains("count(l_suppkey"),
-      s"expected the distinct-supplier order profile:\n$plan")
-    // the orderkey exchange is shared: join + profile agg + join-back
-    // must not each re-shuffle (allow the two join inputs + the final
-    // s_name agg; anything above that means the reuse broke)
+    // the round-11 two-pass shape: facts collapse to DISTINCT
+    // (order, supplier) pairs in a partial-agg'd HashAggregate — NO
+    // Expand (the double-countDistinct form duplicated every fact row
+    // per distinct column; ×10 measured 6.7× from it) — and both
+    // per-order profiles are windows over that one pair exchange
+    assert(!plan.contains("Expand"),
+      s"the countDistinct Expand is back:\n$plan")
+    assert(plan.contains("HashAggregate(keys=[l_orderkey") &&
+      plan.contains("Window"),
+      s"expected the pair-collapse aggregate + order-key windows:\n$plan")
+    // exchanges stay bounded: pair agg + window partitioning + the
+    // final s_name agg; anything above that means the reuse broke
     val hash = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(hash <= 4, s"expected ≤4 hash exchanges, got $hash:\n$plan")
   }

@@ -168,7 +168,7 @@ class MultimodalFramesSpec extends AnyFunSuite with SparkTestBase {
       MultimodalOps.encodeNearDupGifMedia(docs)).toDF().cache()
     val banded = graft.ops.DedupOps.hammingSeqPairs(
         fh.select(col("media_id"), col("n_frames"), col("frame_idx"),
-          col("dhash").as("sig")), 56, 7, 8, minFrames = 3)
+          col("dhash").as("sig")), 56, 4, 8, minFrames = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     // brute force on the collected frame hashes (test-only oracle):
     // aligned same-length sequences, summed per-frame Hamming
