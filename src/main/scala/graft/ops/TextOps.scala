@@ -232,4 +232,123 @@ object TextOps {
     docs.select((col("doc_id") +: counts) ++ Seq(
       total.as("n_pii"), md5(redacted).as("redacted_digest")): _*)
   }
+
+  // ---------------------------------------------------------------------
+  // Bigram LM with stupid backoff — the CCNet-style fluency filter
+  // ---------------------------------------------------------------------
+
+  /** Train/eval split shared by the bigram-LM family: the md5 bucket
+    * convention of `corpus_split` (< 90 = train, ≥ 90 = held-out). */
+  private def splitBucket: Column =
+    Hashing.md5Long(col("doc_id").cast("string")) % 100
+
+  /** Adjacent-token transitions of a `toks` array column, exploded to
+    * (w1, w2) rows — a narrow map (no shuffle, no self-join): the pair
+    * list is built per row with a higher-order transform. */
+  private def transitions(extra: Column*): Seq[Column] =
+    extra :+ expr(
+      "explode(transform(sequence(0, size(toks) - 2), " +
+        "i -> struct(toks[i] AS w1, toks[i + 1] AS w2)))").as("p")
+
+  /** Bigram + unigram counts of the train split: the language model.
+    * Returns (bigram counts c12 keyed (w1,w2), unigram counts c1 keyed
+    * token, scalar (n_train, v_train)). Each is ONE exploded-scan
+    * hash-agg: vocabulary- / seen-bigram-bounded, partial aggregation
+    * collapses per-partition before the shuffle — the same two tables a
+    * 1000-executor run would materialize once and reuse. */
+  private def bigramCounts(docs: DataFrame, text: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val train = docs
+      .select(col("doc_id"), tokens(col(text)).as("toks"))
+      .filter(splitBucket < 90)
+    val trainToks = train.select(explode(col("toks")).as("token"))
+    val uni = trainToks.groupBy(col("token")).agg(count(lit(1)).as("c1"))
+    val nv = trainToks.agg(count(lit(1)).cast(DoubleType).as("n_train"))
+      .crossJoin(uni.agg(count(lit(1)).cast(DoubleType).as("v_train")))
+    val big = train.filter(size(col("toks")) >= 2)
+      .select(transitions(): _*)
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    (big, uni, nv)
+  }
+
+  /** The trained bigram model's head: top `topN` transitions by count
+    * with their 9-dp conditional log-probability ln(c12/c1) — the
+    * inspectable artifact of the fit (TakeOrdered top-N, no full sort). */
+  def bigramModel(docs: DataFrame, topN: Int = 50,
+                  text: String = "text"): DataFrame = {
+    val (big, uni, _) = bigramCounts(docs, text)
+    big.join(uni.withColumnRenamed("token", "w1"), Seq("w1"))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log(col("c12").cast(DoubleType) / col("c1")), 9).as("lp"))
+      .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
+      .limit(topN)
+  }
+
+  /** Stupid-backoff bigram scoring of the HELD-OUT split (the
+    * CCNet-style fluency signal next to [[unigramLogProb]]): the model
+    * is fit on the 90% train split and scores the 10% it never saw, so
+    * unseen transitions genuinely occur and the backoff path is
+    * exercised — the deployment shape (CCNet fits on a reference
+    * corpus, scores the crawl).
+    *
+    * score(w1→w2) = c(w1,w2)/c(w1) when the bigram was seen in train,
+    * else 0.4·(c(w2)+1)/(N+V) (stupid backoff, Brants et al. 2007
+    * "Large Language Models in Machine Translation", with +1 unigram
+    * smoothing so out-of-vocabulary w2 stays finite). Log-scores
+    * rounded to 9 dp; per-doc sums as DECIMAL(30,9) so partial-agg
+    * order can't skew the float; docs with < 2 tokens have no
+    * transition and are omitted.
+    *
+    * Scale: scoring is two equality joins of the eval transitions
+    * against the vocab-bounded count tables — broadcastable when the
+    * model is small, plain shuffle joins otherwise; no windows, no
+    * driver-side state. */
+  def bigramScores(docs: DataFrame, text: String = "text"): DataFrame = {
+    val (big, uni, nv) = bigramCounts(docs, text)
+    val evalPairs = docs
+      .select(col("doc_id"), col("lang"), tokens(col(text)).as("toks"))
+      .filter(splitBucket >= 90 && size(col("toks")) >= 2)
+      .select(transitions(col("doc_id"), col("lang")): _*)
+      .select(col("doc_id"), col("lang"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val u1 = uni.select(col("token").as("w1"), col("c1").as("c1_w1"))
+    val u2 = uni.select(col("token").as("w2"), col("c1").as("c1_w2"))
+    evalPairs
+      .join(big, Seq("w1", "w2"), "left")
+      .join(u1, Seq("w1"), "left")
+      .join(u2, Seq("w2"), "left")
+      .crossJoin(nv)
+      .select(col("doc_id"), col("lang"),
+        when(col("c12").isNotNull, lit(0L)).otherwise(lit(1L)).as("backoff"),
+        round(log(
+          when(col("c12").isNotNull,
+            col("c12").cast(DoubleType) / col("c1_w1"))
+            .otherwise(lit(0.4) * (coalesce(col("c1_w2"), lit(0L)) + lit(1)) /
+              (col("n_train") + col("v_train")))), 9).as("lp"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_trans"),
+        sum(col("backoff")).as("n_backoff"),
+        round(sum(col("lp").cast("decimal(30,9)")).cast(DoubleType) /
+          count(lit(1)), 6).as("avg_lp"))
+  }
+
+  /** CCNet's per-language perplexity buckets over the held-out scores:
+    * ntile(3) within each language ordered by avg log-prob descending —
+    * head = most fluent third, tail = least. Per-language windows see
+    * only that language's eval slice (the `customer_deciles` /
+    * `domain_quota_sample` window discipline); at petabyte scale the
+    * cuts would come from approx quantiles instead — this form is the
+    * exact-tercile reference. */
+  def pplBuckets(docs: DataFrame, text: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("avg_lp").desc, col("doc_id").asc)
+    bigramScores(docs, text)
+      .withColumn("t", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("avg_lp"),
+        when(col("t") === 1, lit("head"))
+          .when(col("t") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
 }
