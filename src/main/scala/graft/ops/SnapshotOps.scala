@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import java.nio.charset.StandardCharsets
@@ -129,32 +129,136 @@ object SnapshotOps {
     delta.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/delta/v=$v")
   }
 
-  private def tableColumns(spark: SparkSession, path: String): Seq[String] =
-    spark.read.parquet(s"$path/delta").columns.filter(_ != "v").toSeq
-
-  private def tableSchema(spark: SparkSession,
-                          path: String): Seq[org.apache.spark.sql.types.StructField] =
-    spark.read.parquet(s"$path/delta").schema.fields.toSeq
-
-  /** The table as of version `asOf`: newest-base-≤-asOf + later deltas,
-    * collapsed to the latest row per key, tombstones dropped. */
-  def readAsOf(spark: SparkSession, path: String, asOf: Long,
-               key: String): DataFrame = {
+  /** Pruned, schema-accurate scan of the commit range [`base`, `asOf`]:
+    * only the listed version directories are opened (so the unified
+    * `mergeSchema` schema is the schema AS OF `asOf` — a column added by
+    * a later commit does not leak into earlier reads), rows from
+    * pre-evolution commits carry null for later columns, and the
+    * redundant `v`-range predicate keeps the partition-filter shape
+    * (pruning is doubly enforced: by path list and by partition
+    * pruning). Returns (scan, base). */
+  private def versionScan(spark: SparkSession, path: String,
+                          asOf: Long): (DataFrame, Long) = {
     val vs = versions(path)
     require(vs.contains(asOf),
       s"version $asOf not in the log (have ${vs.mkString(",")})")
     val base = vs.filter(v => v <= asOf && readManifest(path, v)._2).max
-    val payload = tableColumns(spark, path).filter(c =>
-      c != key && c != DeletedCol)
-    val latest = spark.read.parquet(s"$path/delta")
-      // v=N is a partition column: this range predicate PRUNES later
-      // (and pre-base) commit directories out of the scan entirely
+    val dirs = vs.filter(v => v >= base && v <= asOf)
+      .map(v => s"$path/delta/v=$v")
+    val scan = spark.read
+      .option("mergeSchema", "true")
+      .option("basePath", s"$path/delta")
+      .parquet(dirs: _*)
       .filter(col("v") >= base && col("v") <= asOf)
+    (scan, base)
+  }
+
+  private def tableSchema(spark: SparkSession,
+                          path: String): Seq[org.apache.spark.sql.types.StructField] =
+    versionScan(spark, path, versions(path).max)._1
+      .schema.fields.toSeq
+
+  /** The table as of version `asOf`: newest-base-≤-asOf + later deltas,
+    * collapsed to the latest row per key, tombstones dropped. The
+    * schema is the schema AS OF that version (see [[versionScan]]) —
+    * columns added by later commits are absent, columns added by
+    * earlier ones read null from pre-evolution rows. */
+  def readAsOf(spark: SparkSession, path: String, asOf: Long,
+               key: String): DataFrame = {
+    val (scan, _) = versionScan(spark, path, asOf)
+    val payload = scan.columns.filter(c =>
+      c != key && c != DeletedCol && c != "v").toSeq
+    val latest = scan
       .groupBy(col(key))
       .agg(max(struct((col("v") +: col(DeletedCol) +:
         payload.map(col)): _*)).as("__r"))
     latest
       .filter(!col("__r").getField(DeletedCol))
       .select(col(key) +: payload.map(c => col("__r").getField(c).as(c)): _*)
+  }
+
+  /** Row-level CHANGE DATA FEED for the commit range (`fromV`, `toV`]:
+    * every effective change with its commit version and type —
+    * `insert` (post-image), `delete` (pre-image), and
+    * `update_preimage`/`update_postimage` pairs. The Delta
+    * "table_changes" read path, computed in ONE pass:
+    *
+    *  - scan = newest base ≤ fromV plus the NON-base commits in range
+    *    (checkpoints rewrite unchanged state — never a logical change —
+    *    so they are skipped by path, which also keeps a mid-range
+    *    checkpoint from flooding the feed with no-op rows);
+    *  - per key, `lag` over commit order supplies each write's
+    *    pre-image — ONE window shuffle for the whole range, never a
+    *    per-version-pair join chain (`table_asof_diff` pays one
+    *    full-outer join per step; this is the scale path when the range
+    *    spans many commits);
+    *  - no-op writes (payload null-safe-equal to the pre-image, or a
+    *    tombstone on an absent key) are suppressed: the feed reports
+    *    effective state changes, the `table_diff` semantics.
+    */
+  def tableChanges(spark: SparkSession, path: String, fromV: Long,
+                   toV: Long, key: String): DataFrame = {
+    val vs = versions(path)
+    require(vs.contains(fromV) && vs.contains(toV) && fromV <= toV,
+      s"bad change range ($fromV, $toV] for log ${vs.mkString(",")}")
+    val base = vs.filter(v => v <= fromV && readManifest(path, v)._2).max
+    val scanVs = vs.filter(v => v == base ||
+      (v > base && v <= toV && !readManifest(path, v)._2))
+    val scan = spark.read
+      .option("mergeSchema", "true")
+      .option("basePath", s"$path/delta")
+      .parquet(scanVs.map(v => s"$path/delta/v=$v"): _*)
+    val payload = scan.columns.filter(c =>
+      c != key && c != DeletedCol && c != "v").toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col("v"))
+    val cur = struct(col(DeletedCol) +: payload.map(col): _*)
+    val prev = lag(cur, 1).over(w)
+    val prevLive = col("__prev").isNotNull &&
+      !col("__prev").getField(DeletedCol)
+    val curLive = !col(DeletedCol)
+    val changed = payload
+      .map(c => !(col(c) <=> col("__prev").getField(c)))
+      .reduce(_ || _)
+    def row(tpe: String, from: String => Column) =
+      struct(lit(tpe).as("change_type") +:
+        payload.map(c => from(c).as(c)): _*)
+    val emit = when(curLive && !prevLive,
+        array(row("insert", col)))
+      .when(!curLive && prevLive,
+        array(row("delete", c => col("__prev").getField(c))))
+      .when(curLive && prevLive && changed,
+        array(row("update_preimage", c => col("__prev").getField(c)),
+          row("update_postimage", col)))
+    // no-op writes fall through every branch to NULL, and explode(NULL)
+    // emits no row — the suppression needs no empty-array sentinel
+    scan
+      .withColumn("__prev", prev)
+      .filter(col("v") > fromV)
+      .select(col(key), col("v").cast("long").as("v"),
+        explode(emit).as("__c"))
+      .select(Seq(col(key), col("v"),
+        col("__c").getField("change_type").as("change_type")) ++
+          payload.map(c => col("__c").getField(c).as(c)): _*)
+  }
+
+  /** Physically remove every commit no `readAsOf(v ≥ newest base)` can
+    * reach: delta directories and manifests strictly before the newest
+    * base commit. Earlier versions become unreadable (readAsOf fails
+    * loudly on them — they leave the log); returns the removed
+    * versions. The retention story next to [[checkpoint]]: checkpoint
+    * bounds replay cost, vacuum reclaims the storage the checkpoint
+    * made redundant. */
+  def vacuum(path: String): Seq[Long] = {
+    val vs = versions(path)
+    val bases = vs.filter(v => readManifest(path, v)._2)
+    require(bases.nonEmpty, s"snapshot table at $path has no base commit")
+    val keep = bases.max
+    val drop = vs.filter(_ < keep)
+    drop.foreach { v =>
+      graft.util.Fs.deleteRec(s"$path/delta/v=$v")
+      Files.deleteIfExists(manifest(path, v))
+    }
+    drop
   }
 }

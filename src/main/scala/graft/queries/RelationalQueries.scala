@@ -675,28 +675,7 @@ object RelationalQueries {
         }.reduce(_.unionByName(_))
           .orderBy("from_v", "change_type")
       },
-      """WITH s0 AS (
-        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
-        |s1 AS (
-        |  SELECT o_orderkey,
-        |  CASE WHEN o_orderkey % 7 = 0 THEN 'V1' ELSE o_orderstatus END
-        |    AS o_orderstatus,
-        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
-        |    ELSE o_totalprice END AS o_totalprice
-        |  FROM orders
-        |  UNION ALL
-        |  SELECT -o_orderkey - 1, 'I1', 1.0 FROM orders
-        |  WHERE o_orderkey % 13 = 0),
-        |s2 AS (
-        |  SELECT * FROM s1
-        |  WHERE o_orderkey < 0 OR o_orderkey % 11 <> 0),
-        |s4 AS (
-        |  SELECT o_orderkey, 'V4' AS o_orderstatus,
-        |    o_totalprice + 200.0 AS o_totalprice
-        |  FROM orders WHERE o_orderkey % 5 = 0
-        |  UNION ALL
-        |  SELECT * FROM s2
-        |  WHERE o_orderkey < 0 OR o_orderkey % 5 <> 0),
+      s"""WITH $snapStateCtes,
         |pairs AS (
         |  SELECT 0 AS from_v, 1 AS to_v, a.o_orderkey AS k1,
         |    b.o_orderkey AS k2,
@@ -725,6 +704,95 @@ object RelationalQueries {
         |  FROM pairs)
         |GROUP BY from_v, to_v, change_type
         |ORDER BY from_v, change_type""".stripMargin.replace("\n", " ")),
+
+    // Row-level CHANGE DATA FEED over the same commit log — Delta's
+    // table_changes read path: every effective change in (0, 4] with
+    // its commit version, change type, and pre-/post-images. ONE window
+    // pass over the pruned delta scan (lag over commit order supplies
+    // each write's pre-image) — one shuffle for the WHOLE range, where
+    // table_asof_diff pays a full-outer join per version pair; the
+    // mid-range checkpoint (v3) is skipped by path, so base-commit
+    // rewrites never flood the feed with no-op rows. Oracle: replays
+    // every state from `orders` and diffs consecutive states — the
+    // hash match proves write-log order ≡ state-diff semantics.
+    Q("snapshot_cdf",
+      (s, dir) => graft.ops.SnapshotOps
+        .tableChanges(s, Staged.snapshotTable(s, dir), 0L, 4L, "o_orderkey")
+        .orderBy("o_orderkey", "v", "change_type"),
+      s"""WITH $snapStateCtes,
+        |steps AS (
+        |  SELECT 1 AS v, a.o_orderkey AS k1, b.o_orderkey AS k2,
+        |    a.o_orderstatus AS st1, b.o_orderstatus AS st2,
+        |    a.o_totalprice AS p1, b.o_totalprice AS p2
+        |  FROM s0 a FULL JOIN s1 b ON a.o_orderkey = b.o_orderkey
+        |  UNION ALL
+        |  SELECT 2, a.o_orderkey, b.o_orderkey, a.o_orderstatus,
+        |    b.o_orderstatus, a.o_totalprice, b.o_totalprice
+        |  FROM s1 a FULL JOIN s2 b ON a.o_orderkey = b.o_orderkey
+        |  UNION ALL
+        |  SELECT 4, a.o_orderkey, b.o_orderkey, a.o_orderstatus,
+        |    b.o_orderstatus, a.o_totalprice, b.o_totalprice
+        |  FROM s2 a FULL JOIN s4 b ON a.o_orderkey = b.o_orderkey),
+        |upd AS (SELECT * FROM steps
+        |  WHERE k1 IS NOT NULL AND k2 IS NOT NULL
+        |  AND (st1 IS DISTINCT FROM st2 OR p1 IS DISTINCT FROM p2))
+        |SELECT o_orderkey, CAST(v AS BIGINT) AS v, change_type,
+        |  o_orderstatus, o_totalprice FROM (
+        |  SELECT k2 AS o_orderkey, v, 'insert' AS change_type,
+        |    st2 AS o_orderstatus, p2 AS o_totalprice FROM steps
+        |  WHERE k1 IS NULL AND k2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT k1, v, 'delete', st1, p1 FROM steps
+        |  WHERE k2 IS NULL AND k1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT k1, v, 'update_preimage', st1, p1 FROM upd
+        |  UNION ALL
+        |  SELECT k1, v, 'update_postimage', st2, p2 FROM upd)
+        |ORDER BY o_orderkey, v, change_type"""
+        .stripMargin.replace("\n", " ")),
+
+    // Snapshot SCHEMA EVOLUTION: v0 commits three columns, v1 upserts
+    // rows carrying a NEW fourth (`o_orderpriority`). readAsOf resolves
+    // the schema AS OF the requested version from only the scanned
+    // commit directories (merge-on-read union) — so v0 reads don't see
+    // the column at all (SnapshotSpec pins that), and this v1 read
+    // back-fills null for every key v1 didn't touch. No rewrite of old
+    // files, no backfill job — the Delta/Iceberg evolution contract.
+    Q("table_asof_schema_evo",
+      (s, dir) => graft.ops.SnapshotOps
+        .readAsOf(s, Staged.snapshotEvoTable(s, dir), 1L, "o_orderkey")
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey,
+        |CASE WHEN o_orderkey % 6 = 0 THEN 'E1' ELSE o_orderstatus END
+        |  AS o_orderstatus,
+        |CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 50.0
+        |  ELSE o_totalprice END AS o_totalprice,
+        |CASE WHEN o_orderkey % 6 = 0 THEN o_orderpriority
+        |  ELSE NULL END AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey"""
+        .stripMargin.replace("\n", " ")),
+
+    // Snapshot VACUUM: the retention sweep that physically removes
+    // commits the newest checkpoint made unreachable (v0/v1 here —
+    // staged once, log mutation included). This read proves the
+    // surviving log still reconstructs the head state exactly;
+    // SnapshotSpec proves the swept files are GONE from disk and that
+    // pre-vacuum versions now fail loudly instead of misreading.
+    // Checkpoint bounds replay COST, vacuum reclaims replay STORAGE —
+    // together the log stays O(retention window) at any commit rate.
+    Q("snapshot_vacuum",
+      (s, dir) => graft.ops.SnapshotOps
+        .readAsOf(s, Staged.snapshotVacuumTable(s, dir), 3L, "o_orderkey")
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey,
+        |CASE WHEN o_orderkey % 10 = 0 THEN 'U3'
+        |  WHEN o_orderkey % 4 = 0 THEN 'U1'
+        |  ELSE o_orderstatus END AS o_orderstatus,
+        |CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 30.0
+        |  WHEN o_orderkey % 4 = 0 THEN o_totalprice + 10.0
+        |  ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey"""
+        .stripMargin.replace("\n", " ")),
 
     // Privacy-compliance profiling (the k-anonymity / l-diversity
     // audit a pipeline runs before releasing quasi-identified data —
@@ -824,4 +892,33 @@ object RelationalQueries {
         |concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio
         |FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", " "))
   )
+
+  /** DuckDB replay of the staged snapshot table's deterministic
+    * mutation script (Staged.snapshotTable): the state at versions
+    * 0/1/2/4, each derived independently from `orders` — shared by the
+    * time-travel read, the per-pair diff audit, and the change feed. */
+  private lazy val snapStateCtes: String =
+    """s0 AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |s1 AS (
+      |  SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN 'V1' ELSE o_orderstatus END
+      |    AS o_orderstatus,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+      |    ELSE o_totalprice END AS o_totalprice
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT -o_orderkey - 1, 'I1', 1.0 FROM orders
+      |  WHERE o_orderkey % 13 = 0),
+      |s2 AS (
+      |  SELECT * FROM s1
+      |  WHERE o_orderkey < 0 OR o_orderkey % 11 <> 0),
+      |s4 AS (
+      |  SELECT o_orderkey, 'V4' AS o_orderstatus,
+      |    o_totalprice + 200.0 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 5 = 0
+      |  UNION ALL
+      |  SELECT * FROM s2
+      |  WHERE o_orderkey < 0 OR o_orderkey % 5 <> 0)"""
+      .stripMargin.replace("\n", " ")
 }

@@ -654,6 +654,73 @@ object Staged {
     })
   }
 
+  private val snapEvoMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Schema-EVOLUTION snapshot table: v0 commits a 3-column subset of
+    * `orders` WITHOUT `o_orderpriority`; v1 upserts rows that carry it.
+    * readAsOf(0) must not see the column at all; readAsOf(1) reads it
+    * null for every key v1 didn't touch (merge-on-read back-fill). */
+  def snapshotEvoTable(s: SparkSession, dir: String): String = {
+    registerCleanup(s)
+    snapEvoMemo.getOrElseUpdate((s, dir), {
+      import org.apache.spark.sql.functions.{col, lit}
+      import graft.ops.SnapshotOps
+      val path = graft.util.Fs.workDir("graft_snap_evo", dir).toString
+      graft.util.Fs.deleteRec(path)
+      val o = Tables.orders(s, dir).filter(col("o_orderkey") % 3 === 0)
+      SnapshotOps.initTable(
+        o.select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")),
+        path, "o_orderkey")
+      SnapshotOps.commitUpsert(path,
+        o.filter(col("o_orderkey") % 6 === 0)
+          .select(col("o_orderkey"), lit("E1").as("o_orderstatus"),
+            (col("o_totalprice") + 50.0).as("o_totalprice"),
+            col("o_orderpriority")),
+        "o_orderkey")
+      path
+    })
+  }
+
+  private val snapVacMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** VACUUMED snapshot table: init → upsert → checkpoint → upsert, then
+    * vacuum (removes v0/v1 — everything the v2 checkpoint made
+    * unreachable). Staged separately because vacuum MUTATES the log;
+    * the registered query proves post-vacuum reads are still exact,
+    * SnapshotSpec proves the files are physically gone and pre-vacuum
+    * versions now fail loudly. */
+  def snapshotVacuumTable(s: SparkSession, dir: String): String = {
+    registerCleanup(s)
+    snapVacMemo.getOrElseUpdate((s, dir), {
+      import org.apache.spark.sql.functions.{col, lit}
+      import graft.ops.SnapshotOps
+      val path = graft.util.Fs.workDir("graft_snap_vac", dir).toString
+      graft.util.Fs.deleteRec(path)
+      val o = Tables.orders(s, dir).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      SnapshotOps.initTable(o, path, "o_orderkey")
+      SnapshotOps.commitUpsert(path,
+        o.filter(col("o_orderkey") % 4 === 0)
+          .select(col("o_orderkey"), lit("U1").as("o_orderstatus"),
+            (col("o_totalprice") + 10.0).as("o_totalprice")),
+        "o_orderkey")
+      SnapshotOps.checkpoint(s, path, "o_orderkey")
+      SnapshotOps.commitUpsert(path,
+        o.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), lit("U3").as("o_orderstatus"),
+            (col("o_totalprice") + 30.0).as("o_totalprice")),
+        "o_orderkey")
+      val removed = SnapshotOps.vacuum(path)
+      require(removed == Seq(0L, 1L),
+        s"vacuum removed unexpected versions: $removed")
+      path
+    })
+  }
+
   private val retrMemo =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, String), DataFrame]

@@ -98,6 +98,86 @@ class SnapshotSpec extends AnyFunSuite with SparkTestBase {
     assert(ck == 3L)
   }
 
+  test("change feed: insert/update/delete/revival with exact pre/post images") {
+    val path = freshTable("cdf")
+    SnapshotOps.initTable(state((1L, "a", 1.0), (2L, "b", 2.0)), path, "k")
+    SnapshotOps.commitUpsert(path,
+      state((2L, "B", 2.5), (3L, "c", 3.0)), "k") // update 2, insert 3
+    SnapshotOps.commitDelete(spark, path, Seq(1L).toDF("k"), "k")
+    SnapshotOps.commitUpsert(path, state((1L, "A", 9.0)), "k") // revive 1
+
+    val got = SnapshotOps.tableChanges(spark, path, 0L, 3L, "k")
+      .as[(Long, Long, String, String, Double)].collect().sorted.toSeq
+    assert(got == Seq(
+      (1L, 2L, "delete", "a", 1.0),
+      (1L, 3L, "insert", "A", 9.0),
+      (2L, 1L, "update_postimage", "B", 2.5),
+      (2L, 1L, "update_preimage", "b", 2.0),
+      (3L, 1L, "insert", "c", 3.0)), got.toString)
+
+    // a narrower range sees only its own commits
+    val tail = SnapshotOps.tableChanges(spark, path, 2L, 3L, "k")
+      .as[(Long, Long, String, String, Double)].collect().toSeq
+    assert(tail == Seq((1L, 3L, "insert", "A", 9.0)), tail.toString)
+  }
+
+  test("change feed suppresses no-op writes and checkpoint rewrites") {
+    val path = freshTable("cdfnoop")
+    SnapshotOps.initTable(state((1L, "a", 1.0), (2L, "b", 2.0)), path, "k")
+    SnapshotOps.commitUpsert(path, state((1L, "a", 1.0)), "k") // no-op write
+    SnapshotOps.checkpoint(spark, path, "k") // rewrites every key
+    SnapshotOps.commitUpsert(path, state((2L, "B", 2.0)), "k")
+    SnapshotOps.commitDelete(spark, path, Seq(9L).toDF("k"), "k") // absent key
+
+    val got = SnapshotOps.tableChanges(spark, path, 0L, 4L, "k")
+      .as[(Long, Long, String, String, Double)].collect().toSeq.sorted
+    assert(got == Seq(
+      (2L, 3L, "update_postimage", "B", 2.0),
+      (2L, 3L, "update_preimage", "b", 2.0)), got.toString)
+  }
+
+  test("vacuum removes pre-checkpoint commits physically and from the log") {
+    val path = freshTable("vac")
+    SnapshotOps.initTable(state((1L, "a", 1.0), (2L, "b", 2.0)), path, "k")
+    SnapshotOps.commitUpsert(path, state((2L, "B", 2.5)), "k")
+    SnapshotOps.checkpoint(spark, path, "k") // v2, base
+    SnapshotOps.commitUpsert(path, state((3L, "c", 3.0)), "k")
+
+    assert(SnapshotOps.vacuum(path) == Seq(0L, 1L))
+    assert(SnapshotOps.versions(path) == Seq(2L, 3L))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/delta/v=0")), "v0 files survived")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/delta/v=1")), "v1 files survived")
+    val gone = intercept[IllegalArgumentException] {
+      SnapshotOps.readAsOf(spark, path, 1L, "k")
+    }
+    assert(gone.getMessage.contains("not in the log"), gone.getMessage)
+    val head = SnapshotOps.readAsOf(spark, path, 3L, "k")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(head == Seq((1L, "a", 1.0), (2L, "B", 2.5), (3L, "c", 3.0)))
+    // vacuum is idempotent once only bases remain ahead
+    assert(SnapshotOps.vacuum(path) == Seq.empty)
+  }
+
+  test("schema evolution: per-version schema, null back-fill, old reads unchanged") {
+    val path = freshTable("evo")
+    SnapshotOps.initTable(state((1L, "a", 1.0), (2L, "b", 2.0)), path, "k")
+    SnapshotOps.commitUpsert(path,
+      Seq((2L, "B", 2.5, "x")).toDF("k", "s", "p", "extra"), "k")
+
+    val v0 = SnapshotOps.readAsOf(spark, path, 0L, "k")
+    assert(!v0.columns.contains("extra"),
+      s"a later commit's column leaked into the v0 read: ${v0.columns.toSeq}")
+    assert(v0.as[(Long, String, Double)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+
+    val v1 = SnapshotOps.readAsOf(spark, path, 1L, "k")
+      .as[(Long, String, Double, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(v1 == Seq((1L, "a", 1.0, None), (2L, "B", 2.5, Some("x"))))
+  }
+
   test("commit contracts fail loudly") {
     val path = freshTable("contracts")
     SnapshotOps.initTable(state((1L, "a", 1.0)), path, "k")
