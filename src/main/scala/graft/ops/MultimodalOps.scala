@@ -675,4 +675,93 @@ object MultimodalOps {
       }
     }
   }
+
+  // ---- audio near-dup fingerprinting (the Haitsma–Kalman family's
+  // frame-energy-delta signs), completing the dedup modality matrix:
+  // text (shingles/MinHash/SimHash), embeddings (cosine), image
+  // (dHash), video (frame-sequence dHash), audio (this).
+
+  /** Deterministic NEAR-DUP audio law — the audio sibling of
+    * [[phPixel]]: docs form groups of [[AfGroupSize]]; each clip is
+    * [[AfFrames]] frames of [[AfFrameW]] 16-bit samples, constant
+    * |amplitude| per frame with alternating sign (a square wave — so
+    * the clip has real zero crossings but an exactly closed-form
+    * per-frame energy). The magnitude law's f/f²/f³ multipliers are
+    * group-keyed mod 7/11/13 (lcm 1001 structures — denser than the
+    * image law's 385, sparser than the video law's 15015); non-leader
+    * members perturb frames where (f + id) % 29 == 0 by +1365 mod 2048
+    * (≤2 of 57 frames, each flipping at most the two adjacent delta
+    * bits → fingerprint distance ≤4 from the leader). */
+  private[graft] val AfGroupSize = 5L
+  private[graft] val AfFrames = 57
+  private[graft] val AfFrameW = 32
+  private[graft] def afMagRaw(id: Long, f: Int): Long = {
+    val g = id / AfGroupSize
+    val base = (f.toLong * (31 + g % 7) + f.toLong * f * (17 + g % 11) +
+      f.toLong * f * f * (23 + g % 13) + g * 101) % 2048
+    if (id % AfGroupSize != 0 && (f + id) % 29 == 0) (base + 1365) % 2048
+    else base
+  }
+
+  /** Documents → near-dup WAV media: one REAL 16-bit mono PCM clip per
+    * doc rendered from [[afMagRaw]] and containerized by [[wavBytes]]
+    * inside executors (the [[encodeWavMedia]] distributed-encode
+    * discipline on the near-dup law). */
+  def encodeNearDupWavMedia(docs: DataFrame): DataFrame = {
+    val spark: SparkSession = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val n = AfFrames * AfFrameW
+        val pcm = new Array[Byte](2 * n)
+        var i = 0
+        while (i < n) {
+          val mag = (afMagRaw(id, i / AfFrameW) - 1024).toInt
+          val s = if (i % 2 == 0) mag else -mag
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        (id, "audio/wav", wavBytes(pcm, AudRate))
+      }
+    }.toDF("media_id", "media_type", "payload")
+  }
+
+  final case class AudioFp(media_id: Long, fp: Long)
+
+  /** 56-bit audio fingerprint from a REAL container round-trip: parse
+    * the RIFF/WAVE payload ([[wavPcm]]), sum |amplitude| per
+    * [[AfFrameW]]-sample frame, and set bit f when frame f+1 carries
+    * more energy than frame f — the sign-of-energy-delta fingerprint
+    * (the Haitsma–Kalman integer core, with frame energies standing in
+    * for FFT band energies so the oracle replays the whole
+    * decode→frame→delta chain in closed form). 56 bits = the image
+    * dHash width, so [[graft.ops.DedupOps.simhashHammingPairsFromSigs]]
+    * serves the pair screen verbatim. Narrow per-row work, no shuffle. */
+  def audioFingerprint(media: DataFrame): Dataset[AudioFp] = {
+    val spark: SparkSession = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { m =>
+        val (bytes, _) = wavPcm(m.payload)
+        val n = bytes.length / 2
+        val nf = n / AfFrameW
+        val e = new Array[Long](nf)
+        var i = 0
+        while (i < n) {
+          val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8))
+            .toShort.toInt
+          e(i / AfFrameW) += math.abs(s)
+          i += 1
+        }
+        var fp = 0L
+        var f = 0
+        while (f < nf - 1 && f < 56) {
+          if (e(f + 1) > e(f)) fp |= 1L << f
+          f += 1
+        }
+        AudioFp(m.media_id, fp)
+      }
+    }
+  }
 }

@@ -86,6 +86,26 @@ object PipelineQueries {
       |    sum(p) OVER (PARTITION BY doc_id) AS s FROM px WHERE x < 8)
       |  GROUP BY doc_id)""".stripMargin.replace("\n", " ")
 
+  /** Closed-form replay of the near-dup audio law → per-doc 56-bit
+    * fingerprint (MultimodalOps.afMagRaw / audioFingerprint): per-frame
+    * |amplitude| (the frame-constant square-wave magnitude — the
+    * 32-sample frame sum cancels in every energy comparison), then
+    * bit f = [energy(f+1) > energy(f)] packed with bit_or. */
+  private val audioFpOracleCte: String =
+    """WITH ad AS (SELECT doc_id FROM documents),
+      |afr AS (SELECT doc_id, CAST(f.range AS BIGINT) AS f
+      |  FROM ad, range(57) f),
+      |amag AS (SELECT doc_id, f,
+      |  abs(((f*(31 + (doc_id//5)%7) + f*f*(17 + (doc_id//5)%11)
+      |    + f*f*f*(23 + (doc_id//5)%13) + (doc_id//5)*101
+      |    + CASE WHEN doc_id % 5 <> 0 AND (f + doc_id) % 29 = 0
+      |      THEN 1365 ELSE 0 END) % 2048) - 1024) AS m FROM afr),
+      |afp AS (SELECT a.doc_id,
+      |  bit_or(CASE WHEN b.m > a.m THEN (1::BIGINT << CAST(a.f AS INT))
+      |    ELSE 0::BIGINT END) AS fp
+      |  FROM amag a JOIN amag b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+      |  GROUP BY a.doc_id)""".stripMargin.replace("\n", " ")
+
   private def freshWorkDir(prefix: String, dir: String): String = {
     val p = graft.util.Fs.workDir(prefix, dir)
     graft.util.Fs.deleteRec(p.toString)
@@ -290,6 +310,87 @@ object PipelineQueries {
          |  SELECT a AS media_id, least(a, min(b)) AS cluster_id
          |  FROM vreach GROUP BY a)
          |SELECT media_id, cluster_id FROM vclusters
+         |ORDER BY media_id""".stripMargin.replace("\n", " ")),
+
+    // 56-bit audio fingerprints over a REAL container round-trip — the
+    // audio leg of the dedup modality matrix (text/embedding/image/
+    // video/audio): the near-dup audio law synthesizes one 16-bit mono
+    // PCM clip per doc (57 frames × 32 samples, group-structured
+    // per-frame energies + sparse perturbation — MultimodalOps
+    // .afMagRaw), containerizes it as RIFF/WAVE in executors, parses it
+    // back, and packs the Haitsma–Kalman-style sign-of-energy-delta
+    // bits. The oracle replays decode → frame energy → delta sign
+    // arithmetically from the closed-form law, so an endianness, frame
+    // split, or comparison bug shifts the fingerprint.
+    Q("audio_fingerprint",
+      (s, dir) => Staged.retrieval(s, dir, "audio_fp") {
+          MultimodalOps.audioFingerprint(
+            MultimodalOps.encodeNearDupWavMedia(Tables.documents(s, dir)))
+            .toDF()
+        }.orderBy("media_id"),
+      s"""$audioFpOracleCte
+         |SELECT doc_id AS media_id, fp FROM afp
+         |ORDER BY media_id""".stripMargin.replace("\n", " ")),
+
+    // Audio near-dup PAIRS: the image screen reused verbatim — the
+    // fingerprint is 56 bits wide precisely so the 7×8-bit Hamming
+    // band join (equality-keyed candidates, pigeonhole-exact at
+    // distance ≤6, DISTINCT-signature screen) needs no new machinery.
+    // Oracle states the all-pairs predicate directly (its prerogative
+    // at fixture scale; the Spark side must stay banded).
+    Q("audio_dup_pairs",
+      (s, dir) => {
+        val h = Staged.retrieval(s, dir, "audio_fp") {
+          MultimodalOps.audioFingerprint(
+            MultimodalOps.encodeNearDupWavMedia(Tables.documents(s, dir)))
+            .toDF()
+        }
+        graft.ops.DedupOps.simhashHammingPairsFromSigs(
+            h.select(col("media_id").as("doc_id"), col("fp").as("simhash")),
+            nBits = 56, nBands = 7, maxHamming = 6)
+          .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+            col("hamming"))
+          .orderBy("media_a", "media_b")
+      },
+      s"""$audioFpOracleCte
+         |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+         |CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+         |FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 6
+         |ORDER BY media_a, media_b""".stripMargin.replace("\n", " ")),
+
+    // Audio near-dup CLUSTERS: min-label propagation over the banded
+    // fingerprint pairs (DedupOps.dupClusters — the text/image cluster
+    // machinery reused verbatim); only media appearing in some pair are
+    // labeled. Oracle: recursive-CTE transitive closure over the
+    // replayed fingerprint law.
+    Q("audio_dup_clusters",
+      (s, dir) => {
+        val h = Staged.retrieval(s, dir, "audio_fp") {
+          MultimodalOps.audioFingerprint(
+            MultimodalOps.encodeNearDupWavMedia(Tables.documents(s, dir)))
+            .toDF()
+        }
+        graft.ops.DedupOps.dupClusters(
+            graft.ops.DedupOps.simhashHammingPairsFromSigs(
+              h.select(col("media_id").as("doc_id"), col("fp").as("simhash")),
+              nBits = 56, nBands = 7, maxHamming = 6))
+          .select(col("doc_id").as("media_id"), col("cluster_id"))
+          .orderBy("media_id")
+      },
+      s"""${audioFpOracleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |aprs AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.fp, b.fp)) <= 6),
+         |aedges AS (SELECT a, b FROM aprs UNION SELECT b, a FROM aprs),
+         |areach(a, b) AS (
+         |  SELECT a, b FROM aedges
+         |  UNION
+         |  SELECT r.a, e.b FROM areach r JOIN aedges e ON r.b = e.a),
+         |aclusters AS (
+         |  SELECT a AS media_id, least(a, min(b)) AS cluster_id
+         |  FROM areach GROUP BY a)
+         |SELECT media_id, cluster_id FROM aclusters
          |ORDER BY media_id""".stripMargin.replace("\n", " ")),
 
     // REAL audio codec round-trip: one RIFF/WAVE payload per doc

@@ -87,4 +87,44 @@ class WavCodecSpec extends AnyFunSuite {
       MultimodalOps.wavPcm("not a wav at all".getBytes)
     }
   }
+
+  /** Closed-form fingerprint from the law, bypassing codec + framing —
+    * the independent recomputation the audio_fingerprint oracle also
+    * performs. */
+  private def lawFp(id: Long): Long = {
+    def e(f: Int): Long = math.abs(MultimodalOps.afMagRaw(id, f) - 1024)
+    (0 until 56).map(f => if (e(f + 1) > e(f)) 1L << f else 0L).sum
+  }
+
+  test("audio fingerprint: container round-trip equals the closed-form law") {
+    (0L until 25L).foreach { id =>
+      val n = MultimodalOps.AfFrames * MultimodalOps.AfFrameW
+      val p = new Array[Byte](2 * n)
+      (0 until n).foreach { i =>
+        val mag = (MultimodalOps.afMagRaw(id, i / MultimodalOps.AfFrameW)
+          - 1024).toInt
+        val s = if (i % 2 == 0) mag else -mag
+        p(2 * i) = (s & 0xff).toByte
+        p(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val wav = MultimodalOps.wavBytes(p, rate)
+      val (back, _) = MultimodalOps.wavPcm(wav)
+      val e = new Array[Long](MultimodalOps.AfFrames)
+      (0 until n).foreach { i =>
+        val s = ((back(2 * i) & 0xff) | (back(2 * i + 1) << 8)).toShort.toInt
+        e(i / MultimodalOps.AfFrameW) += math.abs(s)
+      }
+      val fp = (0 until 56)
+        .map(f => if (e(f + 1) > e(f)) 1L << f else 0L).sum
+      assert(fp == lawFp(id), s"doc $id: round-trip fp differs from law")
+    }
+  }
+
+  test("audio near-dup law plants members within Hamming 4 of their leader") {
+    (0L until 100L).foreach { id =>
+      val leader = (id / MultimodalOps.AfGroupSize) * MultimodalOps.AfGroupSize
+      val d = java.lang.Long.bitCount(lawFp(id) ^ lawFp(leader))
+      assert(d <= 4, s"doc $id is $d bits from leader $leader")
+    }
+  }
 }
