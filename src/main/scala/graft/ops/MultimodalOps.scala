@@ -687,19 +687,24 @@ object MultimodalOps {
     * |amplitude| per frame with alternating sign (a square wave — so
     * the clip has real zero crossings but an exactly closed-form
     * per-frame energy). The magnitude law's f/f²/f³ multipliers are
-    * group-keyed mod 7/11/13 (lcm 1001 structures — denser than the
-    * image law's 385, sparser than the video law's 15015); non-leader
-    * members perturb frames where (f + id) % 29 == 0 by +1365 mod 2048
-    * (≤2 of 57 frames, each flipping at most the two adjacent delta
-    * bits → fingerprint distance ≤4 from the leader). */
+    * group-keyed mod the primes 1009/1013/1019 (~10⁹ structures — a
+    * first cut with 7/11/13 = 1001 structures measured 742k CROSS-group
+    * pairs at the ×10 fixture because same-structure groups differ only
+    * in the weak +g·101 offset; with near-random per-group energy
+    * profiles the expected cross-group fingerprint distance is ~28 bits
+    * and distance ≤3 collisions are ~10⁻¹² rare). Non-leader members
+    * perturb the single frame where (f + id) % 61 == 0 (57 < 61 ⇒ at
+    * most one frame, flipping at most the two adjacent delta bits →
+    * fingerprint distance ≤2 from the leader; members whose id lands no
+    * frame hash identically). */
   private[graft] val AfGroupSize = 5L
   private[graft] val AfFrames = 57
   private[graft] val AfFrameW = 32
   private[graft] def afMagRaw(id: Long, f: Int): Long = {
     val g = id / AfGroupSize
-    val base = (f.toLong * (31 + g % 7) + f.toLong * f * (17 + g % 11) +
-      f.toLong * f * f * (23 + g % 13) + g * 101) % 2048
-    if (id % AfGroupSize != 0 && (f + id) % 29 == 0) (base + 1365) % 2048
+    val base = (f.toLong * (31 + g % 1009) + f.toLong * f * (17 + g % 1013) +
+      f.toLong * f * f * (23 + g % 1019) + g * 101) % 2048
+    if (id % AfGroupSize != 0 && (f + id) % 61 == 0) (base + 1365) % 2048
     else base
   }
 

@@ -96,9 +96,9 @@ object PipelineQueries {
       |afr AS (SELECT doc_id, CAST(f.range AS BIGINT) AS f
       |  FROM ad, range(57) f),
       |amag AS (SELECT doc_id, f,
-      |  abs(((f*(31 + (doc_id//5)%7) + f*f*(17 + (doc_id//5)%11)
-      |    + f*f*f*(23 + (doc_id//5)%13) + (doc_id//5)*101
-      |    + CASE WHEN doc_id % 5 <> 0 AND (f + doc_id) % 29 = 0
+      |  abs(((f*(31 + (doc_id//5)%1009) + f*f*(17 + (doc_id//5)%1013)
+      |    + f*f*f*(23 + (doc_id//5)%1019) + (doc_id//5)*101
+      |    + CASE WHEN doc_id % 5 <> 0 AND (f + doc_id) % 61 = 0
       |      THEN 1365 ELSE 0 END) % 2048) - 1024) AS m FROM afr),
       |afp AS (SELECT a.doc_id,
       |  bit_or(CASE WHEN b.m > a.m THEN (1::BIGINT << CAST(a.f AS INT))
@@ -332,12 +332,17 @@ object PipelineQueries {
          |SELECT doc_id AS media_id, fp FROM afp
          |ORDER BY media_id""".stripMargin.replace("\n", " ")),
 
-    // Audio near-dup PAIRS: the image screen reused verbatim — the
-    // fingerprint is 56 bits wide precisely so the 7×8-bit Hamming
-    // band join (equality-keyed candidates, pigeonhole-exact at
-    // distance ≤6, DISTINCT-signature screen) needs no new machinery.
-    // Oracle states the all-pairs predicate directly (its prerogative
-    // at fixture scale; the Spark side must stay banded).
+    // Audio near-dup PAIRS: the Hamming band machinery reused with the
+    // VIDEO screen's geometry — FOUR 14-bit bands at distance ≤3
+    // (pigeonhole-exact: 3 < 4), not the image screen's seven 8-bit
+    // bands at ≤6. Measured reason (BASELINE.md round 11): ~46k
+    // near-distinct energy fingerprints survive at the ×10 fixture, and
+    // byte-wide band values collide quadratically there (65.8M
+    // candidates for 753k true pairs, 46 s warm); 14-bit bands cut the
+    // collision mass 64× and the law's ≤2-bit planted perturbation
+    // keeps every leader–member pair inside distance 3. Oracle states
+    // the all-pairs predicate directly (its prerogative at fixture
+    // scale; the Spark side must stay banded).
     Q("audio_dup_pairs",
       (s, dir) => {
         val h = Staged.retrieval(s, dir, "audio_fp") {
@@ -347,7 +352,7 @@ object PipelineQueries {
         }
         graft.ops.DedupOps.simhashHammingPairsFromSigs(
             h.select(col("media_id").as("doc_id"), col("fp").as("simhash")),
-            nBits = 56, nBands = 7, maxHamming = 6)
+            nBits = 56, nBands = 4, maxHamming = 3)
           .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
             col("hamming"))
           .orderBy("media_a", "media_b")
@@ -356,7 +361,7 @@ object PipelineQueries {
          |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
          |CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
          |FROM afp a JOIN afp b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.fp, b.fp)) <= 6
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
          |ORDER BY media_a, media_b""".stripMargin.replace("\n", " ")),
 
     // Audio near-dup CLUSTERS: min-label propagation over the banded
@@ -374,14 +379,14 @@ object PipelineQueries {
         graft.ops.DedupOps.dupClusters(
             graft.ops.DedupOps.simhashHammingPairsFromSigs(
               h.select(col("media_id").as("doc_id"), col("fp").as("simhash")),
-              nBits = 56, nBands = 7, maxHamming = 6))
+              nBits = 56, nBands = 4, maxHamming = 3))
           .select(col("doc_id").as("media_id"), col("cluster_id"))
           .orderBy("media_id")
       },
       s"""${audioFpOracleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |aprs AS (SELECT a.doc_id AS a, b.doc_id AS b
          |  FROM afp a JOIN afp b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.fp, b.fp)) <= 6),
+         |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
          |aedges AS (SELECT a, b FROM aprs UNION SELECT b, a FROM aprs),
          |areach(a, b) AS (
          |  SELECT a, b FROM aedges

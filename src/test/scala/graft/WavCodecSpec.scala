@@ -120,11 +120,14 @@ class WavCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("audio near-dup law plants members within Hamming 4 of their leader") {
+  test("audio near-dup law plants members within Hamming 2 of their leader") {
+    // ≤1 perturbed frame per member ((f+id) % 61 hits at most one of 57
+    // frames) flips at most the two adjacent delta bits — the bound the
+    // 4-band/maxHamming-3 screen relies on to keep every planted pair
     (0L until 100L).foreach { id =>
       val leader = (id / MultimodalOps.AfGroupSize) * MultimodalOps.AfGroupSize
       val d = java.lang.Long.bitCount(lawFp(id) ^ lawFp(leader))
-      assert(d <= 4, s"doc $id is $d bits from leader $leader")
+      assert(d <= 2, s"doc $id is $d bits from leader $leader")
     }
   }
 }
