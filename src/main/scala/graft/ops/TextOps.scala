@@ -256,7 +256,7 @@ object TextOps {
     * hash-agg: vocabulary- / seen-bigram-bounded, partial aggregation
     * collapses per-partition before the shuffle — the same two tables a
     * 1000-executor run would materialize once and reuse. */
-  private def bigramCounts(docs: DataFrame, text: String)
+  private[graft] def bigramCounts(docs: DataFrame, text: String = "text")
       : (DataFrame, DataFrame, DataFrame) = {
     val train = docs
       .select(col("doc_id"), tokens(col(text)).as("toks"))
@@ -306,6 +306,17 @@ object TextOps {
     * driver-side state. */
   def bigramScores(docs: DataFrame, text: String = "text"): DataFrame = {
     val (big, uni, nv) = bigramCounts(docs, text)
+    bigramScoreAgainst(big, uni, nv)(docs, text)
+  }
+
+  /** Frozen-model form of [[bigramScores]]: score `docs`' held-out
+    * split against ALREADY-FITTED count tables. This is the deployment
+    * split CCNet actually runs — fit once, score forever — and what the
+    * streaming twin applies per micro-batch (scoring is per-doc pure
+    * given the fixed model: every transition of a doc lives in its own
+    * row, so any micro-batch slicing yields the identical result). */
+  def bigramScoreAgainst(big: DataFrame, uni: DataFrame, nv: DataFrame)
+                        (docs: DataFrame, text: String = "text"): DataFrame = {
     val evalPairs = docs
       .select(col("doc_id"), col("lang"), tokens(col(text)).as("toks"))
       .filter(splitBucket >= 90 && size(col("toks")) >= 2)

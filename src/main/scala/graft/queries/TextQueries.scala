@@ -381,6 +381,29 @@ object TextQueries {
          |  ORDER BY avg_lp DESC, doc_id ASC) AS t FROM bdoc)
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
+    // Streaming twin of doc_ppl_bigram — the FROZEN LM applied in
+    // flight (CCNet's deployment loop: fit once on the reference
+    // corpus, score every arriving crawl batch): the batch-trained
+    // count tables are fixed, each micro-batch runs the identical
+    // held-out-split scoring through the replay-safe batch_id-keyed
+    // sink. Scoring is per-doc pure given the model (every transition
+    // of a doc lives in its own row), so any micro-batch slicing yields
+    // the identical result and the batch oracle applies verbatim.
+    Q("streaming_ppl_score",
+      (s, dir) => {
+        val work = graft.util.Fs.workDir("graft_stream_ppl", dir).toString
+        graft.util.Fs.deleteRec(work)
+        val (big, uni, nv) =
+          TextOps.bigramCounts(Tables.documents(s, dir))
+        graft.streaming.StreamingDocApply.applyAvailableNow(s, dir, work,
+            b => TextOps.bigramScoreAgainst(big, uni, nv)(b))
+          .orderBy("doc_id")
+      },
+      s"""WITH $bigramScoredCtes
+         |SELECT doc_id, lang, n_trans, n_backoff, avg_lp
+         |FROM bdoc ORDER BY doc_id"""
+        .stripMargin.replace("\n", " ")),
+
     // Document fingerprinting: min/max/count over the shingle-hash set.
     Q("doc_fingerprint",
       (s, dir) => TextOps.fingerprints(Tables.documents(s, dir), 3)
