@@ -222,6 +222,16 @@ class LivePlanSpec extends AnyFunSuite with SparkTestBase {
     val vPlan = executedPlan(vPairs)
     assert(!vPlan.contains("CartesianProduct"),
       s"video sequence pair screen degenerated to all-pairs:\n$vPlan")
+
+    // the audio fingerprint screen (4×14-bit bands): same contract
+    val afp = ops.MultimodalOps.audioFingerprint(
+      ops.MultimodalOps.encodeNearDupWavMedia(docs)).toDF()
+    val aPairs = ops.DedupOps.simhashHammingPairsFromSigs(
+      afp.select(col("media_id").as("doc_id"), col("fp").as("simhash")),
+      nBits = 56, nBands = 4, maxHamming = 3)
+    val aPlan = executedPlan(aPairs)
+    assert(!aPlan.contains("CartesianProduct"),
+      s"audio fingerprint pair screen degenerated to all-pairs:\n$aPlan")
   }
 
   test("catalog warehouse query: bucketed layout keeps agg + join exchange-free") {
