@@ -794,6 +794,54 @@ object RelationalQueries {
         |FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey"""
         .stripMargin.replace("\n", " ")),
 
+    // The change feed CONSUMED — CDC-driven incremental aggregate
+    // maintenance (the reason a warehouse ships table_changes at all):
+    // the per-status order count + revenue total is maintained from the
+    // v0 aggregate plus ONLY the feed's signed deltas (+post, −pre;
+    // status moves handled by each image row landing in its own status
+    // bucket), never rescanning the table. Pre/post images telescope
+    // exactly — update_preimage(k+1) IS the post-state of change k — so
+    // with decimal-exact sums carried undowncast to the final double,
+    // the incremental result hash-matches the oracle's DIRECT aggregate
+    // over the replayed head state: the proof the feed is sufficient
+    // for downstream maintenance. Cost: the one-window CDF pass + two
+    // status-keyed hash-aggs; the maintained aggregate never sees the
+    // base table after v0.
+    Q("cdf_incremental_agg",
+      (s, dir) => {
+        import graft.ops.SnapshotOps
+        val path = Staged.snapshotTable(s, dir)
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(30,6)")
+        val base = SnapshotOps.readAsOf(s, path, 0L, "o_orderkey")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n0"),
+            sum(dec(col("o_totalprice"))).as("t0"))
+        val delta = SnapshotOps
+          .tableChanges(s, path, 0L, 4L, "o_orderkey")
+          .select(col("o_orderstatus"),
+            when(col("change_type").isin("insert", "update_postimage"),
+              lit(1L)).otherwise(lit(-1L)).as("sgn"),
+            col("o_totalprice"))
+          .groupBy(col("o_orderstatus"))
+          .agg(sum(col("sgn")).as("dn"),
+            sum(when(col("sgn") === 1L, dec(col("o_totalprice")))
+              .otherwise(-dec(col("o_totalprice")))).as("dt"))
+        base.join(delta, Seq("o_orderstatus"), "full_outer")
+          .select(col("o_orderstatus"),
+            (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n_orders"),
+            (coalesce(col("t0"), lit(0).cast("decimal(30,6)")) +
+              coalesce(col("dt"), lit(0).cast("decimal(30,6)")))
+              .cast("double").as("total"))
+          .filter(col("n_orders") > 0)
+          .orderBy("o_orderstatus")
+      },
+      s"""WITH $snapStateCtes
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+        |FROM s4 GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+        .stripMargin.replace("\n", " ")),
+
     // Privacy-compliance profiling (the k-anonymity / l-diversity
     // audit a pipeline runs before releasing quasi-identified data —
     // the structured-data sibling of pii_scan): per quasi-identifier

@@ -76,9 +76,17 @@ object Staged {
     warehouseMemo.filterInPlace { case (k, _) => k._1 != s }
     fragMemo.filterInPlace { case (k, _) => k._1 != s }
     snapMemo.filterInPlace { case (k, _) => k._1 != s }
+    snapEvoMemo.filterInPlace { case (k, _) => k._1 != s }
+    snapVacMemo.filterInPlace { case (k, _) => k._1 != s }
     bpeMemo.filterInPlace { case (k, _) => k._1 != s }
+    wpMemo.filterInPlace { case (k, _) => k._1 != s }
     pcaMemo.filterInPlace { case (k, _) => k._1 != s }
     bpeTokMemo.filterInPlace { case (k, df) =>
+      val keep = k._1 != s
+      if (!keep) safeUnpersist(df)
+      keep
+    }
+    wpTokMemo.filterInPlace { case (k, df) =>
       val keep = k._1 != s
       if (!keep) safeUnpersist(df)
       keep
@@ -417,6 +425,29 @@ object Staged {
     })
   }
 
+  private val wpMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Int), Seq[graft.ops.WpMerge]]
+
+  /** The trained WordPiece merge list — [[bpeMerges]]'s discipline on
+    * the likelihood-ratio trainer (same bounded word-frequency input,
+    * same canonical ordering, one fit per session+dir). */
+  def wpMerges(s: SparkSession, dir: String,
+               nMerges: Int): Seq[graft.ops.WpMerge] = {
+    registerCleanup(s)
+    wpMemo.getOrElseUpdate((s, dir, nMerges), {
+      import org.apache.spark.sql.functions.col
+      val wf = graft.ops.BpeOps
+        .wordFrequencies(Tables.documents(s, dir))
+        .orderBy(col("f").desc, col("w").asc)
+        .limit(100000)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+        .sortBy(_._1)
+      graft.ops.WordPieceOps.train(wf, nMerges)
+    })
+  }
+
   private val spanMemo =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, Int, Int), DataFrame]
@@ -449,6 +480,21 @@ object Staged {
     bpeTokMemo.getOrElseUpdate((s, dir),
       graft.ops.BpeOps.tokenizeStats(Tables.documents(s, dir),
           bpeMerges(s, dir, TextQueries.BpeNMerges))
+        .cache())
+  }
+
+  private val wpTokMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Full per-doc trained-WordPiece tokenize stats — [[bpeTokStats]]'s
+    * discipline on the likelihood-ratio model (one apply pass per
+    * session+dir, cached; the registered query and any fertility
+    * rollup share it). */
+  def wpTokStats(s: SparkSession, dir: String): DataFrame = {
+    registerCleanup(s)
+    wpTokMemo.getOrElseUpdate((s, dir),
+      graft.ops.WordPieceOps.tokenizeStats(Tables.documents(s, dir),
+          wpMerges(s, dir, TextQueries.WpNMerges))
         .cache())
   }
 
@@ -597,9 +643,11 @@ object Staged {
     countMemo.clear(); annIndexMemo.clear(); pqMemo.clear()
     annAppendMemo.clear(); layoutMemo.clear(); warehouseMemo.clear()
     fragMemo.clear()
-    bpeMemo.clear(); pcaMemo.clear(); uniMemo.clear()
+    bpeMemo.clear(); wpMemo.clear(); pcaMemo.clear(); uniMemo.clear()
+    snapEvoMemo.clear(); snapVacMemo.clear()
     uniTokMemo.values.foreach(safeUnpersist); uniTokMemo.clear()
     bpeTokMemo.values.foreach(safeUnpersist); bpeTokMemo.clear()
+    wpTokMemo.values.foreach(safeUnpersist); wpTokMemo.clear()
     spanMemo.values.foreach(safeUnpersist); spanMemo.clear()
     retrMemo.values.foreach(safeUnpersist); retrMemo.clear()
   }

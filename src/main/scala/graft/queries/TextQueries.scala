@@ -20,6 +20,7 @@ object TextQueries {
   // object init — see the WIvf note in SimilarityQueries); shared with
   // the sequence-packing queries so both families tokenize identically
   private[queries] final val BpeNMerges = 16
+  private[queries] final val WpNMerges = 16
 
   // Unigram-LM trainer budget (ops.UnigramOps): seed vocabulary width,
   // hard-EM rounds, and the pruned final vocabulary — pinned here
@@ -38,6 +39,8 @@ object TextQueries {
   private[queries] def prewarm(
       s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     Staged.bpeMerges(s, dir, BpeNMerges)
+    Staged.wpMerges(s, dir, WpNMerges)
+    Staged.wpTokStats(s, dir).count()
     Staged.bpeDocTokens(s, dir).count()
     Staged.unigramModel(s, dir)
     Staged.uniTokStats(s, dir).count()
@@ -485,6 +488,7 @@ object TextQueries {
       (s, dir) => {
         import s.implicits._
         Staged.bpeMerges(s, dir, BpeNMerges)
+    Staged.wpMerges(s, dir, WpNMerges)
           .map(m => (m.idx, m.left, m.right, m.left + m.right, m.count))
           .toDF("merge_idx", "left_sym", "right_sym", "merged", "pair_count")
           .orderBy("merge_idx")
@@ -495,6 +499,54 @@ object TextQueries {
          |FROM (SELECT unnest(merges) AS m FROM st
          |  WHERE i = (SELECT max(i) FROM st))
          |ORDER BY merge_idx""".stripMargin.replace("\n", " ")),
+
+    // WordPiece trainer — the THIRD tokenizer family (BERT's), next to
+    // BPE (frequency-greedy) and unigram-LM (EM-pruned): the same
+    // greedy merge loop as bpe_merges but selecting by the LIKELIHOOD
+    // RATIO c(pair)/(c(left)*c(right)) in scaled-integer space
+    // (floor(c*10^12/(cl*cr)) — both engines run the identical integer
+    // division, so no float drift can enter selection), "##"
+    // continuation prefixes per the BERT convention. The oracle replays
+    // the ENTIRE fit as a recursive CTE — per round: pair counts AND
+    // symbol counts from the current segmentation, scaled-ratio argmax,
+    // two-pass replace — so selection, tie-breaks, and scores all
+    // hash-match. Same scale shape as BPE: the trainer input is the
+    // vocab-bounded word-frequency table; the merge list IS the model.
+    Q("wordpiece_merges",
+      (s, dir) => {
+        import s.implicits._
+        Staged.wpMerges(s, dir, WpNMerges)
+          .map(m => (m.idx, m.left, m.right, m.left + m.right.drop(2),
+            m.count, m.score))
+          .toDF("merge_idx", "left_sym", "right_sym", "merged",
+            "pair_count", "score")
+          .orderBy("merge_idx")
+      },
+      s"""$wpTrainerWith
+         |SELECT m.i AS merge_idx, m.l AS left_sym, m.r AS right_sym,
+         |m.l || m.r[3:] AS merged, m.c AS pair_count, m.sc AS score
+         |FROM (SELECT unnest(merges) AS m FROM wst
+         |  WHERE i = (SELECT max(i) FROM wst))
+         |ORDER BY merge_idx""".stripMargin.replace("\n", " ")),
+
+    // The WordPiece model APPLIED corpus-wide — corpus_tokenize's shape
+    // on the likelihood-ratio model (per-doc stats + the md5 digest of
+    // the full "##"-marked spaced form), so BPE and WordPiece fertility
+    // are directly comparable per document. Spark-side apply is the
+    // same 2*nMerges codegen'd replace chain (fused symbol = left +
+    // right sans "##"): a pure narrow map, zero corpus shuffles.
+    Q("corpus_tokenize_wp",
+      (s, dir) => Staged.wpTokStats(s, dir).orderBy("doc_id"),
+      s"""$wpApplyWith
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |CAST(n_chars AS BIGINT) AS n_chars,
+         |CAST(len(list_filter(string_split(trim(s), ' '),
+         |  x -> x <> '|' AND x <> '')) AS BIGINT) AS n_wp_tokens,
+         |round(CAST(n_chars AS DOUBLE) / nullif(
+         |  len(list_filter(string_split(trim(s), ' '),
+         |  x -> x <> '|' AND x <> '')), 0), 6) AS chars_per_token,
+         |md5(trim(s)) AS tokens_digest
+         |FROM wfin ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
     // The tokenizer APPLIED corpus-wide (completing fit → apply): every
     // document rewritten to its BPE token sequence with the learned
@@ -874,6 +926,105 @@ object TextQueries {
     * the merge with the same two replace passes the Scala trainer and
     * the Spark-side apply chain use. chr(1) joins pair keys so the
     * VARCHAR tie-break equals the Scala combined-string compare. */
+  /** WordPiece trainer replay (ends in `wst`): bpeTrainerWith's
+    * recursive discipline with (a) "##"-prefixed spaced words, (b) BOTH
+    * pair counts (apf) and symbol counts (ssf) carried per round, and
+    * (c) argmax by the scaled integer likelihood ratio
+    * floor(c*Scale/(cl*cr)), ties by the chr(1)-joined pair key — the
+    * exact compare the Scala trainer runs. */
+  private lazy val wpTrainerWith: String =
+    s"""WITH RECURSIVE
+       |wwf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM
+       |  (SELECT unnest($toks) AS w FROM documents) t
+       |  WHERE length(w) > 0 GROUP BY w),
+       |ww0 AS (SELECT ' ' || array_to_string(list_transform(
+       |    range(1, length(w) + 1), k -> CASE WHEN k = 1 THEN ch[k]
+       |      ELSE '##' || ch[k] END), ' ') || ' ' AS s, f
+       |  FROM (SELECT w, string_split(w, '') AS ch, f FROM wwf)),
+       |wst AS (
+       |  SELECT 0 AS i, list({'s': s, 'f': f} ORDER BY s) AS words,
+       |    CAST([] AS STRUCT(i INT, l VARCHAR, r VARCHAR, c BIGINT,
+       |      sc BIGINT)[]) AS merges
+       |  FROM ww0
+       |  UNION ALL
+       |  SELECT i + 1,
+       |    list_transform(words, w -> {'s':
+       |      replace(replace(w.s,
+       |        ' ' || best.l || ' ' || best.r || ' ',
+       |        ' ' || best.l || best.r[3:] || ' '),
+       |        ' ' || best.l || ' ' || best.r || ' ',
+       |        ' ' || best.l || best.r[3:] || ' '),
+       |      'f': w.f}),
+       |    list_append(merges, {'i': i, 'l': best.l, 'r': best.r,
+       |      'c': best.c, 'sc': best.sc})
+       |  FROM (
+       |    SELECT i, words, merges,
+       |      (SELECT {'l': split_part(q.p, chr(1), 1),
+       |               'r': split_part(q.p, chr(1), 2),
+       |               'c': q.c, 'sc': q.sc}
+       |       FROM (
+       |        SELECT p, c, (c * ${graft.ops.WordPieceOps.Scale})
+       |          // (cl * cr) AS sc
+       |        FROM (
+       |          SELECT p,
+       |            list_sum(list_transform(apf, x ->
+       |              CASE WHEN x.p = p THEN x.f ELSE 0 END)) AS c,
+       |            list_sum(list_transform(ssf, x ->
+       |              CASE WHEN x.s = split_part(p, chr(1), 1)
+       |                THEN x.f ELSE 0 END)) AS cl,
+       |            list_sum(list_transform(ssf, x ->
+       |              CASE WHEN x.s = split_part(p, chr(1), 2)
+       |                THEN x.f ELSE 0 END)) AS cr
+       |          FROM (SELECT unnest(list_distinct(
+       |            list_transform(apf, x -> x.p))) AS p))
+       |        ORDER BY sc DESC, p ASC LIMIT 1) q) AS best
+       |    FROM (
+       |      SELECT i, words, merges,
+       |        flatten(list_transform(words, w ->
+       |          list_transform(range(1, len(string_split(trim(w.s), ' '))),
+       |            j -> {'p': string_split(trim(w.s), ' ')[j] || chr(1)
+       |                    || string_split(trim(w.s), ' ')[j+1],
+       |                  'f': w.f}))) AS apf,
+       |        flatten(list_transform(words, w ->
+       |          list_transform(string_split(trim(w.s), ' '),
+       |            y -> {'s': y, 'f': w.f}))) AS ssf
+       |      FROM wst WHERE i < $WpNMerges)
+       |  ) WHERE best.l IS NOT NULL
+       |)""".stripMargin.replace("\n", " ")
+
+  /** Trainer + corpus-wide apply (ends in `wfin`) — bpeApplyWith's
+    * shape on the WordPiece model: "##"-marked doc spaced forms, merges
+    * applied through the per-merge recursive join with the fused symbol
+    * stripping the right part's prefix. */
+  private lazy val wpApplyWith: String =
+    s"""$wpTrainerWith,
+       |wmerges_t AS (SELECT m.i AS mi, m.l AS l, m.r AS r
+       |  FROM (SELECT unnest(merges) AS m FROM wst
+       |    WHERE i = (SELECT max(i) FROM wst))),
+       |wd0 AS (SELECT doc_id,
+       |  ' ' || array_to_string(list_transform(
+       |    list_filter($toks, t -> length(t) > 0), t ->
+       |    array_to_string(list_transform(range(1, length(t) + 1),
+       |      k -> CASE WHEN k = 1 THEN string_split(t, '')[k]
+       |        ELSE '##' || string_split(t, '')[k] END), ' ')), ' | ')
+       |  || ' ' AS s,
+       |  len(list_filter($toks, t -> length(t) > 0)) AS n_words,
+       |  coalesce(list_sum(list_transform(
+       |    list_filter($toks, t -> length(t) > 0), t -> length(t))), 0)
+       |    AS n_chars
+       |  FROM documents),
+       |wap AS (
+       |  SELECT doc_id, n_words, n_chars, 0 AS k, s FROM wd0
+       |  UNION ALL
+       |  SELECT wap.doc_id, wap.n_words, wap.n_chars, wap.k + 1,
+       |    replace(replace(wap.s,
+       |      ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r[3:] || ' '),
+       |      ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r[3:] || ' ')
+       |  FROM wap JOIN wmerges_t m ON m.mi = wap.k),
+       |wfin AS (SELECT doc_id, n_words, n_chars, s FROM wap
+       |  WHERE k = (SELECT count(*) FROM wmerges_t))"""
+      .stripMargin.replace("\n", " ")
+
   private lazy val bpeTrainerWith: String =
     s"""WITH RECURSIVE
        |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM
