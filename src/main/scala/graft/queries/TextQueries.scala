@@ -627,11 +627,12 @@ object TextQueries {
          |chars_per_token, tokens_digest FROM ustats
          |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
-    // BPE vs unigram head-to-head (the fertility duel): per-language
-    // corpus compression under BOTH trained tokenizers from one scan
-    // each — tokens, chars/token, and tokens-per-word fertility. The
-    // number a pipeline actually picks its tokenizer by; both arms'
-    // full fits replay inside one oracle query.
+    // BPE vs unigram vs WordPiece head-to-head (the fertility duel):
+    // per-language corpus compression under all THREE trained
+    // tokenizers from one scan each — tokens, chars/token, and
+    // tokens-per-word fertility. The number a pipeline actually picks
+    // its tokenizer by; all arms' full fits replay inside one oracle
+    // query.
     Q("tokenizer_duel",
       (s, dir) => {
         def arm(stats: org.apache.spark.sql.DataFrame, tokCol: String,
@@ -650,6 +651,8 @@ object TextQueries {
         arm(Staged.bpeTokStats(s, dir), "n_bpe_tokens", "bpe")
           .unionByName(
             arm(Staged.uniTokStats(s, dir), "n_unigram_tokens", "unigram"))
+          .unionByName(
+            arm(Staged.wpTokStats(s, dir), "n_wp_tokens", "wordpiece"))
           .select(col("tokenizer"), col("lang"), col("n_docs"),
             col("tot_words"), col("tot_tokens"), col("chars_per_token"),
             col("tokens_per_word"))
@@ -657,6 +660,15 @@ object TextQueries {
       },
       s"""WITH RECURSIVE $unigramApplyCtes,
          |${bpeApplyWith.replaceFirst("WITH RECURSIVE ", "")},
+         |${wpApplyWith.replaceFirst("WITH RECURSIVE ", "")},
+         |wpstats AS (
+         |  SELECT f.doc_id,
+         |  len(list_filter(string_split(trim(f.s), ' '),
+         |    x -> length(x) > 0)) -
+         |  len(list_filter(string_split(trim(f.s), ' '),
+         |    x -> x = '|')) AS ntok,
+         |  f.n_words, f.n_chars
+         |  FROM wfin f),
          |bstats AS (
          |  SELECT f.doc_id,
          |  len(list_filter(string_split(trim(f.s), ' '),
@@ -685,6 +697,16 @@ object TextQueries {
          |    round(CAST(SUM(u.n_unigram_tokens) AS DOUBLE)
          |      / nullif(SUM(u.n_words), 0), 6)
          |  FROM ustats u JOIN documents d ON u.doc_id = d.doc_id
+         |  GROUP BY d.lang
+         |  UNION ALL
+         |  SELECT 'wordpiece', d.lang, CAST(count(*) AS BIGINT),
+         |    CAST(SUM(w.n_words) AS BIGINT),
+         |    CAST(SUM(w.ntok) AS BIGINT),
+         |    round(CAST(SUM(w.n_chars) AS DOUBLE)
+         |      / nullif(SUM(w.ntok), 0), 6),
+         |    round(CAST(SUM(w.ntok) AS DOUBLE)
+         |      / nullif(SUM(w.n_words), 0), 6)
+         |  FROM wpstats w JOIN documents d ON w.doc_id = d.doc_id
          |  GROUP BY d.lang)
          |SELECT tokenizer, lang, n_docs, tot_words, tot_tokens,
          |chars_per_token, tokens_per_word FROM duel
