@@ -139,7 +139,11 @@ class PlanQualitySpec extends AnyFunSuite {
     "q11_important_parts" ->
       "1-row global revenue-threshold scalar, broadcast (HAVING subquery)",
     "q15_top_supplier" ->
-      "1-row view-max scalar, broadcast (argmax against the agg view)")
+      "1-row view-max scalar, broadcast (argmax against the agg view)",
+    "doc_ppl_bigram" ->
+      "1-row (n_train, v_train) scalar, broadcast (backoff denominator)",
+    "corpus_ppl_buckets" ->
+      "1-row (n_train, v_train) scalar, broadcast (backoff denominator)")
 
   private def sections: Seq[(String, String)] = {
     val parts = plans.split("\n## ").toSeq.drop(1)
