@@ -92,6 +92,54 @@ object TextOps {
           + (lit(1.0) - col("punct_ratio")) * 0.2, 6))
   }
 
+  /** Gopher's stop-word rule list (Rae et al. 2021, §A1.1.2). */
+  final val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-rule composite (Rae et al. 2021, appendix A1 —
+    * the published rule set most open-corpus pipelines start from),
+    * adapted to the whitespace-token fixture: per doc one flag per rule
+    * plus the conjunction. Word-count window 50..100k, mean word length
+    * 3..10, ≥80% words containing an alphabetic character, ≥2 stop-word
+    * hits, and top-bigram share ≤0.18 (the repetition rule — docs too
+    * short to have a bigram pass it vacuously, matching the paper's
+    * "not applicable" treatment). On this fixture the word-count and
+    * stop-word rules discriminate (median 56 tokens; stop words are
+    * language-dependent), the length rules document their bounds.
+    *
+    * Shape: one narrow per-row pass for four rules + the
+    * `bigramProfile` per-doc hash-agg for the fifth, joined on doc_id —
+    * two scans, one key shuffle, no windows. */
+  def gopherRules(docs: DataFrame, text: String = "text"): DataFrame = {
+    val t = docs.select(col("doc_id"), tokens(col(text)).as("toks"))
+    val n = size(col("toks"))
+    val meanLen = aggregate(col("toks"), lit(0L), (a, x) => a + length(x))
+      .cast(DoubleType) / n
+    val alphaFrac = size(filter(col("toks"), x => x.rlike("[A-Za-z]")))
+      .cast(DoubleType) / n
+    val stopHits = size(filter(col("toks"),
+      x => array_contains(array(GopherStops.map(lit): _*), x)))
+    val flags = t.select(
+      col("doc_id"),
+      n.cast("long").as("n_tokens"),
+      (n >= 50 && n <= 100000).cast("int").as("r_word_count"),
+      (meanLen >= 3.0 && meanLen <= 10.0).cast("int").as("r_mean_word_len"),
+      (alphaFrac >= 0.8).cast("int").as("r_alpha_words"),
+      (stopHits >= 2).cast("int").as("r_stopwords"))
+    val rep = CorpusOps.bigramProfile(docs)
+      .select(col("doc_id"), col("top_bigram_frac"))
+    flags.join(rep, Seq("doc_id"), "left")
+      .withColumn("r_repetition",
+        coalesce(col("top_bigram_frac") <= 0.18, lit(true)).cast("int"))
+      .withColumn("passes",
+        (col("r_word_count") === 1 && col("r_mean_word_len") === 1 &&
+          col("r_alpha_words") === 1 && col("r_stopwords") === 1 &&
+          col("r_repetition") === 1).cast("int"))
+      .select(col("doc_id"), col("n_tokens"), col("r_word_count"),
+        col("r_mean_word_len"), col("r_alpha_words"), col("r_stopwords"),
+        col("r_repetition"), col("passes"))
+  }
+
   /** Word k-shingles of a document (distinct, as the dedup unit).
     * Guarded: Spark's sequence(1, n) DESCENDS for n<1, so short docs get
     * an explicit empty array. */

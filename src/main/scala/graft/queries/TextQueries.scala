@@ -96,6 +96,52 @@ object TextQueries {
         .orderBy("doc_id"),
       s"SELECT * FROM ($qualityScoreSql) ORDER BY doc_id"),
 
+    // The Gopher quality-rule composite (Rae et al. 2021 appendix A1 —
+    // the published rule set open-corpus pipelines start from): per doc
+    // one flag per adapted rule (word-count window, mean word length,
+    // alpha-word fraction, stop-word hits, top-bigram repetition share)
+    // plus the conjunction. Four rules are one narrow per-row pass; the
+    // repetition rule joins the bigramProfile hash-agg (docs with no
+    // bigram pass it vacuously — the paper's "not applicable"
+    // treatment). Two scans, one key shuffle, no windows.
+    Q("gopher_rules",
+      (s, dir) => TextOps.gopherRules(Tables.documents(s, dir))
+        .orderBy("doc_id"),
+      s"""WITH g AS (SELECT doc_id, $toks AS toks FROM documents),
+         |fl AS (SELECT doc_id, len(toks) AS n,
+         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+         |    / len(toks) AS meanlen,
+         |  CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+         |    AS DOUBLE) / len(toks) AS alphafrac,
+         |  len(list_filter(toks, t -> list_contains(
+         |    ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'], t)))
+         |    AS stophits
+         |  FROM g),
+         |rep AS (SELECT doc_id,
+         |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS tbf
+         |  FROM (SELECT doc_id, bigram, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i+1])) AS bigram
+         |    FROM g WHERE len(toks) >= 2) GROUP BY doc_id, bigram)
+         |  GROUP BY doc_id)
+         |SELECT f.doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |CAST(CASE WHEN n >= 50 AND n <= 100000 THEN 1 ELSE 0 END AS INT)
+         |  AS r_word_count,
+         |CAST(CASE WHEN meanlen >= 3.0 AND meanlen <= 10.0
+         |  THEN 1 ELSE 0 END AS INT) AS r_mean_word_len,
+         |CAST(CASE WHEN alphafrac >= 0.8 THEN 1 ELSE 0 END AS INT)
+         |  AS r_alpha_words,
+         |CAST(CASE WHEN stophits >= 2 THEN 1 ELSE 0 END AS INT)
+         |  AS r_stopwords,
+         |CAST(CASE WHEN rep.tbf IS NULL OR rep.tbf <= 0.18
+         |  THEN 1 ELSE 0 END AS INT) AS r_repetition,
+         |CAST(CASE WHEN n >= 50 AND n <= 100000
+         |  AND meanlen >= 3.0 AND meanlen <= 10.0 AND alphafrac >= 0.8
+         |  AND stophits >= 2 AND (rep.tbf IS NULL OR rep.tbf <= 0.18)
+         |  THEN 1 ELSE 0 END AS INT) AS passes
+         |FROM fl f LEFT JOIN rep ON f.doc_id = rep.doc_id
+         |ORDER BY f.doc_id""".stripMargin.replace("\n", " ")),
+
     // The quality gate's TUNING CURVE (the third knob to get one, after
     // nprobe and the NB margin; the 0.5 gate drives corpus_select and
     // curation_funnel's first stage): six min-quality arms over the one
