@@ -534,7 +534,6 @@ object TextQueries {
       (s, dir) => {
         import s.implicits._
         Staged.bpeMerges(s, dir, BpeNMerges)
-    Staged.wpMerges(s, dir, WpNMerges)
           .map(m => (m.idx, m.left, m.right, m.left + m.right, m.count))
           .toDF("merge_idx", "left_sym", "right_sym", "merged", "pair_count")
           .orderBy("merge_idx")
