@@ -801,7 +801,10 @@ object RelationalQueries {
     // status moves handled by each image row landing in its own status
     // bucket), never rescanning the table. Pre/post images telescope
     // exactly — update_preimage(k+1) IS the post-state of change k — so
-    // with decimal-exact sums carried undowncast to the final double,
+    // with decimal-exact sums carried undowncast to the final double
+    // (rounded at 2 dp — prices are 2-dp by construction, and DuckDB
+    // 1.0's DECIMAL->DOUBLE cast is one ulp off correctly-rounded at
+    // ~1e12 magnitudes, measured at the x100 fixture),
     // the incremental result hash-matches the oracle's DIRECT aggregate
     // over the replayed head state: the proof the feed is sufficient
     // for downstream maintenance. Cost: the one-window CDF pass + two
@@ -830,15 +833,16 @@ object RelationalQueries {
           .select(col("o_orderstatus"),
             (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
               .as("n_orders"),
-            (coalesce(col("t0"), lit(0).cast("decimal(30,6)")) +
+            round((coalesce(col("t0"), lit(0).cast("decimal(30,6)")) +
               coalesce(col("dt"), lit(0).cast("decimal(30,6)")))
-              .cast("double").as("total"))
+              .cast("double"), 2).as("total"))
           .filter(col("n_orders") > 0)
           .orderBy("o_orderstatus")
       },
       s"""WITH $snapStateCtes
         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
-        |CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+        |round(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 2)
+        |  AS total
         |FROM s4 GROUP BY o_orderstatus ORDER BY o_orderstatus"""
         .stripMargin.replace("\n", " ")),
 
