@@ -752,8 +752,11 @@ object MultimodalOps {
         val n = bytes.length / 2
         val nf = n / AfFrameW
         val e = new Array[Long](nf)
+        // only whole frames contribute (a clip shorter than one frame
+        // fingerprints as 0 — the trailing partial frame carries no
+        // energy-delta bit either way)
         var i = 0
-        while (i < n) {
+        while (i < nf * AfFrameW) {
           val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8))
             .toShort.toInt
           e(i / AfFrameW) += math.abs(s)

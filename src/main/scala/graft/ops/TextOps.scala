@@ -383,8 +383,11 @@ object TextOps {
         round(log(
           when(col("c12").isNotNull,
             col("c12").cast(DoubleType) / col("c1_w1"))
+            // nullif: an EMPTY train split (N = V = 0) yields null
+            // scores instead of an ANSI divide-by-zero — the seen-pair
+            // branch needs no guard (c12 present ⇒ c1_w1 ≥ c12 > 0)
             .otherwise(lit(0.4) * (coalesce(col("c1_w2"), lit(0L)) + lit(1)) /
-              (col("n_train") + col("v_train")))), 9).as("lp"))
+              nullif(col("n_train") + col("v_train"), lit(0.0)))), 9).as("lp"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_trans"),
         sum(col("backoff")).as("n_backoff"),
