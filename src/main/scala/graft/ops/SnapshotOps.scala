@@ -242,6 +242,27 @@ object SnapshotOps {
           payload.map(c => col("__c").getField(c).as(c)): _*)
   }
 
+  /** Right-to-be-forgotten (GDPR erasure) through the commit log:
+    * tombstone `keys`, checkpoint, vacuum — after this NO file under
+    * the table root carries the forgotten rows (the checkpoint is
+    * computed from a read that already drops tombstoned keys, and
+    * vacuum physically removes every earlier delta — including the
+    * tombstone commit itself and all pre-forget files holding the
+    * keys' payloads). The snapshot-log answer to erasure: ONE
+    * O(state) rewrite per forget batch, never a rewrite per deleted
+    * row. Version history before the checkpoint is sacrificed —
+    * erasure and time travel are in direct tension, and this operator
+    * takes erasure (SnapshotSpec proves byte-level absence and that
+    * pre-forget versions fail loudly rather than resurrect). Returns
+    * the checkpoint version. */
+  def forget(spark: SparkSession, path: String, keys: DataFrame,
+             key: String): Long = {
+    commitDelete(spark, path, keys, key)
+    val v = checkpoint(spark, path, key)
+    vacuum(path)
+    v
+  }
+
   /** Physically remove every commit no `readAsOf(v ≥ newest base)` can
     * reach: delta directories and manifests strictly before the newest
     * base commit. Earlier versions become unreadable (readAsOf fails

@@ -794,6 +794,27 @@ object RelationalQueries {
         |FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey"""
         .stripMargin.replace("\n", " ")),
 
+    // Right-to-be-forgotten THROUGH the commit log (GDPR erasure —
+    // the structured-data sibling of pii_scan's redaction): forget =
+    // tombstone + checkpoint + vacuum in one op, ONE O(state) rewrite
+    // per forget batch, never a rewrite per deleted row. This read
+    // proves the surviving state is exact; SnapshotSpec proves the
+    // forgotten keys are byte-absent from EVERY remaining file and
+    // that pre-forget versions fail loudly rather than resurrect
+    // (erasure and time travel are in direct tension — forget takes
+    // erasure). Oracle: the surviving-state replay from orders.
+    Q("snapshot_forget",
+      (s, dir) => graft.ops.SnapshotOps.readAsOf(
+          s, Staged.snapshotForgetTable(s, dir), 3L, "o_orderkey")
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey,
+        |CASE WHEN o_orderkey % 12 = 0 THEN 'U1'
+        |  ELSE o_orderstatus END AS o_orderstatus,
+        |CASE WHEN o_orderkey % 12 = 0 THEN o_totalprice + 5.0
+        |  ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 8 <> 0
+        |ORDER BY o_orderkey""".stripMargin.replace("\n", " ")),
+
     // The change feed CONSUMED — CDC-driven incremental aggregate
     // maintenance (the reason a warehouse ships table_changes at all):
     // the per-status order count + revenue total is maintained from the

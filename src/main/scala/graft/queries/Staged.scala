@@ -78,6 +78,7 @@ object Staged {
     snapMemo.filterInPlace { case (k, _) => k._1 != s }
     snapEvoMemo.filterInPlace { case (k, _) => k._1 != s }
     snapVacMemo.filterInPlace { case (k, _) => k._1 != s }
+    snapForgetMemo.filterInPlace { case (k, _) => k._1 != s }
     bpeMemo.filterInPlace { case (k, _) => k._1 != s }
     wpMemo.filterInPlace { case (k, _) => k._1 != s }
     pcaMemo.filterInPlace { case (k, _) => k._1 != s }
@@ -644,7 +645,7 @@ object Staged {
     annAppendMemo.clear(); layoutMemo.clear(); warehouseMemo.clear()
     fragMemo.clear()
     bpeMemo.clear(); wpMemo.clear(); pcaMemo.clear(); uniMemo.clear()
-    snapEvoMemo.clear(); snapVacMemo.clear()
+    snapEvoMemo.clear(); snapVacMemo.clear(); snapForgetMemo.clear()
     uniTokMemo.values.foreach(safeUnpersist); uniTokMemo.clear()
     bpeTokMemo.values.foreach(safeUnpersist); bpeTokMemo.clear()
     wpTokMemo.values.foreach(safeUnpersist); wpTokMemo.clear()
@@ -765,6 +766,37 @@ object Staged {
       val removed = SnapshotOps.vacuum(path)
       require(removed == Seq(0L, 1L),
         s"vacuum removed unexpected versions: $removed")
+      path
+    })
+  }
+
+  private val snapForgetMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** FORGOTTEN snapshot table: init → upsert → forget(keys %8 == 0)
+    * (tombstone + checkpoint + vacuum in one op). Staged separately —
+    * forget mutates the log irreversibly; the registered query proves
+    * the surviving state is exact, SnapshotSpec proves byte-level
+    * absence of the forgotten keys from every remaining file. */
+  def snapshotForgetTable(s: SparkSession, dir: String): String = {
+    registerCleanup(s)
+    snapForgetMemo.getOrElseUpdate((s, dir), {
+      import org.apache.spark.sql.functions.{col, lit}
+      import graft.ops.SnapshotOps
+      val path = graft.util.Fs.workDir("graft_snap_forget", dir).toString
+      graft.util.Fs.deleteRec(path)
+      val o = Tables.orders(s, dir).filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      SnapshotOps.initTable(o, path, "o_orderkey")
+      SnapshotOps.commitUpsert(path,
+        o.filter(col("o_orderkey") % 12 === 0)
+          .select(col("o_orderkey"), lit("U1").as("o_orderstatus"),
+            (col("o_totalprice") + 5.0).as("o_totalprice")),
+        "o_orderkey")
+      SnapshotOps.forget(s, path,
+        o.filter(col("o_orderkey") % 8 === 0).select(col("o_orderkey")),
+        "o_orderkey")
       path
     })
   }

@@ -178,6 +178,39 @@ class SnapshotSpec extends AnyFunSuite with SparkTestBase {
     assert(v1 == Seq((1L, "a", 1.0, None), (2L, "B", 2.5, Some("x"))))
   }
 
+  test("forget erases keys from every remaining byte on disk") {
+    val path = freshTable("forget")
+    SnapshotOps.initTable(
+      state((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)), path, "k")
+    SnapshotOps.commitUpsert(path, state((2L, "B", 2.5)), "k")
+    val v = SnapshotOps.forget(spark, path, Seq(2L).toDF("k"), "k")
+
+    // surviving state is exact
+    val got = SnapshotOps.readAsOf(spark, path, v, "k")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", 1.0), (3L, "c", 3.0)))
+
+    // byte-level absence: scan EVERY remaining file raw (no version
+    // filter, tombstones included) — key 2 must appear nowhere
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/delta")
+    assert(raw.filter(col("k") === 2L).count() == 0,
+      "forgotten key survives in some on-disk file")
+    assert(raw.filter(col("s") === "B" || col("s") === "b").count() == 0,
+      "forgotten payload survives in some on-disk file")
+
+    // pre-forget versions are GONE, not resurrectable
+    assert(SnapshotOps.versions(path) == Seq(v))
+    val old = intercept[IllegalArgumentException] {
+      SnapshotOps.readAsOf(spark, path, 0L, "k")
+    }
+    assert(old.getMessage.contains("not in the log"), old.getMessage)
+
+    // the table remains writable after a forget
+    SnapshotOps.commitUpsert(path, state((4L, "d", 4.0)), "k")
+    assert(SnapshotOps.readAsOf(spark, path, v + 1, "k").count() == 3)
+  }
+
   test("commit contracts fail loudly") {
     val path = freshTable("contracts")
     SnapshotOps.initTable(state((1L, "a", 1.0)), path, "k")
