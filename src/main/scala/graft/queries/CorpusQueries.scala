@@ -196,6 +196,85 @@ object CorpusQueries {
     // embarrassingly parallel (pure narrow map, no shuffle before the
     // summary agg). Output is the per-(split, lang) manifest a training
     // job reads.
+    // Leakage-proof splitting — the near-dup-aware form of
+    // corpus_split: hashing the DOC id can land two near-duplicates on
+    // opposite sides of train/test (eval contamination, the leakage
+    // decontaminate_ngram guards against benchmark-wise). Keying the
+    // split hash by the doc's DEDUP CLUSTER id instead (its own id when
+    // unclustered) provably keeps every near-dup pair on one side.
+    // Output: the two-scheme audit — doc counts per side and the
+    // straddling-pair count, 0 by construction for the cluster scheme
+    // (the hash rides the shared key, so the 0 is structural, not
+    // statistical). Cost: the staged cluster labels + pair set (shared
+    // with dedup_clusters/corpus_select) and two tiny audits; the only
+    // per-doc work is one left join against the label table.
+    Q("corpus_split_leakproof",
+      (s, dir) => {
+        val pairs = Staged.ngramPairs(s, dir, 3, 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        val keyed = Tables.documents(s, dir).select(col("doc_id"))
+          .join(Staged.dupClusters(s, dir, 3, 0.5), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("skey"))
+        def side(c: org.apache.spark.sql.Column) =
+          when(Hashing.md5Long(c.cast("string")) % 100 < 90,
+            lit("train")).otherwise(lit("test"))
+        def audit(assign: org.apache.spark.sql.DataFrame, scheme: String) = {
+          val a = assign.select(col("doc_id").as("doc_a"),
+            col("split").as("sa"))
+          val b = assign.select(col("doc_id").as("doc_b"),
+            col("split").as("sb"))
+          pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+            .agg(count(lit(1)).as("n_pairs"),
+              sum((col("sa") =!= col("sb")).cast("long"))
+                .as("n_straddling"))
+            .crossJoin(assign.agg(
+              sum((col("split") === "train").cast("long")).as("n_train"),
+              sum((col("split") === "test").cast("long")).as("n_test")))
+            .select(lit(scheme).as("scheme"), col("n_train"),
+              col("n_test"), col("n_pairs"), col("n_straddling"))
+        }
+        audit(keyed.select(col("doc_id"), side(col("doc_id")).as("split")),
+            "doc_hash")
+          .unionByName(audit(
+            keyed.select(col("doc_id"), side(col("skey")).as("split")),
+            "cluster_hash"))
+          .orderBy("scheme")
+      },
+      s"""${dupClustersWith(3, 0.5)},
+         |keyed AS (SELECT d.doc_id,
+         |  coalesce(c.cluster_id, d.doc_id) AS skey
+         |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id),
+         |asg AS (SELECT doc_id,
+         |  CASE WHEN ${Hashing.sqlMd5Long("CAST(doc_id AS VARCHAR)")} % 100
+         |    < 90 THEN 'train' ELSE 'test' END AS s_doc,
+         |  CASE WHEN ${Hashing.sqlMd5Long("CAST(skey AS VARCHAR)")} % 100
+         |    < 90 THEN 'train' ELSE 'test' END AS s_cl
+         |  FROM keyed)
+         |SELECT * FROM (
+         |  SELECT 'doc_hash' AS scheme,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM asg
+         |      WHERE s_doc = 'train') AS n_train,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM asg
+         |      WHERE s_doc = 'test') AS n_test,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM pairs p
+         |      JOIN asg x ON p.doc_a = x.doc_id
+         |      JOIN asg y ON p.doc_b = y.doc_id
+         |      WHERE x.s_doc <> y.s_doc) AS n_straddling
+         |  UNION ALL
+         |  SELECT 'cluster_hash',
+         |    (SELECT CAST(count(*) AS BIGINT) FROM asg
+         |      WHERE s_cl = 'train'),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM asg
+         |      WHERE s_cl = 'test'),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM pairs),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM pairs p
+         |      JOIN asg x ON p.doc_a = x.doc_id
+         |      JOIN asg y ON p.doc_b = y.doc_id
+         |      WHERE x.s_cl <> y.s_cl))
+         |ORDER BY scheme""".stripMargin.replace("\n", " ")),
+
     Q("corpus_split",
       (s, dir) => {
         val bucket = Hashing.md5Long(col("doc_id").cast("string")) % 100

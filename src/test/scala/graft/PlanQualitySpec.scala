@@ -143,7 +143,9 @@ class PlanQualitySpec extends AnyFunSuite {
     "doc_ppl_bigram" ->
       "1-row (n_train, v_train) scalar, broadcast (backoff denominator)",
     "corpus_ppl_buckets" ->
-      "1-row (n_train, v_train) scalar, broadcast (backoff denominator)")
+      "1-row (n_train, v_train) scalar, broadcast (backoff denominator)",
+    "corpus_split_leakproof" ->
+      "two 1-row audit aggregates cross-joined per scheme, broadcast")
 
   private def sections: Seq[(String, String)] = {
     val parts = plans.split("\n## ").toSeq.drop(1)
