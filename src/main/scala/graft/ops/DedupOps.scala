@@ -519,55 +519,90 @@ object DedupOps {
     * signatures — the video half of the perceptual-dedup story
     * (per-frame dHash → order-respecting sequence distance): the
     * distance between two same-length sequences is the SUM of aligned
-    * per-frame Hamming distances, and the band key gains the frame
-    * index, so candidates are an EQUALITY join on (frame, band, value)
-    * — never all-pairs, the [[simhashHammingPairsFromSigs]] discipline
-    * lifted to sequences.
+    * per-frame Hamming distances, and candidates are an EQUALITY join
+    * on a composite group key — never all-pairs, the
+    * [[simhashHammingPairsFromSigs]] discipline lifted to sequences.
     *
-    * Exactness (pigeonhole, per aligned pair): a sequence of nf frames
-    * exposes nf·nBands band slots; if every slot differs the summed
-    * distance is ≥ nf·nBands, so any pair within `maxTotalHamming` <
-    * nBands·`minFrames` collides on at least one slot. `minFrames` is
-    * the caller's declared lower bound on sequence length (the fixture
-    * law guarantees 3). Different-length sequences are not near-dups
-    * by definition here (a dropped/added frame breaks alignment) —
-    * the verify step keeps equal `n_frames` only.
+    * GEOMETRY (round-12 ×10/×100 adjudication): each frame signature
+    * splits into nBits/`subBits` small sub-bands, every (frame,
+    * sub-band) slot is assigned ROUND-ROBIN (slot index mod
+    * `maxTotalHamming`+1) to one of exactly maxTotalHamming+1 groups,
+    * and the band key is the 60-bit hash of a whole group's (slot,
+    * value) list. Pigeonhole: each differing BIT lives in exactly one
+    * slot, so a pair within `maxTotalHamming` differs in at most
+    * maxTotalHamming slots — at least one of the maxTotalHamming+1
+    * groups contains NO differing slot and its group values (hence
+    * hashes) are equal. Round-robin + fine slots matter: per-frame
+    * dHashes carry a row-sign backbone (adjacent-pixel differences are
+    * constant along a raster row unless the mod-256 wrap flips them),
+    * so any key confined to one frame — or even one row-byte —
+    * collapses onto a few backbone values and the screen goes
+    * candidate-quadratic. Measured at the ×10/×100 video fixtures
+    * (50k/500k docs, 111k true pairs at ×10): per-(frame, 14-bit band)
+    * keys → 349M candidates at ×10 (deepest cell 6003, 120 s warm);
+    * 4-bit cross-frame groups → 5.9M / 534M (×10/×100); 1-bit slots
+    * (`subBits = 1`, each group samples every 9th BIT, at most one bit
+    * per row-byte) → 1.96M / 139M — the shipped geometry. The ×100
+    * residue is the pigeonhole floor for a radius-8 contract on a
+    * 56-bit/frame law (the same irreducible-core shape as the audio
+    * screen's ×100 adjudication; a tighter radius contract collapses
+    * it — see the audio radius-1 lever). The hash key only ever ADDS
+    * candidates (equal groups always hash equal; a 60-bit collision is
+    * verified away exactly), never drops a qualifying pair.
+    *
+    * `minFrames` is the caller's declared lower bound on sequence
+    * length (the fixture law guarantees 3); it must supply at least
+    * maxTotalHamming+1 slots. Different-length sequences are not
+    * near-dups by definition here (a dropped/added frame breaks
+    * alignment) — the verify step keeps equal `n_frames` only.
     *
     * Input: one row per (media_id, n_frames, frame_idx, sig). Scale
-    * shape: banding explodes to nf·nBands small rows per media; the
-    * candidate join is equality-keyed; the verify join ships one
-    * nf-long array per side per candidate and reduces it with ONE
-    * codegen'd zip_with/aggregate — output bytes, not raster bytes,
-    * are all that ever shuffles. */
-  def hammingSeqPairs(frameSigs: DataFrame, nBits: Int, nBands: Int,
+    * shape: slotting explodes to nf·nSub small rows per media, folded
+    * straight back to nf-independent (media, group) hash rows by one
+    * partial-agg groupBy; the candidate join is equality-keyed; the
+    * verify join ships one nf-long array per side per candidate and
+    * reduces it with ONE codegen'd zip_with/aggregate — output bytes,
+    * not raster bytes, are all that ever shuffles. */
+  def hammingSeqPairs(frameSigs: DataFrame, nBits: Int, subBits: Int,
                       maxTotalHamming: Int, minFrames: Int = 1): DataFrame = {
-    require(nBits % nBands == 0, "nBits must split into equal bands")
+    require(nBits % subBits == 0, "nBits must split into equal sub-bands")
     require(minFrames >= 1, "minFrames must be >= 1")
-    require(maxTotalHamming < nBands * minFrames,
-      s"exact banding needs maxTotalHamming < nBands*minFrames " +
-        s"(pigeonhole over the shortest sequence): " +
-        s"$maxTotalHamming >= $nBands*$minFrames")
-    val bandBits = nBits / nBands
-    val mask = (1L << bandBits) - 1
+    val nSub = nBits / subBits
+    val nGroups = maxTotalHamming + 1
+    require(nSub * minFrames >= nGroups,
+      s"exact grouping needs at least maxTotalHamming+1 = $nGroups " +
+        s"sub-band slots on the shortest sequence, have " +
+        s"$nSub*$minFrames")
+    val mask = (1L << subBits) - 1
     // aligned signature arrays, frame order pinned by the struct sort
     val seqs = frameSigs.groupBy(col("media_id"), col("n_frames"))
       .agg(array_sort(collect_list(struct(col("frame_idx"), col("sig"))))
         .as("fs"))
       .select(col("media_id"), col("n_frames"),
         transform(col("fs"), f => f.getField("sig")).as("sig_seq"))
-    val banded = frameSigs.select(col("media_id"), col("frame_idx"),
-        explode(array((0 until nBands).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sig"), b * bandBits).bitwiseAND(mask)
-              .as("bv"))): _*)).as("bk"))
-      .select(col("media_id"), col("frame_idx"),
-        col("bk.band").as("band"), col("bk.bv").as("bv"))
-    val cands = banded.as("a").join(banded.as("b"),
-        col("a.frame_idx") === col("b.frame_idx") &&
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+    val slots = frameSigs.select(col("media_id"), col("n_frames"),
+        explode(array((0 until nSub).map(s =>
+          struct((col("frame_idx") * nSub + s).as("slot"),
+            shiftright(col("sig"), s * subBits).bitwiseAND(mask)
+              .as("sv"))): _*)).as("sk"))
+      .select(col("media_id"), col("n_frames"),
+        (col("sk.slot") % nGroups).as("g"),
+        col("sk.slot").as("slot"), col("sk.sv").as("sv"))
+    // one 60-bit hash per (media, group): the slot sort pins a
+    // canonical order (slots are unique per media), so equal group
+    // contents ALWAYS hash equal — the key can only add candidates
+    val grouped = slots
+      .groupBy(col("media_id"), col("n_frames"), col("g"))
+      .agg(graft.functions.Hashing.md5Long(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("slot"), col("sv")))),
+          p => concat(p.getField("slot").cast("string"), lit(":"),
+            p.getField("sv").cast("string"))))).as("gv"))
+    val cands = grouped.as("a").join(grouped.as("b"),
+        col("a.n_frames") === col("b.n_frames") &&
+          col("a.g") === col("b.g") && col("a.gv") === col("b.gv") &&
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("ma"), col("b.media_id").as("mb"))
-      // dedup band collisions BEFORE shipping sequence arrays into the
+      // dedup group collisions BEFORE shipping sequence arrays into the
       // verify join — candidates, not collisions, bound the array join
       .distinct()
     cands

@@ -97,21 +97,45 @@ object GraphOps {
     * `unpersist()` on the RETURNED frame frees it (it is the cached
     * plan, not a projection over one — a projection would not
     * plan-match the cache entry and the documented contract couldn't
-    * free anything). The final round's internal nanos cache is dropped
+    * free anything). The final round's internal units cache is dropped
     * here, AFTER the published frame materializes from it. A caller
     * that invokes this repeatedly without unpersisting (e.g. bench
     * reps) accumulates one node-sized cached block per call until LRU
     * eviction — harmless for dimension-sized node sets, but a
     * long-lived service should unpersist explicitly.
     *
-    * NODE-COUNT ENVELOPE: the fixed-point unit is nanos on BIGINTs, so
-    * the initial rank 1/n and the teleport 0.15/n must be ≥ 1 nano-unit
-    * half-up — n ≤ 3·10^8 nodes (beyond that (3·10^8+n)/(2n) floors to
-    * 0 and the teleport term would silently vanish; the pre-round-10
-    * 12-dp decimal iteration resolved 1e-12 but was not cross-engine
-    * portable). Enforced with a named require, not silent degradation.
-    * Edge-weight bound (w < 4.6·10^9) documented at the step formula. */
-  def pagerankWithIters(edges: DataFrame, iters: Int): (DataFrame, Int) = {
+    * NODE-COUNT ENVELOPE: the fixed-point grid is DERIVED FROM n
+    * ([[gridUnit]] — nanos, picos, or femtos), so the initial rank 1/n
+    * and the teleport 0.15/n always land ≥ 1 unit half-up: nanos up to
+    * 3·10^8 nodes, picos to 3·10^11, femtos to 3·10^14 (past that even
+    * femtos floor the teleport to 0 — enforced with a named require,
+    * not silent degradation; and 170·s in the damping step would
+    * overflow BIGINT on a finer grid than femtos, so the ladder stops
+    * there). The unit is a deterministic function of n that the oracle
+    * re-derives in SQL, keeping the replay bit-exact at every rung.
+    * Edge-weight bound scales inversely (2·rank_units·w must fit
+    * BIGINT): w < 4.6·10^18/unit — 4.6·10^9 on nanos, 4.6·10^3 on
+    * femtos — documented at the step formula. */
+  def pagerankWithIters(edges: DataFrame, iters: Int): (DataFrame, Int) =
+    pagerankWithIters(edges, iters, None)
+
+  /** The fixed-point grid for an n-node graph: the coarsest of
+    * nanos/picos/femtos on which teleport 0.15/n still rounds half-up
+    * to ≥ 1 unit (0.15·u/n ≥ 0.5 ⟺ n ≤ 3·10^(d-1) for u = 10^d).
+    * Coarsest-first keeps the edge-weight overflow headroom maximal. */
+  def gridUnit(n: Long): Long = {
+    require(n >= 1, s"need at least one node, got $n")
+    require(n <= 300000000000000L,
+      s"pagerank integer grid supports at most 3e14 nodes (got $n): " +
+        "teleport 0.15/n floors to 0 femto-units past that, and a " +
+        "finer grid would overflow 170*s in the damping step")
+    if (n <= 300000000L) 1000000000L
+    else if (n <= 300000000000L) 1000000000000L
+    else 1000000000000000L
+  }
+
+  private[graft] def pagerankWithIters(edges: DataFrame, iters: Int,
+      unitOverride: Option[Long]): (DataFrame, Int) = {
     val spark = edges.sparkSession
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     val e = edges.join(outw, Seq("src"))
@@ -119,38 +143,37 @@ object GraphOps {
       .cache()
     val nodes = e.select(col("src").as("node")).distinct()
     val nLong = nodes.count()
-    // INTEGER nano-unit iteration: every 9-dp round is round-half-up
-    // expressed as pure BIGINT arithmetic, (2a + b) div (2b) for a/b —
-    // bit-identical in ANY engine. Float/decimal rounding is NOT
-    // portable here: contributions rank·w/outw land EXACTLY on .5 grid
-    // boundaries whenever outw's factors are all 2s and 5s (outw = 2 is
-    // every two-interaction user), and there Spark's exact-BigDecimal
+    // INTEGER unit-grid iteration: every round is round-half-up on the
+    // n-derived grid ([[gridUnit]]) expressed as pure BIGINT
+    // arithmetic, (2a + b) div (2b) for a/b — bit-identical in ANY
+    // engine. Float/decimal rounding is NOT portable here:
+    // contributions rank·w/outw land EXACTLY on .5 grid boundaries
+    // whenever outw's factors are all 2s and 5s (outw = 2 is every
+    // two-interaction user), and there Spark's exact-BigDecimal
     // HALF_UP and DuckDB's multiply-by-10^k double round disagree
     // systematically (4 of 1505 sf0.1 nodes, all hubs). Integer
     // arithmetic has no such boundary: the half-up decision IS the
-    // arithmetic. Overflow bound: 2·rank_nanos·w ≤ 2e9·w fits BIGINT
-    // for w < 4.6e9 (edge weights are per-pair interaction counts).
-    require(nLong <= 300000000L,
-      s"pagerank nano-grid supports at most 3e8 nodes (got $nLong): " +
-        "teleport 0.15/n rounds half-up to 0 nano-units past that — " +
-        "re-derive the fixed-point unit from n (e.g. picos) to go larger")
-    val initNanos = (2000000000L + nLong) / (2L * nLong)
-    val teleportNanos = (300000000L + nLong) / (2L * nLong)
+    // arithmetic. Overflow bound: 2·rank_units·w ≤ 2·unit·w fits
+    // BIGINT for w < 4.6e18/unit (edge weights are per-pair
+    // interaction counts).
+    val unit = unitOverride.getOrElse(gridUnit(nLong))
+    val initUnits = (2L * unit + nLong) / (2L * nLong)
+    val teleportUnits = (3L * unit / 10L + nLong) / (2L * nLong)
     var r = nodes.select(col("node"),
-      lit(initNanos).as("rank_nanos")).cache()
+      lit(initUnits).as("rank_units")).cache()
     var it = 0
     var converged = false
     while (it < iters && !converged) {
       val stepped = e.join(r, e("src") === r("node"))
         .select(col("dst"),
-          expr("(2 * rank_nanos * w + outw) div (2 * outw)").as("c"))
+          expr("(2 * rank_units * w + outw) div (2 * outw)").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
         // damping 0.85·s at 9 dp = round_half_up(85·s/100) =
-        // (170·s + 100) div 200; teleport adds as exact nanos
+        // (170·s + 100) div 200; teleport adds as exact units
         .select(col("dst").as("node"),
-          (lit(teleportNanos) +
-            expr("(170 * s + 100) div 200")).as("rank_nanos"))
+          (lit(teleportUnits) +
+            expr("(170 * s + 100) div 200")).as("rank_units"))
       // lineage truncation: constant-size plan per round (see above)
       val next = spark.createDataFrame(stepped.rdd, stepped.schema).cache()
       // exact integer Σ|Δ| — zero ⟺ the nano-grid rank vector is a
@@ -165,9 +188,9 @@ object GraphOps {
       // divergence and the loop runs its full budget instead of
       // stopping wrong.
       val deltaRow = next
-        .join(r.withColumnRenamed("rank_nanos", "prev"), Seq("node"),
+        .join(r.withColumnRenamed("rank_units", "prev"), Seq("node"),
           "full_outer")
-        .agg(sum(abs(coalesce(col("rank_nanos"), lit(-1L))
+        .agg(sum(abs(coalesce(col("rank_units"), lit(-1L))
           - coalesce(col("prev"), lit(-1L)))))
         .first()
       converged = !deltaRow.isNullAt(0) && deltaRow.getLong(0) == 0L
@@ -176,13 +199,14 @@ object GraphOps {
       it += 1
     }
     e.unpersist()
-    // publish on the 9-dp double grid: nanos/1e9 is one IEEE division,
+    // publish on the unit grid: units/unit is one IEEE division (unit is
+    // an exact power of ten, exactly representable as a double),
     // identical in both engines. The published projection is cached and
     // materialized HERE so (a) the caller's unpersist() plan-matches the
     // frame we hand out, and (b) the internal nanos cache can be dropped
     // now — materializing from it first avoids replaying any round.
     val published = r.select(col("node"),
-      (col("rank_nanos").cast("double") / lit(1e9)).as("rank")).cache()
+      (col("rank_units").cast("double") / lit(unit.toDouble)).as("rank")).cache()
     published.count()
     r.unpersist()
     (published, it)

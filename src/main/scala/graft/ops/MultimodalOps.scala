@@ -708,11 +708,30 @@ object MultimodalOps {
     else base
   }
 
+  /** The RADIUS-1 sibling of [[afMagRaw]] — the audio screen's wide-
+    * band/small-radius scale lever (round-11 verdict): non-leader
+    * members perturb ONLY the LAST frame, so the single energy-delta
+    * bit 55 is the only fingerprint bit that can flip → every member is
+    * at Hamming distance ≤1 from its leader (and members of one group
+    * hash identically to each other). A radius-1 contract lets the pair
+    * screen run 2×28-bit bands instead of 4×14 — band values draw from
+    * 2²⁸ instead of 2¹⁴, so random band-value collisions among distinct
+    * fingerprints (the 4×14/≤3 screen's ×100 candidate mass, 50.1M at
+    * 500k docs — BASELINE.md round 11) collapse by ~2¹⁴ per band. */
+  private[graft] def afMagRawR1(id: Long, f: Int): Long = {
+    val g = id / AfGroupSize
+    val base = (f.toLong * (31 + g % 1009) + f.toLong * f * (17 + g % 1013) +
+      f.toLong * f * f * (23 + g % 1019) + g * 101) % 2048
+    if (id % AfGroupSize != 0 && f == AfFrames - 1) (base + 1365) % 2048
+    else base
+  }
+
   /** Documents → near-dup WAV media: one REAL 16-bit mono PCM clip per
-    * doc rendered from [[afMagRaw]] and containerized by [[wavBytes]]
-    * inside executors (the [[encodeWavMedia]] distributed-encode
-    * discipline on the near-dup law). */
-  def encodeNearDupWavMedia(docs: DataFrame): DataFrame = {
+    * doc rendered from [[afMagRaw]] (or, with `r1 = true`, the radius-1
+    * law [[afMagRawR1]]) and containerized by [[wavBytes]] inside
+    * executors (the [[encodeWavMedia]] distributed-encode discipline on
+    * the near-dup law). */
+  def encodeNearDupWavMedia(docs: DataFrame, r1: Boolean = false): DataFrame = {
     val spark: SparkSession = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
@@ -721,7 +740,9 @@ object MultimodalOps {
         val pcm = new Array[Byte](2 * n)
         var i = 0
         while (i < n) {
-          val mag = (afMagRaw(id, i / AfFrameW) - 1024).toInt
+          val raw = if (r1) afMagRawR1(id, i / AfFrameW)
+                    else afMagRaw(id, i / AfFrameW)
+          val mag = (raw - 1024).toInt
           val s = if (i % 2 == 0) mag else -mag
           pcm(2 * i) = (s & 0xff).toByte
           pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte

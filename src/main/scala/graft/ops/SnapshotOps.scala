@@ -50,9 +50,14 @@ object SnapshotOps {
   private def writeManifest(path: String, v: Long, op: String,
                             base: Boolean): Unit = {
     Files.createDirectories(logDir(path))
+    // CREATE_NEW: the manifest is the commit's atomicity point, so it
+    // must also be its exclusivity point — two writers racing to the
+    // same version cannot both create it
     Files.write(manifest(path, v),
       s"""{"version": $v, "op": "$op", "base": $base}"""
-        .getBytes(StandardCharsets.UTF_8))
+        .getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
   }
 
   private def readManifest(path: String, v: Long): (String, Boolean) = {
@@ -98,6 +103,114 @@ object SnapshotOps {
     commit(path,
       keys.select((col(key) +: nulls :+ lit(true).as(DeletedCol)): _*),
       key, "delete")
+  }
+
+  /** A concurrent writer committed keys this writer also writes (true
+    * write-write conflict), or the log is wedged by a crashed writer's
+    * orphaned delta directory — the failure optimistic concurrency is
+    * REQUIRED to surface instead of silently last-writer-wins. */
+  final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Optimistic-concurrency upsert — the other half of the Delta-style
+    * story next to time travel/CDF/vacuum/forget: the writer declares
+    * the version it READ (`readVersion`), and the commit validates
+    * against the live log head at write time.
+    *
+    * Protocol (per attempt):
+    *  1. every commit in (readVersion, head] — the commits this writer
+    *     did NOT see — must be KEY-DISJOINT from its update set; an
+    *     overlap is a true write-write conflict and throws
+    *     [[ConcurrentCommitException]] (blind upserts commute only on
+    *     disjoint keys);
+    *  2. the delta is staged to a unique invisible directory, then
+    *     ATOMIC_MOVE-renamed to `delta/v=head+1` — the rename is the
+    *     race arbiter (exactly one writer per version wins);
+    *  3. the winner writes the CREATE_NEW manifest (the commit point);
+    *     a loser waits for the winner's manifest to appear, then
+    *     re-validates against the advanced head and retries at the next
+    *     version. A rename target with NO manifest after the wait is a
+    *     crashed writer's orphan — fail loudly naming the directory
+    *     rather than silently deleting a possibly-in-flight commit.
+    *
+    * At 100 TB the same protocol holds with the rename/CREATE_NEW pair
+    * replaced by the object store's conditional-put primitive; the
+    * validation scan is partition-pruned to the unseen versions only.
+    * Returns the committed version. */
+  def commitUpsertOptimistic(spark: SparkSession, path: String,
+                             updates: DataFrame, key: String,
+                             readVersion: Long,
+                             maxRetries: Int = 10): Long = {
+    val vs0 = versions(path)
+    require(vs0.nonEmpty,
+      s"snapshot table at $path has no log; initTable first")
+    require(vs0.contains(readVersion),
+      s"readVersion $readVersion is not a committed version " +
+        s"(have ${vs0.mkString(",")})")
+    val delta = updates.withColumn(DeletedCol, lit(false))
+    // dup-key check mirrors writeDelta's invariant — once, up front
+    require(delta.groupBy(col(key)).count().filter(col("count") > 1).isEmpty,
+      "commit carries duplicate keys; dedupe before committing")
+    val updKeys = delta.select(col(key)).distinct().cache()
+    try {
+      var validated = readVersion
+      var attempt = 0
+      while (attempt <= maxRetries) {
+        val head = versions(path).max
+        // (1) unseen commits must be key-disjoint — one pruned scan
+        if (head > validated) {
+          val unseen = (validated + 1) to head
+          val seenKeys = spark.read
+            .option("basePath", s"$path/delta")
+            .parquet(unseen.map(v => s"$path/delta/v=$v"): _*)
+            .select(col(key))
+          val clash = updKeys.join(seenKeys, Seq(key)).limit(1)
+            .collect().headOption
+          clash.foreach { r =>
+            throw new ConcurrentCommitException(
+              s"write-write conflict at $path: key ${r.get(0)} was " +
+                s"committed in (${validated}, $head] after this writer " +
+                s"read version $readVersion")
+          }
+          validated = head
+        }
+        // (2) stage + atomic rename: the race arbiter for v = head+1
+        val v = head + 1
+        val stage = Paths.get(path, "delta",
+          s".stage-v=$v-${java.util.UUID.randomUUID()}")
+        delta.write.mode(SaveMode.ErrorIfExists).parquet(stage.toString)
+        val target = Paths.get(path, "delta", s"v=$v")
+        val won =
+          try {
+            Files.move(stage, target,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.AccessDeniedException |
+                 _: java.nio.file.FileSystemException =>
+              graft.util.Fs.deleteRec(stage.toString); false
+          }
+        if (won) {
+          // (3) commit point — CREATE_NEW must succeed after a won
+          // rename (no other writer can hold this version)
+          writeManifest(path, v, "upsert", base = false)
+          return v
+        }
+        // lost the race: wait for the winner's manifest, then retry
+        val deadline = System.nanoTime() + 5000000000L
+        while (!Files.exists(manifest(path, v)) &&
+               System.nanoTime() < deadline) Thread.sleep(20)
+        if (!Files.exists(manifest(path, v)))
+          throw new ConcurrentCommitException(
+            s"log at $path is wedged: delta/v=$v exists with no " +
+              "manifest (crashed writer's orphan) — remove the " +
+              "directory to unwedge")
+        attempt += 1
+      }
+      throw new ConcurrentCommitException(
+        s"gave up after $maxRetries lost races at $path")
+    } finally updKeys.unpersist()
   }
 
   /** Materialize the current state as a full-snapshot commit; readAsOf
@@ -277,8 +390,13 @@ object SnapshotOps {
     val keep = bases.max
     val drop = vs.filter(_ < keep)
     drop.foreach { v =>
-      graft.util.Fs.deleteRec(s"$path/delta/v=$v")
+      // manifest FIRST: the manifest is the commit's atomicity point, so
+      // a crash mid-vacuum must leave the version invisible to the log
+      // (versions() skips it) rather than half-readable — a listed
+      // version whose data directory is gone would pass readAsOf's
+      // require and die inside the parquet scan instead.
       Files.deleteIfExists(manifest(path, v))
+      graft.util.Fs.deleteRec(s"$path/delta/v=$v")
     }
     drop
   }

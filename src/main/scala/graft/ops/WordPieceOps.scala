@@ -76,6 +76,12 @@ object WordPieceOps {
           require(c < 9000000L,
             s"pair count $c overflows the 10^12-scaled score; shrink the " +
               "trainer input or lower Scale")
+          // the divisor is its own unguarded Long multiply: two symbols
+          // each weighted above ~3.04e9 would overflow the product and
+          // silently flip the score sign — fail loudly like the c guard
+          require(symCounts(l) <= Long.MaxValue / symCounts(r),
+            s"symbol-count product ${symCounts(l)}*${symCounts(r)} for " +
+              s"('$l','$r') overflows Long; shrink the trainer input")
           ((l, r), c, c * Scale / (symCounts(l) * symCounts(r)))
         }
         // highest scaled score; ties -> smallest chr(1)-joined pair key

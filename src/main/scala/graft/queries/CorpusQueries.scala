@@ -226,8 +226,10 @@ object CorpusQueries {
             col("split").as("sb"))
           pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
             .agg(count(lit(1)).as("n_pairs"),
-              sum((col("sa") =!= col("sb")).cast("long"))
-                .as("n_straddling"))
+              // coalesce: sum over an EMPTY pair set is NULL while the
+              // oracle's count(*) subquery is 0 — degrade to 0/0 alike
+              coalesce(sum((col("sa") =!= col("sb")).cast("long")),
+                lit(0L)).as("n_straddling"))
             .crossJoin(assign.agg(
               sum((col("split") === "train").cast("long")).as("n_train"),
               sum((col("split") === "test").cast("long")).as("n_test")))

@@ -48,7 +48,11 @@ object GraphQueries {
        |gew AS (SELECT ge.src, ge.dst, ge.w, gow.outw
        |  FROM ge JOIN gow ON ge.src = gow.src),
        |gnodes AS (SELECT DISTINCT src AS node FROM ge),
-       |gnn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM gnodes)"""
+       |gnn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM gnodes),
+       |gu AS (SELECT CASE
+       |  WHEN n <= 300000000 THEN CAST(1000000000 AS BIGINT)
+       |  WHEN n <= 300000000000 THEN CAST(1000000000000 AS BIGINT)
+       |  ELSE CAST(1000000000000000 AS BIGINT) END AS unit FROM gnn)"""
       .stripMargin.replace("\n", " ")
 
   val all: Seq[Q] = Seq(
@@ -72,29 +76,34 @@ object GraphQueries {
     // graph, 10 fixed iterations — Pregel expressed as Spark joins
     // (each superstep = one equality join + one bounded aggregate, the
     // message-passing shape that shards by node key on a billion-node
-    // graph). NO pinned constants: both engines iterate the identical
-    // INTEGER nano-unit sequence from the raw events — every 9-dp
-    // half-up round is (2a + b) // (2b) on BIGINTs (see GraphOps: float
-    // and decimal rounding disagree between engines exactly on the .5
-    // boundaries that power-of-2/5 out-degrees produce), so the oracle
-    // match proves ten chained fixed-point steps bit-for-bit.
+    // graph). NO pinned constants: both engines derive the SAME
+    // n-dependent fixed-point grid (GraphOps.gridUnit — nanos to 3e8
+    // nodes, picos to 3e11, femtos to 3e14; the `gu` CTE is the SQL
+    // re-derivation) and iterate the identical INTEGER unit sequence
+    // from the raw events — every half-up round is (2a + b) // (2b) on
+    // BIGINTs (see GraphOps: float and decimal rounding disagree
+    // between engines exactly on the .5 boundaries that power-of-2/5
+    // out-degrees produce), so the oracle match proves ten chained
+    // fixed-point steps bit-for-bit at every grid rung.
     Q("graph_pagerank",
       (s, dir) => ranks(s, dir).orderBy("node"),
       s"""WITH RECURSIVE $edgesWith,
-         |pr(it, node, rank_nanos) AS (
-         |  SELECT 0, node, (2000000000 + n) // (2 * n)
-         |  FROM gnodes CROSS JOIN gnn
+         |pr(it, node, rank_units) AS (
+         |  SELECT 0, node, (2 * unit + n) // (2 * n)
+         |  FROM gnodes CROSS JOIN gnn CROSS JOIN gu
          |  UNION ALL
          |  SELECT it + 1, dst,
-         |    (SELECT (300000000 + n) // (2 * n) FROM gnn)
+         |    (SELECT ((3 * unit) // 10 + n) // (2 * n)
+         |     FROM gnn CROSS JOIN gu)
          |    + (170 * s + 100) // 200
          |  FROM (
          |    SELECT pr.it, gew.dst,
-         |    SUM((2 * pr.rank_nanos * gew.w + gew.outw)
+         |    SUM((2 * pr.rank_units * gew.w + gew.outw)
          |      // (2 * gew.outw)) AS s
          |    FROM pr JOIN gew ON pr.node = gew.src
          |    WHERE pr.it < $PrIters GROUP BY 1, 2))
-         |SELECT node, CAST(rank_nanos AS DOUBLE) / 1e9 AS rank
+         |SELECT node, CAST(rank_units AS DOUBLE)
+         |  / (SELECT CAST(unit AS DOUBLE) FROM gu) AS rank
          |FROM pr WHERE it = $PrIters
          |ORDER BY node""".stripMargin.replace("\n", " ")))
 }

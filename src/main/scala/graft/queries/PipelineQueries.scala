@@ -106,6 +106,25 @@ object PipelineQueries {
       |  FROM amag a JOIN amag b ON a.doc_id = b.doc_id AND b.f = a.f + 1
       |  GROUP BY a.doc_id)""".stripMargin.replace("\n", " ")
 
+  /** [[audioFpOracleCte]] on the RADIUS-1 planted law
+    * (MultimodalOps.afMagRawR1): members perturb only frame 56, so only
+    * delta bit 55 can flip — every planted pair is within Hamming
+    * distance 1. */
+  private val audioFpR1OracleCte: String =
+    """WITH ad AS (SELECT doc_id FROM documents),
+      |afr AS (SELECT doc_id, CAST(f.range AS BIGINT) AS f
+      |  FROM ad, range(57) f),
+      |amag AS (SELECT doc_id, f,
+      |  abs(((f*(31 + (doc_id//5)%1009) + f*f*(17 + (doc_id//5)%1013)
+      |    + f*f*f*(23 + (doc_id//5)%1019) + (doc_id//5)*101
+      |    + CASE WHEN doc_id % 5 <> 0 AND f = 56
+      |      THEN 1365 ELSE 0 END) % 2048) - 1024) AS m FROM afr),
+      |afp AS (SELECT a.doc_id,
+      |  bit_or(CASE WHEN b.m > a.m THEN (1::BIGINT << CAST(a.f AS INT))
+      |    ELSE 0::BIGINT END) AS fp
+      |  FROM amag a JOIN amag b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+      |  GROUP BY a.doc_id)""".stripMargin.replace("\n", " ")
+
   private def freshWorkDir(prefix: String, dir: String): String = {
     val p = graft.util.Fs.workDir(prefix, dir)
     graft.util.Fs.deleteRec(p.toString)
@@ -248,19 +267,19 @@ object PipelineQueries {
          |ORDER BY media_id, frame_idx""".stripMargin.replace("\n", " ")),
 
     // Video near-dup PAIRS: order-respecting sequence distance (sum of
-    // aligned per-frame dHash Hamming distances) with the band key
-    // lifted to (frame, band, value) — candidates stay an EQUALITY
-    // join, never all-pairs (DedupOps.hammingSeqPairs). FOUR 14-bit
-    // bands, not the image screen's seven 8-bit ones: sequences can
-    // afford wider bands because the pigeonhole budget multiplies by
-    // frames (8 < 4 bands × 3 min frames), and at 50k+ media an 8-bit
-    // band has only 256 values — random hashes collide on a byte
-    // constantly, and the candidate set goes quadratic on band-value
-    // collisions alone (measured: the 7×8-bit form produced ~170M
-    // candidates at the ×10 fixture; 14-bit bands cut collision mass
-    // ×64). The oracle states the all-pairs predicate directly — its
-    // prerogative at fixture scale; the Spark side must stay banded
-    // (LivePlanSpec pins no-cartesian).
+    // aligned per-frame dHash Hamming distances) with candidates an
+    // EQUALITY join on CROSS-FRAME group keys, never all-pairs
+    // (DedupOps.hammingSeqPairs): 1-BIT slots round-robined into
+    // exactly maxTotalHamming+1 = 9 groups, each group's (slot, value)
+    // list hashed to one 60-bit key. Cross-frame bit-scatter is the
+    // round-12 ×10/×100 adjudication: per-(frame, 14-bit band) keys
+    // collapsed onto the dHash row-sign backbone and produced 349M
+    // candidates for 111k true pairs at ×10 (120 s warm); bit-level
+    // round-robin cuts candidates to 1.96M at ×10 (178×) and 139M at
+    // ×100 — the pigeonhole floor for radius 8 on this law. The oracle
+    // states the all-pairs predicate directly — its prerogative at
+    // fixture scale; the Spark side must stay banded (LivePlanSpec
+    // pins no-cartesian).
     Q("video_dup_pairs",
       (s, dir) => {
         val h = Staged.retrieval(s, dir, "video_phash") {
@@ -271,7 +290,7 @@ object PipelineQueries {
         graft.ops.DedupOps.hammingSeqPairs(
             h.select(col("media_id"), col("n_frames"), col("frame_idx"),
               col("dhash").as("sig")),
-            nBits = 56, nBands = 4, maxTotalHamming = 8, minFrames = 3)
+            nBits = 56, subBits = 1, maxTotalHamming = 8, minFrames = 3)
           .orderBy("media_a", "media_b")
       },
       s"""$videoDhashOracleCte
@@ -294,7 +313,7 @@ object PipelineQueries {
             graft.ops.DedupOps.hammingSeqPairs(
               h.select(col("media_id"), col("n_frames"), col("frame_idx"),
                 col("dhash").as("sig")),
-              nBits = 56, nBands = 4, maxTotalHamming = 8, minFrames = 3)
+              nBits = 56, subBits = 1, maxTotalHamming = 8, minFrames = 3)
               .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
           .select(col("doc_id").as("media_id"), col("cluster_id"))
           .orderBy("media_id")
@@ -397,6 +416,39 @@ object PipelineQueries {
          |  FROM areach GROUP BY a)
          |SELECT media_id, cluster_id FROM aclusters
          |ORDER BY media_id""".stripMargin.replace("\n", " ")),
+
+    // Audio near-dup pairs under the WIDE-BAND/SMALL-RADIUS contract —
+    // the 4×14/≤3 screen's named scale lever (round-11 verdict item 2):
+    // when the dedup contract is radius 1 (exact re-encodes, last-frame
+    // trims — the R1 planted law), the same pigeonhole machinery runs
+    // TWO 28-bit bands (1 < 2), and band values draw from 2^28 instead
+    // of 2^14 — random band-value collisions among distinct
+    // fingerprints, the 4×14 screen's ×100 candidate mass (50.1M at
+    // 500k docs), collapse by ~2^14 per band to near the true-pair
+    // floor. The 4×14/≤3 form stays for the radius-3 contract
+    // (audio_dup_pairs above); this is the knob a production screen
+    // turns when its perturbation model is tighter.
+    Q("audio_dup_pairs_r1",
+      (s, dir) => {
+        val h = Staged.retrieval(s, dir, "audio_fp_r1") {
+          MultimodalOps.audioFingerprint(
+            MultimodalOps.encodeNearDupWavMedia(Tables.documents(s, dir),
+              r1 = true))
+            .toDF()
+        }
+        graft.ops.DedupOps.simhashHammingPairsFromSigs(
+            h.select(col("media_id").as("doc_id"), col("fp").as("simhash")),
+            nBits = 56, nBands = 2, maxHamming = 1)
+          .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+            col("hamming"))
+          .orderBy("media_a", "media_b")
+      },
+      s"""$audioFpR1OracleCte
+         |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+         |CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+         |FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 1
+         |ORDER BY media_a, media_b""".stripMargin.replace("\n", " ")),
 
     // REAL audio codec round-trip: one RIFF/WAVE payload per doc
     // synthesized + containerized in executors (javax.sound.sampled),

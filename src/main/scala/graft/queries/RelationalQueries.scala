@@ -815,6 +815,51 @@ object RelationalQueries {
         |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 8 <> 0
         |ORDER BY o_orderkey""".stripMargin.replace("\n", " ")),
 
+    // Optimistic concurrency AUDITED — the Delta-style commit protocol's
+    // other half next to time travel/CDF/vacuum/forget: three writers
+    // all read version 0; writer A lands v1, writer B's stale commit
+    // revalidates against the unseen v1 (key-disjoint — blind upserts
+    // commute) and lands v2, and writer C's overlapping commit is
+    // REJECTED with ConcurrentCommitException (Staged
+    // .snapshotConcurrentTable asserts the exact versions and the
+    // rejection at build time). The audit reads the final state and
+    // proves it is exactly "A then B, no C": per-status counts +
+    // decimal-exact totals plus the log length. Oracle: the closed-form
+    // A∪B mutation replayed directly from orders. Scale: validation is
+    // ONE partition-pruned scan of the unseen versions only; the
+    // arbiter is a rename/conditional-put, never a table lock.
+    Q("snapshot_concurrent_audit",
+      (s, dir) => {
+        import graft.ops.SnapshotOps
+        val path = Staged.snapshotConcurrentTable(s, dir)
+        val nv = SnapshotOps.versions(path).length.toLong
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(30,6)")
+        SnapshotOps.readAsOf(s, path, nv - 1L, "o_orderkey")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(dec(col("o_totalprice"))).cast("double"), 2)
+              .as("total"))
+          .withColumn("n_versions", lit(nv))
+          .select(col("o_orderstatus"), col("n_orders"), col("total"),
+            col("n_versions"))
+          .orderBy("o_orderstatus")
+      },
+      """WITH fin AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'A1'
+        |         WHEN o_orderkey % 7 = 3 THEN 'B1'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+        |         WHEN o_orderkey % 7 = 3 THEN o_totalprice + 20.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |round(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 2)
+        |  AS total,
+        |CAST(3 AS BIGINT) AS n_versions
+        |FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+        .stripMargin.replace("\n", " ")),
+
     // The change feed CONSUMED — CDC-driven incremental aggregate
     // maintenance (the reason a warehouse ships table_changes at all):
     // the per-status order count + revenue total is maintained from the
@@ -858,6 +903,31 @@ object RelationalQueries {
               coalesce(col("dt"), lit(0).cast("decimal(30,6)")))
               .cast("double"), 2).as("total"))
           .filter(col("n_orders") > 0)
+          .orderBy("o_orderstatus")
+      },
+      s"""WITH $snapStateCtes
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |round(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 2)
+        |  AS total
+        |FROM s4 GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+        .stripMargin.replace("\n", " ")),
+
+    // CDF as a STREAMING SOURCE — cdf_incremental_agg's streaming twin
+    // (round-11 verdict item 6): the per-version change batches are
+    // spooled to files exactly as a commit-log tailer would deliver
+    // them, streamed back one FILE per micro-batch, and the per-status
+    // aggregate is maintained from each batch's signed-delta PARTIAL
+    // through the replay-safe batch_id-keyed sink — the base table is
+    // never rescanned after v0. Slicing invariance is structural
+    // (state = base + Σ partials, and signed deltas are additive;
+    // StreamingCdfSpec pins two slicings to identical rows), so the
+    // BATCH oracle — the direct aggregate over the replayed head state
+    // — applies verbatim.
+    Q("streaming_cdf_consume",
+      (s, dir) => {
+        val work = graft.util.Fs.workDir("graft_stream_cdf", dir).toString
+        graft.streaming.StreamingCdf.consumeAvailableNow(
+            s, Staged.snapshotTable(s, dir), work, "o_orderkey")
           .orderBy("o_orderstatus")
       },
       s"""WITH $snapStateCtes

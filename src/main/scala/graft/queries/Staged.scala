@@ -76,6 +76,7 @@ object Staged {
     warehouseMemo.filterInPlace { case (k, _) => k._1 != s }
     fragMemo.filterInPlace { case (k, _) => k._1 != s }
     snapMemo.filterInPlace { case (k, _) => k._1 != s }
+    snapConcMemo.filterInPlace { case (k, _) => k._1 != s }
     snapEvoMemo.filterInPlace { case (k, _) => k._1 != s }
     snapVacMemo.filterInPlace { case (k, _) => k._1 != s }
     snapForgetMemo.filterInPlace { case (k, _) => k._1 != s }
@@ -365,6 +366,29 @@ object Staged {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), DataFrame]
 
+  /** All three tokenizer trainers' shared input: the corpus-wide word-
+    * frequency table capped to the 100k most frequent words (count
+    * desc, word asc — the deterministic GPT-2-style truncation), sorted
+    * by word so the driver-side loop sees a canonical order. The
+    * trainers' DuckDB oracles replay from the UNBOUNDED word set, so a
+    * fixture that actually hits the cap would diverge silently — fail
+    * loudly here instead (no test fixture is within 10× of the cap; a
+    * corpus that is needs the cap mirrored into the oracle CTEs). */
+  private def cappedWordFreq(s: SparkSession,
+                             dir: String): Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.ops.BpeOps
+      .wordFrequencies(Tables.documents(s, dir))
+      .orderBy(col("f").desc, col("w").asc)
+      .limit(100001)
+      .collect()
+    require(rows.length <= 100000,
+      "distinct-word count exceeds the 100k trainer cap: the Spark " +
+        "trainers would truncate while the DuckDB oracles train " +
+        "unbounded — mirror the cap into the oracle wf/wwf CTEs first")
+    rows.map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+  }
+
   /** The trained unigram-LM piece table — the OTHER tokenizer model
     * (ops.UnigramOps), trained once per session+dir over the same
     * capped word-frequency table as [[bpeMerges]] and shared by
@@ -374,14 +398,7 @@ object Staged {
                    dir: String): Seq[graft.ops.UnigramPiece] = {
     registerCleanup(s)
     uniMemo.getOrElseUpdate((s, dir), {
-      import org.apache.spark.sql.functions.col
-      val wf = graft.ops.BpeOps
-        .wordFrequencies(Tables.documents(s, dir))
-        .orderBy(col("f").desc, col("w").asc)
-        .limit(100000)
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1))).toSeq
-        .sortBy(_._1)
+      val wf = cappedWordFreq(s, dir)
       graft.ops.UnigramOps.train(wf,
         seedMulti = TextQueries.UniSeedMulti,
         emRounds = TextQueries.UniEmRounds,
@@ -413,17 +430,8 @@ object Staged {
   def bpeMerges(s: SparkSession, dir: String,
                 nMerges: Int): Seq[graft.ops.BpeMerge] = {
     registerCleanup(s)
-    bpeMemo.getOrElseUpdate((s, dir, nMerges), {
-      import org.apache.spark.sql.functions.col
-      val wf = graft.ops.BpeOps
-        .wordFrequencies(Tables.documents(s, dir))
-        .orderBy(col("f").desc, col("w").asc)
-        .limit(100000)
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1))).toSeq
-        .sortBy(_._1)
-      graft.ops.BpeOps.train(wf, nMerges)
-    })
+    bpeMemo.getOrElseUpdate((s, dir, nMerges),
+      graft.ops.BpeOps.train(cappedWordFreq(s, dir), nMerges))
   }
 
   private val wpMemo =
@@ -436,17 +444,8 @@ object Staged {
   def wpMerges(s: SparkSession, dir: String,
                nMerges: Int): Seq[graft.ops.WpMerge] = {
     registerCleanup(s)
-    wpMemo.getOrElseUpdate((s, dir, nMerges), {
-      import org.apache.spark.sql.functions.col
-      val wf = graft.ops.BpeOps
-        .wordFrequencies(Tables.documents(s, dir))
-        .orderBy(col("f").desc, col("w").asc)
-        .limit(100000)
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1))).toSeq
-        .sortBy(_._1)
-      graft.ops.WordPieceOps.train(wf, nMerges)
-    })
+    wpMemo.getOrElseUpdate((s, dir, nMerges),
+      graft.ops.WordPieceOps.train(cappedWordFreq(s, dir), nMerges))
   }
 
   private val spanMemo =
@@ -645,6 +644,7 @@ object Staged {
     annAppendMemo.clear(); layoutMemo.clear(); warehouseMemo.clear()
     fragMemo.clear()
     bpeMemo.clear(); wpMemo.clear(); pcaMemo.clear(); uniMemo.clear()
+    snapMemo.clear(); snapConcMemo.clear()
     snapEvoMemo.clear(); snapVacMemo.clear(); snapForgetMemo.clear()
     uniTokMemo.values.foreach(safeUnpersist); uniTokMemo.clear()
     bpeTokMemo.values.foreach(safeUnpersist); bpeTokMemo.clear()
@@ -699,6 +699,62 @@ object Staged {
           .select(col("o_orderkey"), lit("V4").as("o_orderstatus"),
             (col("o_totalprice") + 200.0).as("o_totalprice")),
         "o_orderkey")
+      path
+    })
+  }
+
+  private val snapConcMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Optimistic-concurrency snapshot table (SnapshotOps
+    * .commitUpsertOptimistic): three writers ALL read version 0, then
+    * commit against a log that moves under two of them —
+    *   writer A (keys %7==0 → 'A1', +10.0)  reads v0, lands v1;
+    *   writer B (keys %7==3 → 'B1', +20.0)  reads v0, revalidates
+    *     against the unseen v1 (disjoint keys — blind upserts commute),
+    *     lands v2;
+    *   writer C (keys %14==0 → 'C1', +30.0) reads v0, overlaps writer
+    *     A's key set → REJECTED with ConcurrentCommitException,
+    *     contributing nothing.
+    * The builder asserts the exact version numbers and the rejection,
+    * so the audit query only ever sees the protocol's specified
+    * outcome; the final state is a closed-form function of `orders`. */
+  def snapshotConcurrentTable(s: SparkSession, dir: String): String = {
+    registerCleanup(s)
+    snapConcMemo.getOrElseUpdate((s, dir), {
+      import org.apache.spark.sql.functions.{col, lit}
+      import graft.ops.SnapshotOps
+      val path = graft.util.Fs.workDir("graft_snap_conc", dir).toString
+      graft.util.Fs.deleteRec(path)
+      val v0 = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      SnapshotOps.initTable(v0, path, "o_orderkey")
+      val vA = SnapshotOps.commitUpsertOptimistic(s, path,
+        v0.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), lit("A1").as("o_orderstatus"),
+            (col("o_totalprice") + 10.0).as("o_totalprice")),
+        "o_orderkey", readVersion = 0L)
+      require(vA == 1L, s"writer A expected to land v1, got v$vA")
+      val vB = SnapshotOps.commitUpsertOptimistic(s, path,
+        v0.filter(col("o_orderkey") % 7 === 3)
+          .select(col("o_orderkey"), lit("B1").as("o_orderstatus"),
+            (col("o_totalprice") + 20.0).as("o_totalprice")),
+        "o_orderkey", readVersion = 0L)
+      require(vB == 2L, s"writer B expected to land v2, got v$vB")
+      val rejected =
+        try {
+          SnapshotOps.commitUpsertOptimistic(s, path,
+            v0.filter(col("o_orderkey") % 14 === 0)
+              .select(col("o_orderkey"), lit("C1").as("o_orderstatus"),
+                (col("o_totalprice") + 30.0).as("o_totalprice")),
+            "o_orderkey", readVersion = 0L)
+          false
+        } catch {
+          case _: SnapshotOps.ConcurrentCommitException => true
+        }
+      require(rejected,
+        "writer C's conflicting commit was NOT rejected — optimistic " +
+          "validation failed to see writer A's overlapping keys")
       path
     })
   }

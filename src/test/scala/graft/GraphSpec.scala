@@ -78,14 +78,51 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
       "unpersist on the returned frame must free the cache entry")
   }
 
-  test("pagerank refuses node counts past the nano-grid envelope") {
-    // n > 3e8 would floor the teleport term to 0 nano-units — the
-    // require turns that silent envelope breach into a named error.
-    // (Building 3e8 real nodes is not a unit test; assert the message
-    // contract on the boundary formula instead.)
-    val teleportAt = (n: Long) => (300000000L + n) / (2L * n)
-    assert(teleportAt(300000000L) >= 1L, "3e8 nodes is inside the envelope")
-    assert(teleportAt(300000001L) == 0L, "3e8+1 nodes floors teleport to 0")
+  test("pagerank grid unit derives from n: nanos, picos, femtos; stop at 3e14") {
+    // the synthetic large-n law (building 3e8+ real nodes is not a unit
+    // test): the teleport term 0.15/n must land >= 1 unit half-up at
+    // every rung, and each handover happens exactly where the coarser
+    // grid would floor it to 0
+    def teleport(n: Long, u: Long) = (3L * u / 10L + n) / (2L * n)
+    assert(GraphOps.gridUnit(1L) == 1000000000L)
+    assert(GraphOps.gridUnit(300000000L) == 1000000000L)
+    assert(teleport(300000000L, 1000000000L) >= 1L)
+    assert(teleport(300000001L, 1000000000L) == 0L,
+      "3e8+1 nodes floors the nano teleport — nanos must hand over")
+    assert(GraphOps.gridUnit(300000001L) == 1000000000000L)
+    assert(teleport(300000001L, 1000000000000L) >= 1L)
+    assert(GraphOps.gridUnit(300000000000L) == 1000000000000L)
+    assert(teleport(300000000001L, 1000000000000L) == 0L,
+      "3e11+1 nodes floors the pico teleport — picos must hand over")
+    assert(GraphOps.gridUnit(300000000001L) == 1000000000000000L)
+    assert(GraphOps.gridUnit(300000000000000L) == 1000000000000000L)
+    assert(teleport(300000000000000L, 1000000000000000L) >= 1L)
+    // past 3e14 even femtos floor to 0 (and a finer grid would
+    // overflow 170·s) — named refusal, not silent degradation
+    assert(teleport(300000000000001L, 1000000000000000L) == 0L)
+    intercept[IllegalArgumentException](
+      GraphOps.gridUnit(300000000000001L))
+    intercept[IllegalArgumentException](GraphOps.gridUnit(0L))
+  }
+
+  test("pagerank on a forced finer grid agrees with the natural grid") {
+    // the rung-handover consistency law: the SAME small graph iterated
+    // on the pico grid (what a >3e8-node graph would use) lands within
+    // one nano of the nano-grid ranks — the grid changes resolution,
+    // never the fixed point being approximated
+    val edges = GraphOps.bipartiteEdges(events, "trader_id", "symbol")
+    val nano = GraphOps.pagerank(edges, 10)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val (picoDf, _) = GraphOps.pagerankWithIters(edges, 10,
+      Some(1000000000000L))
+    val pico = picoDf
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(pico.keySet == nano.keySet)
+    nano.foreach { case (n, v) =>
+      assert(math.abs(pico(n) - v) <= 1e-8,
+        s"$n: pico ${pico(n)} vs nano $v")
+    }
+    assert(math.abs(pico.values.sum - 1.0) < 1e-9)
   }
 
   test("co-occurrence edges exclude self-pairs and count shared actors") {

@@ -212,8 +212,8 @@ class LivePlanSpec extends AnyFunSuite with SparkTestBase {
       s"expected an equality-keyed candidate join:\n$bPlan")
 
     // the video sequence screen: candidates must stay equality-keyed on
-    // (frame, band, value) — the frame dimension must not push the join
-    // into a non-equi form
+    // the cross-frame (n_frames, group, hash) key — the frame dimension
+    // must not push the join into a non-equi form
     val vh = ops.MultimodalOps.perFrameDHash(
       ops.MultimodalOps.encodeNearDupGifMedia(docs)).toDF()
     val vPairs = ops.DedupOps.hammingSeqPairs(

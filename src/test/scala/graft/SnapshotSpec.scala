@@ -228,4 +228,71 @@ class SnapshotSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(badV.getMessage.contains("not in the log"), badV.getMessage)
   }
+
+  test("optimistic commit: disjoint stale writers retry and both land") {
+    val path = freshTable("occ_disjoint")
+    SnapshotOps.initTable(state((1L, "a", 1.0), (2L, "b", 2.0)), path, "k")
+    // two writers both read v0; A lands first, B's commit validates
+    // against the unseen v1 (key-disjoint → blind upserts commute) and
+    // retries onto v2 instead of overwriting or failing
+    val vA = SnapshotOps.commitUpsertOptimistic(spark, path,
+      state((1L, "A", 10.0)), "k", readVersion = 0L)
+    assert(vA == 1L)
+    val vB = SnapshotOps.commitUpsertOptimistic(spark, path,
+      state((2L, "B", 20.0)), "k", readVersion = 0L)
+    assert(vB == 2L)
+    val fin = SnapshotOps.readAsOf(spark, path, 2L, "k")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    assert(fin == Map(1L -> ("A", 10.0), 2L -> ("B", 20.0)), fin)
+  }
+
+  test("optimistic commit: overlapping stale writer is rejected loudly") {
+    val path = freshTable("occ_conflict")
+    SnapshotOps.initTable(state((1L, "a", 1.0), (2L, "b", 2.0)), path, "k")
+    val vA = SnapshotOps.commitUpsertOptimistic(spark, path,
+      state((1L, "A", 10.0)), "k", readVersion = 0L)
+    assert(vA == 1L)
+    // writer C read v0 and writes key 1 — writer A's unseen commit
+    // touched it: a true write-write conflict, surfaced by name
+    val ex = intercept[SnapshotOps.ConcurrentCommitException] {
+      SnapshotOps.commitUpsertOptimistic(spark, path,
+        state((1L, "C", 30.0), (2L, "C", 30.0)), "k", readVersion = 0L)
+    }
+    assert(ex.getMessage.contains("write-write conflict"), ex.getMessage)
+    // the rejected commit left nothing behind: log head is still v1
+    // and the state is writer A's
+    assert(SnapshotOps.versions(path) == Seq(0L, 1L))
+    val fin = SnapshotOps.readAsOf(spark, path, 1L, "k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fin == Map(1L -> "A", 2L -> "b"), fin)
+    // a non-committed readVersion is refused up front
+    val badRv = intercept[IllegalArgumentException] {
+      SnapshotOps.commitUpsertOptimistic(spark, path,
+        state((2L, "D", 1.0)), "k", readVersion = 9L)
+    }
+    assert(badRv.getMessage.contains("not a committed version"),
+      badRv.getMessage)
+  }
+
+  test("optimistic commit: racing threads all land on distinct versions") {
+    val path = freshTable("occ_race")
+    SnapshotOps.initTable(state((1L, "a", 1.0), (2L, "b", 2.0),
+      (3L, "c", 3.0), (4L, "d", 4.0)), path, "k")
+    // four genuinely concurrent key-disjoint writers from the same read
+    // version: the rename arbiter serializes them; every writer must
+    // land (with retries), each on its own version
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val landed = Await.result(
+      Future.sequence((1 to 4).map { i =>
+        Future(SnapshotOps.commitUpsertOptimistic(spark, path,
+          state((i.toLong, s"T$i", i * 100.0)), "k", readVersion = 0L))
+      }), 120.seconds)
+    assert(landed.sorted == Seq(1L, 2L, 3L, 4L), landed)
+    val fin = SnapshotOps.readAsOf(spark, path, 4L, "k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fin == Map(1L -> "T1", 2L -> "T2", 3L -> "T3", 4L -> "T4"), fin)
+  }
 }
