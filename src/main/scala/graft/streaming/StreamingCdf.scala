@@ -38,12 +38,22 @@ object StreamingCdf {
     val vs = SnapshotOps.versions(path)
     graft.util.Fs.deleteRec(workDir)
     val spool = s"$workDir/cdf_spool"
-    // spool one append per version: the file-ized feed a commit-log
-    // tailer delivers (a base/checkpoint version emits no changes)
+    // spool one file per version: the file-ized feed a commit-log
+    // tailer delivers (a base/checkpoint version emits no changes).
+    // The WHOLE feed is one window pass — tableChanges(min, max) lags
+    // per key across every version, so its per-v slices ARE the
+    // per-commit feeds (pre/post images telescope exactly); computing
+    // it once and filter-writing per version replaces one window pass
+    // PER COMMIT with one total (measured 5.6 s → ~2 s warm at sf0.1).
+    // coalesce(1): one file per version, so maxFilesPerTrigger=1
+    // slices at commit granularity instead of ~32 shuffle files each.
+    val feed = SnapshotOps
+      .tableChanges(spark, path, vs.min, vs.max, key).cache()
     vs.filter(_ > vs.min).foreach { v =>
-      SnapshotOps.tableChanges(spark, path, v - 1, v, key)
-        .write.mode("append").parquet(spool)
+      feed.filter(col("v") === v)
+        .coalesce(1).write.mode("append").parquet(spool)
     }
+    feed.unpersist()
     def dec(c: Column) = c.cast("decimal(30,6)")
     def partial(b: DataFrame): DataFrame =
       b.select(col(groupCol),
