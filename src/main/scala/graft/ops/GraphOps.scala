@@ -157,6 +157,17 @@ object GraphOps {
     // BIGINT for w < 4.6e18/unit (edge weights are per-pair
     // interaction counts).
     val unit = unitOverride.getOrElse(gridUnit(nLong))
+    // the overflow bound, ENFORCED not just documented: the step term
+    // 2·rank_units·w must fit BIGINT with rank_units up to ~unit (a hub
+    // can briefly hold most of the mass), so cap w at Long.Max/(4·unit)
+    // — 2× headroom over the worst case. On the nano grid that is
+    // w ≤ 2.3e9; femtos, w ≤ 2.3e3. Silent wrap-around here would
+    // corrupt ranks without failing the oracle comparison shape.
+    val maxW = e.agg(max(col("w").cast("long"))).first().getLong(0)
+    require(maxW <= Long.MaxValue / (4L * unit),
+      s"max edge weight $maxW overflows the ${unit}-unit grid's step " +
+        s"arithmetic (bound ${Long.MaxValue / (4L * unit)}): rescale " +
+        "edge weights or shrink the node count to coarsen the grid")
     val initUnits = (2L * unit + nLong) / (2L * nLong)
     val teleportUnits = (3L * unit / 10L + nLong) / (2L * nLong)
     var r = nodes.select(col("node"),

@@ -1098,6 +1098,48 @@ object SimilarityOps {
         col("exemplar"), col("max_sim"))
   }
 
+  /** Benchmark DECONTAMINATION in embedding space — the semantic
+    * sibling of the n-gram `decontaminate_ngram` pass (and the
+    * cross-set form of [[semDedupWithinCellsNorm]]): a training vector
+    * is contaminated iff its cosine to ANY benchmark vector reaches
+    * `eps` — paraphrased eval items that n-gram overlap misses. Both
+    * sides assign to their `nprobe` nearest IVF cells and candidates
+    * are the cell-equality join of TRAIN × BENCH (never all-pairs;
+    * work is Σ_cell |train∩cell|·|bench∩cell|, and the benchmark side
+    * is tiny by construction). Returns EVERY train vector with its
+    * verdict + evidence (min contaminating benchmark id, strongest
+    * similarity — the min-id rule is the repo's deterministic exemplar
+    * convention), so the downstream cut is one semi-join. */
+  def decontaminateBlockedNorm(train: DataFrame, bench: DataFrame,
+                               centroids: DataFrame, eps: Double,
+                               nprobe: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    val ta = train.select(col("vec_id"), col("n_emb"),
+      explode(nearestCellsCol(centroids, nprobe, col("n_emb"))).as("cell"))
+    // the generator must reference the INPUT column, not the b_emb
+    // alias from the same select — a lateral alias under explode trips
+    // Spark 4's analyzer (INTERNAL_ERROR LateralColumnAliasReference)
+    val ba = bench.select(col("vec_id").as("bench_id"),
+      col("n_emb").as("b_emb"),
+      explode(nearestCellsCol(centroids, nprobe, col("n_emb"))).as("cell"))
+    val hits = ta.join(ba, Seq("cell"))
+      .select(col("vec_id"), col("bench_id"),
+        dotCosine(col("n_emb"), col("b_emb")).as("cosine_sim"))
+      .filter(col("cosine_sim") >= eps)
+      // a pair can meet in both probed cells — collapse before the
+      // verdict join so evidence rows, not cell collisions, shuffle
+      .groupBy(col("vec_id"))
+      // distinct output name: re-aliasing the agg back to bench_id in
+      // the verdict select trips Spark 4's lateral-column-alias
+      // resolver (INTERNAL_ERROR: LateralColumnAliasReference)
+      .agg(min(col("bench_id")).as("hit_bench_id"),
+        max(col("cosine_sim")).as("max_sim"))
+    train.select(col("vec_id")).join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        col("hit_bench_id").isNotNull.as("contaminated"),
+        col("hit_bench_id").as("bench_id"), col("max_sim"))
+  }
+
   /** Hard-negative mining for contrastive/metric training: for each
     * query vector, the top-k most-similar corpus vectors carrying a
     * DIFFERENT class label — the negatives that most confuse an

@@ -140,14 +140,38 @@ object SnapshotOps {
   def commitUpsertOptimistic(spark: SparkSession, path: String,
                              updates: DataFrame, key: String,
                              readVersion: Long,
+                             maxRetries: Int = 10): Long =
+    commitOptimistic(spark, path,
+      updates.withColumn(DeletedCol, lit(false)), key, readVersion,
+      "upsert", maxRetries)
+
+  /** [[commitDelete]] under the same optimistic protocol: blind deletes
+    * commute with unseen commits exactly when key-disjoint (deleting a
+    * key another writer just rewrote is a true write-write conflict —
+    * last-writer-wins would silently erase their commit), so the
+    * validation, rename arbiter, and retry loop apply verbatim. */
+  def commitDeleteOptimistic(spark: SparkSession, path: String,
+                             keys: DataFrame, key: String,
+                             readVersion: Long,
                              maxRetries: Int = 10): Long = {
+    val payload = tableSchema(spark, path).filter(f =>
+      f.name != key && f.name != DeletedCol && f.name != "v")
+    val nulls = payload.map(f => lit(null).cast(f.dataType).as(f.name))
+    commitOptimistic(spark, path,
+      keys.select((col(key) +: nulls :+ lit(true).as(DeletedCol)): _*),
+      key, readVersion, "delete", maxRetries)
+  }
+
+  private def commitOptimistic(spark: SparkSession, path: String,
+                               delta: DataFrame, key: String,
+                               readVersion: Long, op: String,
+                               maxRetries: Int): Long = {
     val vs0 = versions(path)
     require(vs0.nonEmpty,
       s"snapshot table at $path has no log; initTable first")
     require(vs0.contains(readVersion),
       s"readVersion $readVersion is not a committed version " +
         s"(have ${vs0.mkString(",")})")
-    val delta = updates.withColumn(DeletedCol, lit(false))
     // dup-key check mirrors writeDelta's invariant — once, up front
     require(delta.groupBy(col(key)).count().filter(col("count") > 1).isEmpty,
       "commit carries duplicate keys; dedupe before committing")
@@ -194,7 +218,7 @@ object SnapshotOps {
         if (won) {
           // (3) commit point — CREATE_NEW must succeed after a won
           // rename (no other writer can hold this version)
-          writeManifest(path, v, "upsert", base = false)
+          writeManifest(path, v, op, base = false)
           return v
         }
         // lost the race: wait for the winner's manifest, then retry

@@ -1078,6 +1078,44 @@ object SimilarityQueries {
          |FROM assigned1 asg LEFT JOIN dropped d ON asg.vec_id = d.vec_id
          |ORDER BY asg.vec_id""".stripMargin.replace("\n", " ")),
 
+    // Benchmark DECONTAMINATION in embedding space — the semantic
+    // sibling of decontaminate_ngram (paraphrased eval items share no
+    // 8-gram but land next to the benchmark in embedding space): the
+    // held-out benchmark set is vec_id % 20 == 0 (the deterministic 5%
+    // an eval suite would pin), and every TRAINING vector reports
+    // whether any benchmark vector reaches cosine 0.4, with min-id +
+    // strongest-sim evidence. Candidates are the IVF-cell equality join
+    // of train × bench (SimilarityOps.decontaminateBlockedNorm — never
+    // all-pairs; the bench side is tiny, so work is ~|train ∩ cell| per
+    // probed bench cell). Oracle replays the cell assignment and the
+    // predicate verbatim on the pinned 16-cell/nprobe-2 geometry.
+    Q("decontaminate_embedding",
+      (s, dir) => {
+        val corpus = Staged.normCorpus(s, dir)
+        SimilarityOps.decontaminateBlockedNorm(
+            corpus.filter(col("vec_id") % 20 =!= 0),
+            corpus.filter(col("vec_id") % 20 === 0),
+            Staged.ivfCentroids(s, dir, 16), 0.4)
+          .orderBy("vec_id")
+      },
+      s"""$blockedPairsWith,
+         |th AS (
+         |  SELECT t.vec_id, b.vec_id AS bench_id,
+         |  ${dotCosine("ct.n_emb", "cb.n_emb")} AS cosine_sim
+         |  FROM assigned t JOIN assigned b ON t.cell = b.cell
+         |  AND t.vec_id % 20 <> 0 AND b.vec_id % 20 = 0
+         |  JOIN corpus ct ON t.vec_id = ct.vec_id
+         |  JOIN corpus cb ON b.vec_id = cb.vec_id),
+         |dhits AS (
+         |  SELECT vec_id, min(bench_id) AS bench_id,
+         |  max(cosine_sim) AS max_sim
+         |  FROM th WHERE cosine_sim >= 0.4 GROUP BY vec_id)
+         |SELECT c.vec_id, h.bench_id IS NOT NULL AS contaminated,
+         |h.bench_id, h.max_sim
+         |FROM corpus c LEFT JOIN dhits h ON c.vec_id = h.vec_id
+         |WHERE c.vec_id % 20 <> 0
+         |ORDER BY c.vec_id""".stripMargin.replace("\n", " ")),
+
     // Two-level blocked near-dup — the headline's successor past the
     // flat quantizer's ~10^8-vector driver-matrix cap: identical fused
     // candidates-and-verify movement, but cell ids come from the

@@ -105,6 +105,20 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](GraphOps.gridUnit(0L))
   }
 
+  test("pagerank rejects edge weights that would overflow the grid step") {
+    // the femto grid caps w at Long.Max/(4e15) ≈ 2305; a weight of 1e6
+    // would silently wrap 2·rank_units·w — the guard names it instead
+    val heavy = Seq(("x", "y", 1000000L), ("y", "x", 1000000L))
+      .toDF("src", "dst", "w")
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.pagerankWithIters(heavy, 2, Some(1000000000000000L))
+    }
+    assert(ex.getMessage.contains("overflows"), ex.getMessage)
+    // the same weights are fine on the natural (nano) grid
+    val (ok, _) = GraphOps.pagerankWithIters(heavy, 2, None)
+    assert(ok.count() == 2)
+  }
+
   test("pagerank on a forced finer grid agrees with the natural grid") {
     // the rung-handover consistency law: the SAME small graph iterated
     // on the pico grid (what a >3e8-node graph would use) lands within

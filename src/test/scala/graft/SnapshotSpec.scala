@@ -275,6 +275,31 @@ class SnapshotSpec extends AnyFunSuite with SparkTestBase {
       badRv.getMessage)
   }
 
+  test("optimistic delete: disjoint commutes, overlap with an unseen write is rejected") {
+    val path = freshTable("occ_delete")
+    SnapshotOps.initTable(state((1L, "a", 1.0), (2L, "b", 2.0),
+      (3L, "c", 3.0)), path, "k")
+    val vA = SnapshotOps.commitUpsertOptimistic(spark, path,
+      state((1L, "A", 10.0)), "k", readVersion = 0L)
+    assert(vA == 1L)
+    // stale deleter of key 3 — disjoint from A's write, lands at v2
+    val vD = SnapshotOps.commitDeleteOptimistic(spark, path,
+      Seq(3L).toDF("k"), "k", readVersion = 0L)
+    assert(vD == 2L)
+    val fin = SnapshotOps.readAsOf(spark, path, 2L, "k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fin == Map(1L -> "A", 2L -> "b"), fin)
+    // stale deleter of key 1 — writer A rewrote it after our read:
+    // deleting it blind would silently erase A's commit, so it's a
+    // conflict, not a retry
+    val ex = intercept[SnapshotOps.ConcurrentCommitException] {
+      SnapshotOps.commitDeleteOptimistic(spark, path,
+        Seq(1L).toDF("k"), "k", readVersion = 0L)
+    }
+    assert(ex.getMessage.contains("write-write conflict"), ex.getMessage)
+    assert(SnapshotOps.versions(path) == Seq(0L, 1L, 2L))
+  }
+
   test("optimistic commit: racing threads all land on distinct versions") {
     val path = freshTable("occ_race")
     SnapshotOps.initTable(state((1L, "a", 1.0), (2L, "b", 2.0),
