@@ -533,11 +533,32 @@ object MultimodalOps {
     else b.toInt
   }
 
+  /** The RADIUS-2 sibling of [[vdPixel]] — the video screen's tighter-
+    * contract lever (the sequence analogue of [[afMagRawR1]]): non-
+    * leader members perturb exactly ONE sampled pixel — (4, 3) of the
+    * LAST frame — so at most the two adjacent dHash comparisons flip
+    * and every member sits at sequence distance ≤2 from its leader
+    * (members of one group render identically). A radius-2 contract
+    * lets [[graft.ops.DedupOps.hammingSeqPairs]] run THREE groups of
+    * ~56·nf/3 bits instead of nine — group keys carry 4.7× the bits,
+    * so the radius-8 screen's ×100 pigeonhole-floor candidate mass
+    * (139M — BASELINE round 12) collapses. */
+  private[graft] def vdPixelR2(id: Long, f: Int, x: Int, y: Int): Int = {
+    val g = id / VdGroupSize
+    val b = (x * (31 + g % 7) + y * (17 + g % 11) +
+      x * y * (7 + g % 5) + x * f * (23 + g % 13) + g * 101) % 256
+    if (id % VdGroupSize != 0 && f == vdFrames(id) - 1 &&
+        x / 2 == 4 && y / 2 == 3)
+      ((b + 128) % 256).toInt
+    else b.toInt
+  }
+
   /** Documents → near-dup animated-GIF media table: one REAL multi-frame
     * GIF per doc_id rendered from [[vdPixel]] and compressed inside
     * executors (the [[encodeGifMedia]] distributed-encode discipline on
     * the near-dup law). */
-  def encodeNearDupGifMedia(docs: DataFrame): DataFrame = {
+  def encodeNearDupGifMedia(docs: DataFrame,
+                            r2: Boolean = false): DataFrame = {
     val spark: SparkSession = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
@@ -557,7 +578,11 @@ object MultimodalOps {
           var y = 0
           while (y < PhH) {
             var x = 0
-            while (x < PhW) { raster.setSample(x, y, 0, vdPixel(id, f, x, y)); x += 1 }
+            while (x < PhW) {
+              val p = if (r2) vdPixelR2(id, f, x, y)
+                      else vdPixel(id, f, x, y)
+              raster.setSample(x, y, 0, p); x += 1
+            }
             y += 1
           }
           writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)

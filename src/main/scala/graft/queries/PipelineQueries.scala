@@ -63,6 +63,35 @@ object PipelineQueries {
   //   fixture and never finished; the all-pairs SCAN is the oracle's
   //   prerogative, unbounded aggregation state is not
 
+  /** [[videoDhashOracleCte]] on the RADIUS-2 planted law
+    * (MultimodalOps.vdPixelR2): members perturb only sampled pixel
+    * (4, 3) of the LAST frame, flipping at most the two adjacent dHash
+    * comparisons — every planted pair is within sequence distance 2.
+    * Yields `vdh2` / `vseq2`. */
+  private val videoDhashR2OracleCte: String =
+    """WITH d AS (SELECT doc_id FROM documents),
+      |frf AS (SELECT doc_id, 3 + (doc_id//5)%3 AS nf,
+      |  CAST(unnest(range(0, 3 + (doc_id//5)%3)) AS INT) AS f FROM d),
+      |vgrid AS (SELECT doc_id, nf, f, CAST(y.range AS INT) AS y,
+      |  CAST(x.range AS INT) AS x FROM frf, range(7) y, range(9) x),
+      |vpx AS (SELECT doc_id, nf, f, y, x,
+      |  CASE WHEN doc_id % 5 <> 0 AND x = 4 AND y = 3 AND f = nf - 1
+      |  THEN ((2*x)*(31 + (doc_id//5)%7) + (2*y)*(17 + (doc_id//5)%11)
+      |    + (4*x*y)*(7 + (doc_id//5)%5) + (2*x)*f*(23 + (doc_id//5)%13)
+      |    + (doc_id//5)*101 + 128) % 256
+      |  ELSE ((2*x)*(31 + (doc_id//5)%7) + (2*y)*(17 + (doc_id//5)%11)
+      |    + (4*x*y)*(7 + (doc_id//5)%5) + (2*x)*f*(23 + (doc_id//5)%13)
+      |    + (doc_id//5)*101) % 256
+      |  END AS p FROM vgrid),
+      |vdh2 AS (SELECT a.doc_id, a.nf, a.f,
+      |  bit_or(CASE WHEN b.p > a.p THEN (1::BIGINT << (a.y*8 + a.x))
+      |    ELSE 0::BIGINT END) AS dhash
+      |  FROM vpx a JOIN vpx b ON a.doc_id = b.doc_id AND a.f = b.f
+      |  AND a.y = b.y AND b.x = a.x + 1 WHERE a.x < 8
+      |  GROUP BY a.doc_id, a.nf, a.f),
+      |vseq2 AS (SELECT doc_id, nf, list(dhash ORDER BY f) AS sq
+      |  FROM vdh2 GROUP BY doc_id, nf)""".stripMargin.replace("\n", " ")
+
   private val phashOracleCte: String =
     """WITH d AS (SELECT doc_id FROM documents),
       |grid AS (SELECT doc_id, CAST(y.range AS INT) AS y,
@@ -330,6 +359,40 @@ object PipelineQueries {
          |  FROM vreach GROUP BY a)
          |SELECT media_id, cluster_id FROM vclusters
          |ORDER BY media_id""".stripMargin.replace("\n", " ")),
+
+    // Video near-dup pairs under the RADIUS-2 contract — the video
+    // screen's own tighter-radius lever (the sequence analogue of
+    // audio_dup_pairs_r1, answering the radius-8 screen's ×100
+    // pigeonhole-floor adjudication with a demonstrated knob): when the
+    // dedup contract is "one re-encoded pixel block in the final frame"
+    // (the R2 planted law), the same hammingSeqPairs machinery runs
+    // THREE groups instead of nine — each group key carries ~56·nf/3 ≈
+    // 56-112 bits of cross-frame content, so structure-class collisions
+    // all but vanish and the candidate set approaches the true-pair
+    // floor. The radius-8 form stays for the loose contract
+    // (video_dup_pairs above).
+    Q("video_dup_pairs_r2",
+      (s, dir) => {
+        val h = Staged.retrieval(s, dir, "video_phash_r2") {
+          MultimodalOps.perFrameDHash(
+            MultimodalOps.encodeNearDupGifMedia(Tables.documents(s, dir),
+              r2 = true))
+            .toDF()
+        }
+        graft.ops.DedupOps.hammingSeqPairs(
+            h.select(col("media_id"), col("n_frames"), col("frame_idx"),
+              col("dhash").as("sig")),
+            nBits = 56, subBits = 1, maxTotalHamming = 2, minFrames = 3)
+          .orderBy("media_a", "media_b")
+      },
+      s"""$videoDhashR2OracleCte
+         |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+         |CAST(list_sum(list_transform(range(1, a.nf + 1),
+         |  i -> bit_count(xor(a.sq[i], b.sq[i])))) AS INT) AS hamming
+         |FROM vseq2 a JOIN vseq2 b ON a.nf = b.nf AND a.doc_id < b.doc_id
+         |WHERE list_sum(list_transform(range(1, a.nf + 1),
+         |  i -> bit_count(xor(a.sq[i], b.sq[i])))) <= 2
+         |ORDER BY media_a, media_b""".stripMargin.replace("\n", " ")),
 
     // 56-bit audio fingerprints over a REAL container round-trip — the
     // audio leg of the dedup modality matrix (text/embedding/image/
