@@ -178,6 +178,36 @@ object SketchOps {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Fused multi-key CMS counters: ONE scan of `df` builds the d×w
+    * counter table for EVERY listed key column at once — each input row
+    * explodes to |keys|·d (tag, row_i, bucket) cells, and one
+    * (row_i, bucket) hash-agg emits a per-tag count column
+    * (`c_<tag>`). The join-size estimator over a star schema needs
+    * counters for several keys of the SAME fact table (lineitem:
+    * orderkey/partkey/suppkey); building them per-pair scans the fact
+    * 3× — this pays one scan and one shuffle per TABLE instead of one
+    * per (pair, side). Output stays (d·w)-bounded: a cell hit by any
+    * tag carries all tags' counts (zeros where a tag missed it, which
+    * contribute nothing to an inner product). Counters are identical
+    * bit-for-bit to [[cmsKeyCounters]]' — same h31/affine family. */
+  def cmsMultiKeyCounters(df: DataFrame, keys: Seq[(String, Column)],
+                          d: Int, w: Int): DataFrame = {
+    val cells = array((for {
+      (tag, key) <- keys
+      h = Hashing.h31(key.cast("string"))
+      ((a, b), i) <- Hashing.affineCoeffs(d).zipWithIndex
+    } yield struct(lit(tag).as("tag"), lit(i).as("row_i"),
+      (Hashing.affine(h, a, b) % w).as("bucket"))): _*)
+    val perTag = keys.map { case (tag, _) =>
+      sum(when(col("tag") === tag, 1L).otherwise(0L)).as(s"c_$tag")
+    }
+    df.select(explode(cells).as("x"))
+      .select(col("x.tag").as("tag"), col("x.row_i").as("row_i"),
+        col("x.bucket").as("bucket"))
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(perTag.head, perTag.tail: _*)
+  }
+
   /** Sketch-based equi-join cardinality estimate (the AMS/CMS inner
     * product): |A ⋈ B| = Σ_k f_A(k)·f_B(k) estimated as the MIN over
     * the d hash rows of Σ_bucket cA·cB — each row's inner product

@@ -181,20 +181,29 @@ object SnapshotOps {
       var attempt = 0
       while (attempt <= maxRetries) {
         val head = versions(path).max
-        // (1) unseen commits must be key-disjoint — one pruned scan
+        // (1) unseen commits must be key-disjoint — one pruned scan.
+        // Base commits (init/checkpoint) are EXCLUDED: a checkpoint's
+        // delta carries every live key (it is a full rewrite that
+        // changes no data), so scanning it would spuriously reject any
+        // writer racing a checkpoint() even though checkpoints commute
+        // with every upsert/delete — mirror versionScan/tableChanges
+        // and validate against data commits only.
         if (head > validated) {
-          val unseen = (validated + 1) to head
-          val seenKeys = spark.read
-            .option("basePath", s"$path/delta")
-            .parquet(unseen.map(v => s"$path/delta/v=$v"): _*)
-            .select(col(key))
-          val clash = updKeys.join(seenKeys, Seq(key)).limit(1)
-            .collect().headOption
-          clash.foreach { r =>
-            throw new ConcurrentCommitException(
-              s"write-write conflict at $path: key ${r.get(0)} was " +
-                s"committed in (${validated}, $head] after this writer " +
-                s"read version $readVersion")
+          val unseen = ((validated + 1) to head)
+            .filter(v => !readManifest(path, v)._2)
+          if (unseen.nonEmpty) {
+            val seenKeys = spark.read
+              .option("basePath", s"$path/delta")
+              .parquet(unseen.map(v => s"$path/delta/v=$v"): _*)
+              .select(col(key))
+            val clash = updKeys.join(seenKeys, Seq(key)).limit(1)
+              .collect().headOption
+            clash.foreach { r =>
+              throw new ConcurrentCommitException(
+                s"write-write conflict at $path: key ${r.get(0)} was " +
+                  s"committed in (${validated}, $head] after this writer " +
+                  s"read version $readVersion")
+            }
           }
           validated = head
         }

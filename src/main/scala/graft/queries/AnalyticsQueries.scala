@@ -722,34 +722,71 @@ object AnalyticsQueries {
     // + sketch splits (the CMS heavy-hitter family next door).
     Q("join_size_est",
       (s, dir) => {
-        def pair(name: String, a: org.apache.spark.sql.DataFrame, ak: String,
-                 b: org.apache.spark.sql.DataFrame, bk: String) =
-          graft.ops.SketchOps
-            .cmsJoinSizeEst(a, col(ak), b, col(bk), JsD, JsW)
-            // the exact join size is the EVAL BASELINE (dropped at
-            // production scale) — staged per (session, dir) so bench
-            // reps time the sketch, which is the operator under test
-            .crossJoin(Staged.retrieval(s, dir, s"join_exact_$name") {
-              a.select(col(ak))
-                .join(b.select(col(bk)), col(ak) === col(bk))
-                .agg(count(lit(1)).as("exact_rows"))
-            })
-            .select(lit(name).as("join_pair"), col("exact_rows"),
-              col("est_rows"),
-              (col("est_rows") - col("exact_rows")).as("overcount"),
-              round(((col("est_rows") - col("exact_rows")) * lit(1000000.0))
-                / nullif(col("exact_rows").cast("double"), lit(0d)), 0)
-                .cast("long").as("rel_error_ppm"))
-        Seq(
-          pair("lineitem_orders", Tables.lineitem(s, dir), "l_orderkey",
-            Tables.orders(s, dir), "o_orderkey"),
-          pair("lineitem_part", Tables.lineitem(s, dir), "l_partkey",
-            Tables.part(s, dir), "p_partkey"),
-          pair("lineitem_supplier", Tables.lineitem(s, dir), "l_suppkey",
-            Tables.supplier(s, dir), "s_suppkey"),
-          pair("orders_customer", Tables.orders(s, dir), "o_custkey",
-            Tables.customer(s, dir), "c_custkey"))
-          .reduce(_ unionByName _)
+        // FUSED sketch build (round-12 verdict item 4 — this was the
+        // slowest non-media relational row three rounds running at 8
+        // counter scans): one scan + one (d·w)-bounded shuffle per
+        // TABLE builds the counters for every key that table
+        // contributes to any pair (lineitem 3 keys, orders 2), then the
+        // five bounded counter tables wide-outer-join on (row_i,
+        // bucket) — each appears ONCE in the plan — and all four inner
+        // products fall out of one groupBy(row_i). 5 scans/5 shuffles
+        // where the per-pair form paid 8/8, same bit-exact estimates.
+        import graft.ops.SketchOps.cmsMultiKeyCounters
+        val pairs = Seq(
+          ("lineitem_orders", "l_orderkey", "o_orderkey"),
+          ("lineitem_part", "l_partkey", "p_partkey"),
+          ("lineitem_supplier", "l_suppkey", "s_suppkey"),
+          ("orders_customer", "o_custkey", "c_custkey"))
+        def cnt(df: org.apache.spark.sql.DataFrame, ks: String*) =
+          cmsMultiKeyCounters(df, ks.map(k => k -> col(k)), JsD, JsW)
+        val wide = Seq(
+          cnt(Tables.orders(s, dir), "o_orderkey", "o_custkey"),
+          cnt(Tables.part(s, dir), "p_partkey"),
+          cnt(Tables.supplier(s, dir), "s_suppkey"),
+          cnt(Tables.customer(s, dir), "c_custkey"))
+          .foldLeft(
+            cnt(Tables.lineitem(s, dir),
+              "l_orderkey", "l_partkey", "l_suppkey")) {
+            (acc, t) => acc.join(t, Seq("row_i", "bucket"), "full_outer")
+          }
+        def c(t: String) = coalesce(col(s"c_$t"), lit(0L))
+        val ipCols = pairs.map { case (n, ak, bk) =>
+          sum(c(ak) * c(bk)).as(s"ip_$n") }
+        val estCols = pairs.map { case (n, _, _) =>
+          coalesce(min(col(s"ip_$n")), lit(0L)).cast("long")
+            .as(s"est_$n") }
+        val ests = wide.groupBy(col("row_i"))
+          .agg(ipCols.head, ipCols.tail: _*)
+          .agg(estCols.head, estCols.tail: _*)
+          .select(expr(s"stack(${pairs.size}, " +
+            pairs.map { case (n, _, _) => s"'$n', est_$n" }
+              .mkString(", ") + ") AS (join_pair, est_rows)"))
+        // the exact join sizes are the EVAL BASELINE (dropped at
+        // production scale) — staged per (session, dir) so bench reps
+        // time the sketch, which is the operator under test
+        val exacts = pairs.map { case (n, ak, bk) =>
+          val (a, b) = (n match {
+            case "orders_customer" =>
+              (Tables.orders(s, dir), Tables.customer(s, dir))
+            case "lineitem_orders" =>
+              (Tables.lineitem(s, dir), Tables.orders(s, dir))
+            case "lineitem_part" =>
+              (Tables.lineitem(s, dir), Tables.part(s, dir))
+            case _ =>
+              (Tables.lineitem(s, dir), Tables.supplier(s, dir))
+          })
+          Staged.retrieval(s, dir, s"join_exact_$n") {
+            a.select(col(ak))
+              .join(b.select(col(bk)), col(ak) === col(bk))
+              .agg(count(lit(1)).as("exact_rows"))
+          }.select(lit(n).as("join_pair"), col("exact_rows"))
+        }.reduce(_ unionByName _)
+        ests.join(broadcast(exacts), Seq("join_pair"))
+          .select(col("join_pair"), col("exact_rows"), col("est_rows"),
+            (col("est_rows") - col("exact_rows")).as("overcount"),
+            round(((col("est_rows") - col("exact_rows")) * lit(1000000.0))
+              / nullif(col("exact_rows").cast("double"), lit(0d)), 0)
+              .cast("long").as("rel_error_ppm"))
           .orderBy("join_pair")
       },
       joinSizeOracle),

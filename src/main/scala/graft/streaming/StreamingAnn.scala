@@ -39,16 +39,21 @@ object StreamingAnn {
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader.parquet(s"$dir/embeddings.parque*")
       .filter(col("vec_id") % 5 === 0)
-    val q = stream.writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        SimilarityOps.ivf2AssignBatchNorm(
-            SimilarityOps.normalizedCorpus(b), superCents, children)
-          .write.mode("append").parquet(out)
-      }
-      .option("checkpointLocation", s"$workDir/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state-sized shuffle partitions: micro-batches are ~one file, so
+    // per-trigger task count (not scan width) dominates the cost —
+    // same sizing rationale as StreamingConf's stateful queries.
+    StreamingConf.withStatePartitions(spark) {
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          SimilarityOps.ivf2AssignBatchNorm(
+              SimilarityOps.normalizedCorpus(b), superCents, children)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
   }
 }

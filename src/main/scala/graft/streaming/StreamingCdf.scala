@@ -53,6 +53,12 @@ object StreamingCdf {
       feed.filter(col("v") === v)
         .coalesce(1).write.mode("append").parquet(spool)
     }
+    // base-only log: nothing to spool, so the directory would not
+    // exist and the reads below would throw PATH_NOT_FOUND instead of
+    // returning the base aggregate — seed one empty file with the feed
+    // schema so the stream starts (and contributes zero deltas).
+    if (vs.size == 1)
+      feed.limit(0).coalesce(1).write.mode("append").parquet(spool)
     feed.unpersist()
     def dec(c: Column) = c.cast("decimal(30,6)")
     def partial(b: DataFrame): DataFrame =
@@ -70,20 +76,26 @@ object StreamingCdf {
       .write.mode("append").parquet(s"$out/batch_id=-1")
     val reader = spark.readStream.schema(spark.read.parquet(spool).schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val q = reader.parquet(spool)
-      .writeStream
-      .foreachBatch { (b: DataFrame, batchId: Long) =>
-        val dest = s"$out/batch_id=$batchId"
-        if (!java.nio.file.Files.exists(
-            java.nio.file.Paths.get(dest, "_SUCCESS"))) {
-          graft.util.Fs.deleteRec(dest)
-          partial(b).write.mode("overwrite").parquet(dest)
+    // state-sized shuffle partitions: each micro-batch is one commit's
+    // file — the per-group partial agg should run at state width, not
+    // the batch engine's scan width (foreachBatch trigger cost scales
+    // with tasks-per-trigger; round-12 controlled experiment).
+    StreamingConf.withStatePartitions(spark) {
+      val q = reader.parquet(spool)
+        .writeStream
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          val dest = s"$out/batch_id=$batchId"
+          if (!java.nio.file.Files.exists(
+              java.nio.file.Paths.get(dest, "_SUCCESS"))) {
+            graft.util.Fs.deleteRec(dest)
+            partial(b).write.mode("overwrite").parquet(dest)
+          }
         }
-      }
-      .option("checkpointLocation", s"$workDir/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val deltas = spark.read.parquet(out).drop("batch_id")
       .groupBy(col(groupCol))
       .agg(sum(col("dn")).as("dn"), sum(col("dt")).as("dt"))

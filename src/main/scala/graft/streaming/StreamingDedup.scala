@@ -71,16 +71,21 @@ object StreamingDedup {
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader.parquet(s"$dir/documents.parque*")
       .filter(col("doc_id") % 5 === 0)
-    val q = stream.writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        DedupOps.dedupIncrementalStaged(digests, bands, shingles, b,
-            k, nHashes, bandSize, threshold)
-          .write.mode("append").parquet(out)
-      }
-      .option("checkpointLocation", s"$workDir/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state-sized shuffle partitions: the per-batch screen joins a
+    // ~one-file micro-batch against the staged artifacts — trigger
+    // cost scales with tasks, not data (round-12 experiment).
+    StreamingConf.withStatePartitions(spark) {
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          DedupOps.dedupIncrementalStaged(digests, bands, shingles, b,
+              k, nHashes, bandSize, threshold)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     Seq(digests, bands, shingles).foreach(_.unpersist())
     spark.read.parquet(out)
   }

@@ -46,14 +46,18 @@ object StreamingSketch {
       .schema(graft.Tables.eventsOnDiskSchema(spark, dir))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = graft.Tables.normalizeTs(reader.parquet(s"$dir/events.parque*"))
-    val q = stream.writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        registersOf(b).write.mode("append").parquet(out)
-      }
-      .option("checkpointLocation", s"$workDir/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state-sized shuffle partitions for the per-trigger register agg
+    // (micro-batches are ~one file; task count dominates trigger cost)
+    StreamingConf.withStatePartitions(spark) {
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          registersOf(b).write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // the merge: MAX over every appended register generation
     spark.read.parquet(out)
       .groupBy(col("grp"), col("bucket"))

@@ -18,8 +18,14 @@ class BaselineCoverageSpec extends AnyFunSuite {
       java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BASELINE.md")),
       java.nio.charset.StandardCharsets.UTF_8)
-    val missing = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(baseline.contains)
+    // anchored match, not raw substring: `video_dup_pairs` must not
+    // pass vacuously because `video_dup_pairs_r2` has a row — \b fails
+    // at an underscore (both sides word chars), so a name followed by
+    // `_suffix` does NOT satisfy its own boundary.
+    val missing = SparkEntry.queries.keys.toSeq.sorted.filterNot { n =>
+      ("""\b""" + java.util.regex.Pattern.quote(n) + """\b""").r
+        .findFirstIn(baseline).isDefined
+    }
     assert(missing.isEmpty,
       s"queries with no BASELINE.md measurement row: " +
         s"${missing.mkString(", ")} — run tools.BenchOne on sf0.1 and " +

@@ -58,6 +58,32 @@ class CmsSpec extends AnyFunSuite with SparkTestBase {
     assert(tight >= exact, s"sketch undercounted: $tight < $exact")
   }
 
+  test("fused multi-key counters equal the per-key counter tables bit-for-bit") {
+    // the join_size_est fusion contract: one scan per TABLE must build
+    // the SAME d×w counters the per-(pair, side) form built — any
+    // drift in the hash family, tag conditional, or zero-fill breaks
+    // the oracle, so pin equality per tag on a two-key table
+    import org.apache.spark.sql.functions.{col, coalesce, lit}
+    val t = Seq((1L, 10L), (1L, 20L), (2L, 20L), (3L, 30L))
+      .toDF("k1", "k2")
+    val fused = graft.ops.SketchOps
+      .cmsMultiKeyCounters(t, Seq("k1" -> col("k1"), "k2" -> col("k2")),
+        4, 64)
+    Seq("k1", "k2").foreach { k =>
+      val single = graft.ops.SketchOps
+        .cmsKeyCounters(t, col(k), 4, 64)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val multi = fused
+        .select(col("row_i"), col("bucket"),
+          coalesce(col(s"c_$k"), lit(0L)).as("c"))
+        .filter(col("c") > 0)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(multi == single, s"fused counters drifted for $k")
+    }
+  }
+
   test("total sketch mass per row equals the stream length") {
     // conservation: every hash row's counters sum to N tokens — the
     // property that makes sketches mergeable across partitions.

@@ -300,6 +300,31 @@ class SnapshotSpec extends AnyFunSuite with SparkTestBase {
     assert(SnapshotOps.versions(path) == Seq(0L, 1L, 2L))
   }
 
+  test("optimistic commit racing a checkpoint commutes (base commits are no conflict)") {
+    val path = freshTable("occ_checkpoint")
+    SnapshotOps.initTable(state((1L, "a", 1.0), (2L, "b", 2.0)), path, "k")
+    SnapshotOps.commitUpsert(path, state((2L, "B", 20.0)), "k") // v1
+    SnapshotOps.checkpoint(spark, path, "k") // v2, base: carries EVERY live key
+    // writer read v0 and upserts key 1: unseen range is (0, 2] — v1 is
+    // key-disjoint and v2 is a checkpoint (a full rewrite that changes
+    // no data). Scanning the checkpoint's delta would see key 1 and
+    // spuriously reject; base commits commute with every upsert/delete,
+    // so this must land at v3.
+    val v = SnapshotOps.commitUpsertOptimistic(spark, path,
+      state((1L, "A", 10.0)), "k", readVersion = 0L)
+    assert(v == 3L)
+    val fin = SnapshotOps.readAsOf(spark, path, 3L, "k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fin == Map(1L -> "A", 2L -> "B"), fin)
+    // a REAL conflict hiding behind the checkpoint is still caught:
+    // v1 rewrote key 2, so a v0 reader writing key 2 must be rejected
+    val ex = intercept[SnapshotOps.ConcurrentCommitException] {
+      SnapshotOps.commitUpsertOptimistic(spark, path,
+        state((2L, "X", 99.0)), "k", readVersion = 0L)
+    }
+    assert(ex.getMessage.contains("write-write conflict"), ex.getMessage)
+  }
+
   test("optimistic commit: racing threads all land on distinct versions") {
     val path = freshTable("occ_race")
     SnapshotOps.initTable(state((1L, "a", 1.0), (2L, "b", 2.0),

@@ -35,6 +35,28 @@ class StreamingCdfSpec extends AnyFunSuite with SparkTestBase {
       s"slicing changed the maintained aggregate:\n$sliced\nvs\n$whole")
   }
 
+  test("a base-only log returns the base aggregate instead of crashing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = System.getProperty("java.io.tmpdir")
+    val path = s"$tmp/graft_cdfspec_baseonly_tbl"
+    val work = s"$tmp/graft_cdfspec_baseonly_work"
+    Fs.deleteRec(path); Fs.deleteRec(work)
+    graft.ops.SnapshotOps.initTable(
+      Seq((1L, "O", 10.0), (2L, "F", 20.0), (3L, "O", 5.5))
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice"),
+      path, "o_orderkey")
+    // no commits after the base: the spool has zero change files — the
+    // consumer must still start (seeded empty file) and hand back the
+    // version-0 aggregate, not PATH_NOT_FOUND.
+    val out = StreamingCdf.consumeAvailableNow(spark, path, work,
+        "o_orderkey", maxFilesPerTrigger = Some(1))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == Map("O" -> (2L, 15.5), "F" -> (1L, 20.0)), out)
+    Fs.deleteRec(path); Fs.deleteRec(work)
+  }
+
   test("the maintained aggregate equals the direct head-state aggregate") {
     import org.apache.spark.sql.functions._
     val path = Staged.snapshotTable(spark, dir)
