@@ -30,9 +30,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: the single-JVM suite stages shared caches (shingle
-  // index, normalized corpus, cluster labels) across ~90 queries; 8g
-  // spent measurable wall-clock in GC at sf0.1 (SPARK_DRIVER_MEM
-  // overrides; container has 128 GiB)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 32g default: the single-JVM suite stages shared caches (shingle
+  // index, normalized corpus, postings, media fixtures) across ~290
+  // queries; 8g spent measurable wall-clock in GC at sf0.1 when the
+  // suite was a third this size, and at 16g the late-alphabet
+  // explode-heavy rows (the video dedup family) ran up to 4× their
+  // isolated-warm medians in full-bench context — the round-12
+  // driver-vs-local drift (BENCH_r12 video_dup_pairs_r2 6.42 s vs
+  // 1.66 s isolated on the identical tree). (SPARK_DRIVER_MEM
+  // overrides; container has 128 GiB.)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

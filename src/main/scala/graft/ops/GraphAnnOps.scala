@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-based ANN — the Vamana/NSW/HNSW index family: a bounded-degree
+  * neighbor graph built over the corpus, searched by beam expansion
+  * from a pinned entry point. This is the high-recall SERVING structure
+  * production vector stores default to, completing the engine's index
+  * matrix next to IVF (cell pruning), LSH (hash pruning), and PQ
+  * (compression): those prune the scan; the graph prunes the NUMBER OF
+  * HOPS to the answer, trading an O(n·M) edge table for sub-linear
+  * query cost.
+  *
+  * Everything is deterministic so a DuckDB oracle replays it
+  * bit-for-bit: candidate generation is IVF-cell-blocked (the DiskANN
+  * sharded-build shape — partition the corpus by quantizer cell, build
+  * kNN edges within each shard's candidate set, union), every ranking
+  * tie-breaks on (rounded-6dp cosine DESC, id ASC), the search runs a
+  * FIXED number of supersteps (Pregel-as-joins, the GraphOps
+  * discipline) with a fixed beam width, and the entry point is the
+  * corpus's min vec_id (production pins the medoid; the pin is what
+  * matters for replay).
+  *
+  * Scale posture: the build never goes all-pairs — per node the
+  * candidate set is its `buildProbe` nearest cells' members (Σ|cell|²
+  * bounded, the semdedup_cells argument; a hot cell splits with the
+  * existing two-level machinery). The edge table is n·M rows,
+  * equality-joined on `src` at search time. Each search superstep is
+  * one equality join (frontier × edges) plus a per-query window over
+  * ≤ |queries|·B·(M+1) rows — stream rate, never corpus rate.
+  */
+object GraphAnnOps {
+
+  import SimilarityOps.dotCosine
+
+  /** Bounded-degree kNN graph: per node, its top-`m` cosine neighbors
+    * among the members of its `buildProbe` nearest IVF cells. A
+    * (src, dst) pair arises at most once — `dst` appears only under
+    * its single PRIMARY cell, while `src` probes `buildProbe` distinct
+    * cells — so no dedup pass is needed. Probing more than one cell is
+    * what keeps the graph connected ACROSS cells (within-cell-only
+    * edges would strand the beam in the entry point's component). */
+  def knnGraph(corpus: DataFrame, cents: DataFrame, m: Int,
+               buildProbe: Int): DataFrame = {
+    val probes = SimilarityOps.assignCellsNorm(corpus, cents, buildProbe)
+    val members = SimilarityOps.assignCellsNorm(corpus, cents, 1)
+      .select(col("vec_id").as("nbr_id"), col("n_emb").as("nbr_emb"),
+        col("cell"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst").asc)
+    probes.join(members, Seq("cell"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"),
+        dotCosine(col("n_emb"), col("nbr_emb")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= m)
+      .select(col("src"), col("dst"), col("sim"))
+  }
+
+  /** Beam search over a [[knnGraph]] edge table: `steps` supersteps,
+    * each keeping the `beam` best nodes (by cosine to the query, ties
+    * id ASC) of the current beam ∪ its out-neighbors; the answer is
+    * the top-`k` of the final beam, self excluded (the ANN-family
+    * convention). The beam-keep rule is monotone — a kept node is
+    * never worse than a dropped one — so fixed-step replay needs no
+    * visited-set state, which is exactly what lets the oracle unroll
+    * the same supersteps as plain CTEs. */
+  def beamSearchTopK(corpus: DataFrame, graph: DataFrame,
+                     queryIds: Seq[Long], beam: Int, steps: Int,
+                     k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("n_emb").as("q_emb"))
+    val nodes = corpus.select(col("vec_id").as("node"), col("n_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("node").asc)
+    // The beam state is MATERIALIZED between supersteps (a bounded
+    // collect: ≤ |queryIds|·beam (query, node) longs — a plan constant
+    // independent of corpus size; at 10 queries × beam 32 that is 320
+    // rows at ANY scale). Leaving the frontier as lazy lineage
+    // re-evaluates every earlier superstep at each reference —
+    // measured 2^steps blowup — while the materialized state makes
+    // each superstep one bounded job: the production serving shape,
+    // where search state lives on the query node and only the edge
+    // table and corpus are distributed.
+    def step(frontier: Seq[(Long, Long)]): DataFrame = {
+      val fDf = frontier.toDF("query_id", "node")
+      val expanded = fDf
+        .unionByName(graph.select(col("src").as("node"), col("dst"))
+          .join(broadcast(fDf), Seq("node"))
+          .select(col("query_id"), col("dst").as("node")))
+        .distinct()
+      nodes
+        .join(broadcast(expanded), Seq("node"))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id"), col("node"),
+          dotCosine(col("q_emb"), col("n_emb")).as("sim"))
+    }
+    val entryId = corpus.agg(min(col("vec_id"))).head().getLong(0)
+    var frontier: Seq[(Long, Long)] = queryIds.map(q => (q, entryId))
+    for (_ <- 0 until steps) {
+      frontier = step(frontier)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beam)
+        .select(col("query_id"), col("node"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val fDf = frontier.toDF("query_id", "node")
+      .filter(col("node") =!= col("query_id"))
+    nodes
+      .join(broadcast(fDf), Seq("node"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("node").as("neighbor_id"),
+        dotCosine(col("q_emb"), col("n_emb")).as("cosine_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+  }
+}

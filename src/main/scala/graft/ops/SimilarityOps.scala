@@ -184,6 +184,19 @@ object SimilarityOps {
   def ivfAssignNormWith(corpus: DataFrame, centroids: DataFrame): DataFrame =
     assignTo(corpus, centroids)
 
+  /** Per-vector `nprobe` nearest cells WITH the embedding carried —
+    * the codegen'd argmax ([[nearestCellsCol]]), one row per (vector,
+    * probed cell). The graph-ANN build reads this on both sides of its
+    * within-cell candidate join (GraphAnnOps.knnGraph); tie-breaks are
+    * (rounded-6dp cosine DESC, centroid_id ASC), identical to the
+    * window-based oracle mirror. */
+  def assignCellsNorm(corpus: DataFrame, centroids: DataFrame,
+                      nprobe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    corpus.select(col("vec_id"), col("n_emb"),
+      explode(nearestCellsCol(centroids, nprobe, col("n_emb"))).as("cell"))
+  }
+
   /** IVF top-k: probe the `nprobe` nearest cells per query, rank only
     * within probed cells. Approximate by construction; the oracle
     * implements the identical algorithm, so results still hash-match. */

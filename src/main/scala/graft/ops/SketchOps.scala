@@ -192,16 +192,25 @@ object SketchOps {
     * bit-for-bit to [[cmsKeyCounters]]' — same h31/affine family. */
   def cmsMultiKeyCounters(df: DataFrame, keys: Seq[(String, Column)],
                           d: Int, w: Int): DataFrame = {
+    // project each key's base hash ONCE per row, then build the
+    // |keys|·d cells from the projected columns — inlining the md5
+    // tree into every array element would evaluate it d times per key
+    // and bloat the generated code past the codegen method limit
+    // (measured: the inlined form ran interpreted and ~2× slower)
+    val withH = df.select(keys.map { case (tag, key) =>
+      Hashing.h31(key.cast("string")).as(s"__h_$tag") }: _*)
+    // tags ride as their key-list INDEX (int), not the name string —
+    // the conditional sums compare the tag once per exploded row and
+    // the int form keeps the hot agg loop string-free
     val cells = array((for {
-      (tag, key) <- keys
-      h = Hashing.h31(key.cast("string"))
+      ((tag, _), ti) <- keys.zipWithIndex
       ((a, b), i) <- Hashing.affineCoeffs(d).zipWithIndex
-    } yield struct(lit(tag).as("tag"), lit(i).as("row_i"),
-      (Hashing.affine(h, a, b) % w).as("bucket"))): _*)
-    val perTag = keys.map { case (tag, _) =>
-      sum(when(col("tag") === tag, 1L).otherwise(0L)).as(s"c_$tag")
+    } yield struct(lit(ti).as("tag"), lit(i).as("row_i"),
+      (Hashing.affine(col(s"__h_$tag"), a, b) % w).as("bucket"))): _*)
+    val perTag = keys.zipWithIndex.map { case ((tag, _), ti) =>
+      sum(when(col("tag") === ti, 1L).otherwise(0L)).as(s"c_$tag")
     }
-    df.select(explode(cells).as("x"))
+    withH.select(explode(cells).as("x"))
       .select(col("x.tag").as("tag"), col("x.row_i").as("row_i"),
         col("x.bucket").as("bucket"))
       .groupBy(col("row_i"), col("bucket"))

@@ -204,6 +204,29 @@ object SnapshotOps {
                   s"committed in (${validated}, $head] after this writer " +
                   s"read version $readVersion")
             }
+            // SCHEMA conflict rule (schema changes ride deltas here —
+            // an upsert carrying a new column IS the add-column
+            // commit, resolved by the merge-on-read union): a column
+            // this delta carries that an unseen commit committed with
+            // a DIFFERENT type is incompatible — left alone it would
+            // wedge every future mergeSchema read, so it must reject
+            // at commit time, loudly. Same name + same type commutes
+            // (two writers adding the same column agree), disjoint
+            // new columns commute, and a pure data commit next to a
+            // schema-add commutes by the same rule — the footer
+            // comparison is one metadata read per unseen commit.
+            val mine = delta.schema.map(f => f.name -> f.dataType).toMap
+            unseen.foreach { v =>
+              spark.read.parquet(s"$path/delta/v=$v").schema.foreach { f =>
+                mine.get(f.name).filter(_ != f.dataType).foreach { dt =>
+                  throw new ConcurrentCommitException(
+                    s"schema conflict at $path: column ${f.name} was " +
+                      s"committed as ${f.dataType} in v=$v but this " +
+                      s"writer carries $dt — incompatible concurrent " +
+                      "schema changes")
+                }
+              }
+            }
           }
           validated = head
         }

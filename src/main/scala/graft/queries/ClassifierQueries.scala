@@ -31,42 +31,65 @@ object ClassifierQueries {
   private final val CurveThresholds =
     Seq(-1.0, -0.5, 0.0, 0.5, 1.0, 1.5, 2.0)
 
-  private def train(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
+  /** Margin-threshold arms for the ZIPF-regime curve — the power-law
+    * corpus's per-language tail tokens push |margin| two orders past
+    * the flat fixture's (measured at sf0.01: en-doc margins cluster
+    * at tens-to-hundreds positive, non-en strongly negative), so the
+    * arms span that range to make the selected fraction move. */
+  private final val ZipfCurveThresholds =
+    Seq(-200.0, -100.0, -50.0, 0.0, 50.0, 100.0, 200.0)
 
-  private def test(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+  /** Corpus family selector ("" = fixture documents, "zipf_" = the
+    * regenerated power-law corpus — see Staged.zipfDocs): the zipf
+    * duel/curve variants run the identical training and scoring code
+    * over the positive-regime corpus, staged under prefixed tags. */
+  private def famDocs(s: SparkSession, dir: String, fam: String): DataFrame =
+    if (fam.isEmpty) Tables.documents(s, dir) else Staged.zipfDocs(s, dir)
+
+  private def train(s: SparkSession, dir: String,
+                    fam: String = ""): DataFrame =
+    famDocs(s, dir, fam).filter(col("doc_id") % 5 =!= 0)
+
+  private def test(s: SparkSession, dir: String,
+                   fam: String = ""): DataFrame =
+    famDocs(s, dir, fam).filter(col("doc_id") % 5 === 0)
 
   // ── perceptron staged artifacts ───────────────────────────────────
 
   /** Cached train-split feature vectors (each training epoch re-scans
     * them). */
-  private def trainFeats(s: SparkSession, dir: String): DataFrame =
-    Staged.retrieval(s, dir, "perceptron_train_feats") {
-      graft.ops.PerceptronOps.features(train(s, dir), "lang", KeepClass, PDim)
+  private def trainFeats(s: SparkSession, dir: String,
+                         fam: String = ""): DataFrame =
+    Staged.retrieval(s, dir, s"${fam}perceptron_train_feats") {
+      graft.ops.PerceptronOps.features(train(s, dir, fam), "lang",
+        KeepClass, PDim)
     }
 
   /** The trained weight vector as a (dim, weight) table, memoized per
     * (session, dir) — the driver loop runs once, not per query/rep. */
-  private def modelDf(s: SparkSession, dir: String): DataFrame =
-    Staged.retrieval(s, dir, "perceptron_w") {
-      val w = graft.ops.PerceptronOps.train(trainFeats(s, dir), PEpochs)
+  private def modelDf(s: SparkSession, dir: String,
+                      fam: String = ""): DataFrame =
+    Staged.retrieval(s, dir, s"${fam}perceptron_w") {
+      val w = graft.ops.PerceptronOps.train(trainFeats(s, dir, fam), PEpochs)
       import s.implicits._
       w.toSeq.zipWithIndex.map { case (wt, d) => (d, wt) }
         .toDF("dim", "weight")
     }
 
   /** The trained weights as the literal array the apply path embeds. */
-  private def modelW(s: SparkSession, dir: String): Array[Long] =
-    modelDf(s, dir).orderBy("dim").collect().map(_.getAs[Long]("weight"))
+  private def modelW(s: SparkSession, dir: String,
+                     fam: String = ""): Array[Long] =
+    modelDf(s, dir, fam).orderBy("dim").collect()
+      .map(_.getAs[Long]("weight"))
 
   /** The corpus-wide NB margin table, memoized per (session, dir) —
     * corpus_filter_nb and the threshold curve's arms share one scoring
     * pass. */
-  private def margins(s: SparkSession, dir: String): DataFrame =
-    Staged.retrieval(s, dir, "nb_margins") {
+  private def margins(s: SparkSession, dir: String,
+                      fam: String = ""): DataFrame =
+    Staged.retrieval(s, dir, s"${fam}nb_margins") {
       ClassifierOps.marginFilter(
-        train(s, dir), Tables.documents(s, dir), "lang", KeepClass)
+        train(s, dir, fam), famDocs(s, dir, fam), "lang", KeepClass)
     }
 
   /** Force this family's staged artifacts (Staged.prewarm hook). */
@@ -74,6 +97,10 @@ object ClassifierQueries {
     trainFeats(s, dir).count()
     modelDf(s, dir).count()
     margins(s, dir).count()
+    // zipf-regime family (classifier_duel_zipf / threshold curve)
+    trainFeats(s, dir, "zipf_").count()
+    modelDf(s, dir, "zipf_").count()
+    margins(s, dir, "zipf_").count()
     ()
   }
 
@@ -81,11 +108,15 @@ object ClassifierQueries {
 
   private val trainRel = "SELECT * FROM documents WHERE doc_id % 5 <> 0"
   private val testRel = "SELECT * FROM documents WHERE doc_id % 5 = 0"
+  private val trainRelZ = "SELECT * FROM zdocs WHERE doc_id % 5 <> 0"
+  private val testRelZ = "SELECT * FROM zdocs WHERE doc_id % 5 = 0"
 
   /** Model CTE chain: `ttoks, cstats, ntr, vcb, vsz, ms, tcc`. */
-  private val modelWith: String =
+  private val modelWith: String = modelWithOver(trainRel)
+
+  private def modelWithOver(rel: String): String =
     s"""ttoks AS (SELECT doc_id, lang AS label, unnest($toks) AS token
-       |  FROM ($trainRel)),
+       |  FROM ($rel)),
        |cstats AS (SELECT label, count(DISTINCT doc_id) AS n_docs,
        |  count(*) AS tot_tokens FROM ttoks GROUP BY label),
        |ntr AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_train FROM cstats),
@@ -104,7 +135,10 @@ object ClassifierQueries {
     * exact decimal can land on a .5 boundary where the engines
     * diverge (see the ClassifierOps ll12 note). */
   private def scoreWith(targetRel: String): String =
-    s"""$modelWith,
+    scoreWithOver(modelWith, targetRel)
+
+  private def scoreWithOver(modelCtes: String, targetRel: String): String =
+    s"""$modelCtes,
        |dvf AS (
        |  SELECT d.doc_id, d.token, d.n FROM (
        |    SELECT doc_id, token, count(*) AS n FROM
@@ -212,6 +246,144 @@ object ClassifierQueries {
        |        j -> pfw.w[CAST(j AS INT)] * f.x[CAST(j AS INT)])) AS BIGINT)
        |        AS margin
        |      FROM pf_te f CROSS JOIN pfw)))""".stripMargin.replace("\n", " ")
+
+  /** Shared duel body: four arms (heuristic, majority, NB,
+    * perceptron) on the family's held-out split — the flat and zipf
+    * corpora run the identical code; only the staged inputs differ. */
+  private def duelBody(s: SparkSession, dir: String,
+                       fam: String): DataFrame = {
+    val mj = test(s, dir, fam)
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("lang") === KeepClass, 1L).otherwise(0L))
+          .as("n_pos"))
+      .select(lit("majority").as("classifier"),
+        col("n_test").cast("long").as("n_test"),
+        greatest(col("n_pos"), col("n_test") - col("n_pos"))
+          .cast("long").as("n_correct"))
+    val nb = ClassifierOps.classify(train(s, dir, fam), test(s, dir, fam),
+        "lang")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when((col("pred") === KeepClass) ===
+          (col("label_true") === KeepClass), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(lit("nb").as("classifier"),
+        col("n_test").cast("long").as("n_test"),
+        col("n_correct").cast("long").as("n_correct"))
+    val pc = graft.ops.PerceptronOps.classify(
+        Staged.retrieval(s, dir, s"${fam}perceptron_test_feats") {
+          graft.ops.PerceptronOps.features(
+            test(s, dir, fam), "lang", KeepClass, PDim)
+        }, modelW(s, dir, fam))
+      .agg(count(lit(1)).as("n_test"),
+        sum(col("correct").cast("long")).as("n_correct"))
+      .select(lit("perceptron").as("classifier"),
+        col("n_test").cast("long").as("n_test"),
+        col("n_correct").cast("long").as("n_correct"))
+    val he = ClassifierOps.langIdBinaryArm(test(s, dir, fam), KeepClass)
+    he.unionByName(mj).unionByName(nb).unionByName(pc)
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n_test"), 6))
+      .orderBy("classifier")
+  }
+
+  /** Duel oracle over a (train, test) relation pair; `zipf` prepends
+    * the MATERIALIZED corpus-regeneration CTE the zipf relations
+    * read. */
+  private def duelOracleSql(trainR: String, testR: String,
+                            zipf: Boolean): String = {
+    val z = if (zipf) s"${OracleFrags.zdocsCte}, " else ""
+    s"""WITH RECURSIVE $z${pfWith("tr", trainR)}, $perceptronWith,
+       |${pfWith("te", testR)}, $papplyWith,
+       |${scoreWithOver(modelWithOver(trainR), testR)}, $predWith
+       |SELECT classifier, n_test, n_correct,
+       |round(CAST(n_correct AS DOUBLE) / n_test, 6) AS accuracy
+       |FROM (
+       |  SELECT 'heuristic' AS classifier,
+       |  CAST(count(*) AS BIGINT) AS n_test,
+       |  CAST(SUM(CASE WHEN ($langCase = '$KeepClass') =
+       |    (labeled_lang = '$KeepClass') THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct
+       |  FROM (SELECT doc_id, labeled_lang, $langScores
+       |    FROM (SELECT doc_id, lang AS labeled_lang, $toks AS toks
+       |      FROM ($testR)))
+       |  UNION ALL
+       |  SELECT 'majority' AS classifier,
+       |  CAST(count(*) AS BIGINT) AS n_test,
+       |  CAST(GREATEST(
+       |    SUM(CASE WHEN lang = '$KeepClass' THEN 1 ELSE 0 END),
+       |    count(*) - SUM(CASE WHEN lang = '$KeepClass' THEN 1 ELSE 0 END))
+       |    AS BIGINT) AS n_correct
+       |  FROM ($testR)
+       |  UNION ALL
+       |  SELECT 'nb', CAST(count(*) AS BIGINT),
+       |  CAST(SUM(CASE WHEN (pred = '$KeepClass') =
+       |    (label_true = '$KeepClass') THEN 1 ELSE 0 END) AS BIGINT)
+       |  FROM predrel
+       |  UNION ALL
+       |  SELECT 'perceptron', CAST(count(*) AS BIGINT),
+       |  CAST(SUM(correct) AS BIGINT) FROM papply)
+       |ORDER BY classifier""".stripMargin.replace("\n", " ")
+  }
+
+  /** Shared threshold-curve body over a family's staged margin
+    * table. */
+  private def curveBody(s: SparkSession, dir: String, fam: String,
+                        thresholds: Seq[Double]): DataFrame = {
+    val m = margins(s, dir, fam)
+    thresholds.map { t =>
+      m.agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("margin") >= t, 1L).otherwise(0L))
+            .as("n_selected"),
+          sum(when(col("margin") >= t &&
+              col("label_true") === KeepClass, 1L).otherwise(0L))
+            .as("n_en_selected"),
+          sum(when(col("label_true") === KeepClass, 1L).otherwise(0L))
+            .as("n_en_total"))
+        .select(lit(t).as("threshold"),
+          col("n_selected").cast("long").as("n_selected"),
+          round(col("n_selected").cast("double") / col("n_docs"), 6)
+            .as("sel_frac"),
+          round(col("n_en_selected").cast("double") /
+            nullif(col("n_selected"), lit(0L)), 6).as("precision"),
+          round(col("n_en_selected").cast("double") /
+            col("n_en_total"), 6).as("recall"))
+    }.reduce(_ unionByName _).orderBy("threshold")
+  }
+
+  /** Threshold-curve oracle over a target relation's margins. */
+  private def curveOracleSql(targetRel: String, modelRel: String,
+                             thresholds: Seq[Double],
+                             zipf: Boolean): String = {
+    val z = if (zipf) s"${OracleFrags.zdocsCte}, " else ""
+    s"""WITH $z${scoreWithOver(modelWithOver(modelRel), targetRel)},
+       |m AS (
+       |  SELECT t.doc_id, t.label_true, round(t.score - o.s_other, 6)
+       |    AS margin
+       |  FROM (SELECT doc_id, label_true, score FROM scorerel
+       |        WHERE label = '$KeepClass') t
+       |  JOIN (SELECT doc_id, max(score) AS s_other FROM scorerel
+       |        WHERE label <> '$KeepClass' GROUP BY doc_id) o
+       |  ON t.doc_id = o.doc_id),
+       |arms AS (SELECT CAST(unnest([${thresholds.mkString(", ")}])
+       |  AS DOUBLE) AS threshold)
+       |SELECT threshold,
+       |CAST(SUM(CASE WHEN margin >= threshold THEN 1 ELSE 0 END)
+       |  AS BIGINT) AS n_selected,
+       |round(CAST(SUM(CASE WHEN margin >= threshold THEN 1 ELSE 0 END)
+       |  AS DOUBLE) / count(*), 6) AS sel_frac,
+       |round(CAST(SUM(CASE WHEN margin >= threshold
+       |    AND label_true = '$KeepClass' THEN 1 ELSE 0 END) AS DOUBLE)
+       |  / nullif(SUM(CASE WHEN margin >= threshold THEN 1 ELSE 0 END),
+       |    0), 6) AS precision,
+       |round(CAST(SUM(CASE WHEN margin >= threshold
+       |    AND label_true = '$KeepClass' THEN 1 ELSE 0 END) AS DOUBLE)
+       |  / SUM(CASE WHEN label_true = '$KeepClass' THEN 1 ELSE 0 END), 6)
+       |  AS recall
+       |FROM arms CROSS JOIN m
+       |GROUP BY threshold ORDER BY threshold"""
+      .stripMargin.replace("\n", " ")
+  }
 
   // ── registered queries ────────────────────────────────────────────
 
@@ -329,70 +501,28 @@ object ClassifierQueries {
     // at once — which is the point of shipping the eval WITH the
     // classifiers.
     Q("classifier_duel",
-      (s, dir) => {
-        val mj = test(s, dir)
-          .agg(count(lit(1)).as("n_test"),
-            sum(when(col("lang") === KeepClass, 1L).otherwise(0L))
-              .as("n_pos"))
-          .select(lit("majority").as("classifier"),
-            col("n_test").cast("long").as("n_test"),
-            greatest(col("n_pos"), col("n_test") - col("n_pos"))
-              .cast("long").as("n_correct"))
-        val nb = ClassifierOps.classify(train(s, dir), test(s, dir), "lang")
-          .agg(count(lit(1)).as("n_test"),
-            sum(when((col("pred") === KeepClass) ===
-              (col("label_true") === KeepClass), 1L).otherwise(0L))
-              .as("n_correct"))
-          .select(lit("nb").as("classifier"),
-            col("n_test").cast("long").as("n_test"),
-            col("n_correct").cast("long").as("n_correct"))
-        val pc = graft.ops.PerceptronOps.classify(
-            Staged.retrieval(s, dir, "perceptron_test_feats") {
-              graft.ops.PerceptronOps.features(
-                test(s, dir), "lang", KeepClass, PDim)
-            }, modelW(s, dir))
-          .agg(count(lit(1)).as("n_test"),
-            sum(col("correct").cast("long")).as("n_correct"))
-          .select(lit("perceptron").as("classifier"),
-            col("n_test").cast("long").as("n_test"),
-            col("n_correct").cast("long").as("n_correct"))
-        val he = ClassifierOps.langIdBinaryArm(test(s, dir), KeepClass)
-        he.unionByName(mj).unionByName(nb).unionByName(pc)
-          .withColumn("accuracy",
-            round(col("n_correct").cast("double") / col("n_test"), 6))
-          .orderBy("classifier")
-      },
-      s"""WITH RECURSIVE ${pfWith("tr", trainRel)}, $perceptronWith,
-         |${pfWith("te", testRel)}, $papplyWith,
-         |${scoreWith(testRel)}, $predWith
-         |SELECT classifier, n_test, n_correct,
-         |round(CAST(n_correct AS DOUBLE) / n_test, 6) AS accuracy
-         |FROM (
-         |  SELECT 'heuristic' AS classifier,
-         |  CAST(count(*) AS BIGINT) AS n_test,
-         |  CAST(SUM(CASE WHEN ($langCase = '$KeepClass') =
-         |    (labeled_lang = '$KeepClass') THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_correct
-         |  FROM (SELECT doc_id, labeled_lang, $langScores
-         |    FROM (SELECT doc_id, lang AS labeled_lang, $toks AS toks
-         |      FROM ($testRel)))
-         |  UNION ALL
-         |  SELECT 'majority' AS classifier,
-         |  CAST(count(*) AS BIGINT) AS n_test,
-         |  CAST(GREATEST(
-         |    SUM(CASE WHEN lang = '$KeepClass' THEN 1 ELSE 0 END),
-         |    count(*) - SUM(CASE WHEN lang = '$KeepClass' THEN 1 ELSE 0 END))
-         |    AS BIGINT) AS n_correct
-         |  FROM ($testRel)
-         |  UNION ALL
-         |  SELECT 'nb', CAST(count(*) AS BIGINT),
-         |  CAST(SUM(CASE WHEN (pred = '$KeepClass') =
-         |    (label_true = '$KeepClass') THEN 1 ELSE 0 END) AS BIGINT)
-         |  FROM predrel
-         |  UNION ALL
-         |  SELECT 'perceptron', CAST(count(*) AS BIGINT),
-         |  CAST(SUM(correct) AS BIGINT) FROM papply)
-         |ORDER BY classifier""".stripMargin.replace("\n", " ")),
+      (s, dir) => duelBody(s, dir, ""),
+      duelOracleSql(trainRel, testRel, zipf = false)),
+
+    // The duel in its POSITIVE regime (round-12 verdict item 2): on
+    // the regenerated power-law corpus 30% of every document's tokens
+    // are per-language vocabulary, so the generative arm finally has a
+    // separable signal. MEASURED at sf0.01 (oracle-replayed): NB 1.000
+    // vs majority 0.59 — the regime flip the flat duel (NB 0.50)
+    // predicted, now inside the driver's correctness gate. Perceptron
+    // 0.43: the 64-bucket hashed features collide the ~10k-token
+    // power-law vocabulary too hard for the full-batch update to
+    // separate (the /tmp fixture's 0.829 came from a narrower draw) —
+    // kept at the shared PDim budget because the duel compares arms
+    // under ONE feature budget, and the honest answer is that NB's
+    // per-token likelihoods survive hashing-free while the linear arm
+    // needs more dims. The heuristic arm's hand-tuned stopword lists
+    // don't exist in the synthetic vocabulary, so it degrades to its
+    // tie-break — the honest cost of a hand-tuned filter on a corpus
+    // it wasn't tuned for, shown next to the learner that adapts.
+    Q("classifier_duel_zipf",
+      (s, dir) => duelBody(s, dir, "zipf_"),
+      duelOracleSql(trainRelZ, testRelZ, zipf = true)),
 
     // Classifier-based corpus filter: margin of the target class over
     // the best alternative for EVERY document (train docs included —
@@ -427,53 +557,18 @@ object ClassifierQueries {
     // monotone structure (selected/recall non-increasing in the
     // threshold).
     Q("nb_filter_threshold_curve",
-      (s, dir) => {
-        val m = margins(s, dir)
-        CurveThresholds.map { t =>
-          m.agg(
-              count(lit(1)).as("n_docs"),
-              sum(when(col("margin") >= t, 1L).otherwise(0L))
-                .as("n_selected"),
-              sum(when(col("margin") >= t &&
-                  col("label_true") === KeepClass, 1L).otherwise(0L))
-                .as("n_en_selected"),
-              sum(when(col("label_true") === KeepClass, 1L).otherwise(0L))
-                .as("n_en_total"))
-            .select(lit(t).as("threshold"),
-              col("n_selected").cast("long").as("n_selected"),
-              round(col("n_selected").cast("double") / col("n_docs"), 6)
-                .as("sel_frac"),
-              round(col("n_en_selected").cast("double") /
-                nullif(col("n_selected"), lit(0L)), 6).as("precision"),
-              round(col("n_en_selected").cast("double") /
-                col("n_en_total"), 6).as("recall"))
-        }.reduce(_ unionByName _).orderBy("threshold")
-      },
-      s"""WITH ${scoreWith("SELECT * FROM documents")},
-         |m AS (
-         |  SELECT t.doc_id, t.label_true, round(t.score - o.s_other, 6)
-         |    AS margin
-         |  FROM (SELECT doc_id, label_true, score FROM scorerel
-         |        WHERE label = '$KeepClass') t
-         |  JOIN (SELECT doc_id, max(score) AS s_other FROM scorerel
-         |        WHERE label <> '$KeepClass' GROUP BY doc_id) o
-         |  ON t.doc_id = o.doc_id),
-         |arms AS (SELECT CAST(unnest([${CurveThresholds.mkString(", ")}])
-         |  AS DOUBLE) AS threshold)
-         |SELECT threshold,
-         |CAST(SUM(CASE WHEN margin >= threshold THEN 1 ELSE 0 END)
-         |  AS BIGINT) AS n_selected,
-         |round(CAST(SUM(CASE WHEN margin >= threshold THEN 1 ELSE 0 END)
-         |  AS DOUBLE) / count(*), 6) AS sel_frac,
-         |round(CAST(SUM(CASE WHEN margin >= threshold
-         |    AND label_true = '$KeepClass' THEN 1 ELSE 0 END) AS DOUBLE)
-         |  / nullif(SUM(CASE WHEN margin >= threshold THEN 1 ELSE 0 END),
-         |    0), 6) AS precision,
-         |round(CAST(SUM(CASE WHEN margin >= threshold
-         |    AND label_true = '$KeepClass' THEN 1 ELSE 0 END) AS DOUBLE)
-         |  / SUM(CASE WHEN label_true = '$KeepClass' THEN 1 ELSE 0 END), 6)
-         |  AS recall
-         |FROM arms CROSS JOIN m
-         |GROUP BY threshold ORDER BY threshold"""
-        .stripMargin.replace("\n", " ")))
+      (s, dir) => curveBody(s, dir, "", CurveThresholds),
+      curveOracleSql("SELECT * FROM documents", trainRel,
+        CurveThresholds, zipf = false)),
+
+    // The tuning curve in its POSITIVE regime: on the power-law corpus
+    // the NB margins are strongly separated (per-language tail tokens
+    // dominate the likelihood), so the curve shows a real
+    // precision/recall trade across the arms instead of the flat
+    // fixture's least-bad plateau. Arm thresholds span the zipf margin
+    // range (see ZipfCurveThresholds — measured, like the flat set).
+    Q("nb_filter_threshold_curve_zipf",
+      (s, dir) => curveBody(s, dir, "zipf_", ZipfCurveThresholds),
+      curveOracleSql("SELECT * FROM zdocs", trainRelZ,
+        ZipfCurveThresholds, zipf = true)))
 }

@@ -12,6 +12,45 @@ object OracleFrags {
   /** Whitespace tokens of `text` (trimmed). */
   val toks = "regexp_split_to_array(trim(text), '\\s+')"
 
+  /** Zipf-regime corpus CTE (`zdocs`): the documents table with its
+    * text REGENERATED under a power-law token draw — the positive-
+    * regime fixture for idf-weighted retrieval and language
+    * classification, derived DETERMINISTICALLY from (doc_id, lang) so
+    * the DuckDB oracle replays it bit-for-bit inside the driver's
+    * correctness gate (the /tmp zipf fixtures of rounds 11-12 were
+    * oracle-checked only out-of-band; this brings the regime into
+    * `SparkEntry.queries`).
+    *
+    * Construction (integer-exact, no transcendental sampling): a token
+    * rank is drawn LOG-UNIFORMLY — octave L = h1 % 16 uniform, rank =
+    * 2^L + (h2 % 2^L) uniform within the octave — which makes each
+    * octave of ranks equally likely, i.e. P(rank = r) ∝ 1/r: the
+    * Zipf(1) law, sampled with shifts and mods only (a float pow-based
+    * inverse CDF can disagree between engines at floor boundaries).
+    * 70% of positions draw from the shared 2^16-rank vocabulary
+    * (`w<r>`), 30% from a per-language 2^11-rank one (`<lang>w<r>`) —
+    * head stopwords + a discriminative tail. All hashes are the
+    * engine-portable md5Long. MATERIALIZED: the chain references zdocs
+    * several times and regeneration is the expensive part. */
+  val zdocsCte: String = {
+    def h(tag: String) = Hashing.sqlMd5Long(
+      s"concat('$tag:', CAST(doc_id AS VARCHAR), ':', CAST(i AS VARCHAR))")
+    def rank(octaves: Int) =
+      s"""((CAST(1 AS BIGINT) << CAST(${h("z1")} % $octaves AS INT)) +
+         |(${h("z2")} % (CAST(1 AS BIGINT) <<
+         |  CAST(${h("z1")} % $octaves AS INT))))"""
+        .stripMargin.replace("\n", " ")
+    s"""zdocs AS MATERIALIZED (
+       |  SELECT doc_id,
+       |  array_to_string(list_transform(range(0, 40 + doc_id % 41),
+       |    i -> CASE WHEN ${h("z3")} % 10 < 7
+       |      THEN concat('w', CAST(${rank(16)} AS VARCHAR))
+       |      ELSE concat(lang, 'w', CAST(${rank(11)} AS VARCHAR)) END),
+       |    ' ') AS text,
+       |  lang, source
+       |  FROM documents)""".stripMargin.replace("\n", " ")
+  }
+
   /** Distinct word k-shingles of a token list expression. */
   def shingles(toksExpr: String, k: Int): String =
     s"""CASE WHEN len($toksExpr) >= $k THEN

@@ -210,6 +210,96 @@ object SimilarityQueries {
        |SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rank
        |FROM ranked WHERE rnk <= $K""".stripMargin.replace("\n", " ")
 
+  // ── graph ANN (Vamana/NSW family) constants ───────────────────────
+  /** Graph degree bound (edges kept per node). */
+  private final val GM = 8
+  /** Build-time cells probed per node — >1 is what connects the graph
+    * ACROSS quantizer cells. */
+  private final val GProbe = 2
+  /** Search beam width and fixed superstep count. */
+  private final val GBeam = 32
+  private final val GSteps = 4
+
+  /** The staged edge table (src, dst, sim) — built once per session
+    * over the shared corpus/centroids (GraphAnnOps.knnGraph). */
+  private def annGraph(s: org.apache.spark.sql.SparkSession,
+                       dir: String): org.apache.spark.sql.DataFrame =
+    Staged.retrieval(s, dir, "ann_graph") {
+      graft.ops.GraphAnnOps.knnGraph(Staged.normCorpus(s, dir),
+        Staged.ivfCentroids(s, dir, 16), GM, GProbe)
+    }
+
+  /** Graph-build CTE chain (`corpus, cents, granked, gmembers,
+    * gedges`) — mirrors GraphAnnOps.knnGraph: per node the top-[[GM]]
+    * cosine neighbors among its [[GProbe]] nearest cells' members,
+    * ties (cosine DESC, id ASC) everywhere. */
+  private lazy val graphWith: String =
+    s"""corpus AS MATERIALIZED ($normCorpus),
+       |cents AS MATERIALIZED (SELECT * FROM ${OracleFrags.ivfCentroids(16)}),
+       |granked AS MATERIALIZED (
+       |  SELECT vec_id, n_emb, cell, rn FROM (
+       |    SELECT e.vec_id, e.n_emb, c.centroid_id AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${dotCosine("e.n_emb", "c.c_emb")} DESC, c.centroid_id ASC) AS rn
+       |    FROM corpus e CROSS JOIN cents c)
+       |  WHERE rn <= $GProbe),
+       |gmembers AS (SELECT vec_id AS nbr_id, n_emb AS nbr_emb, cell
+       |  FROM granked WHERE rn = 1),
+       |gedges AS MATERIALIZED (
+       |  SELECT src, dst, sim FROM (
+       |    SELECT p.vec_id AS src, m.nbr_id AS dst,
+       |    ${dotCosine("p.n_emb", "m.nbr_emb")} AS sim,
+       |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |      ${dotCosine("p.n_emb", "m.nbr_emb")} DESC, m.nbr_id ASC) AS ern
+       |    FROM granked p JOIN gmembers m
+       |    ON p.cell = m.cell AND p.vec_id <> m.nbr_id)
+       |  WHERE ern <= $GM)""".stripMargin.replace("\n", " ")
+
+  /** Graph beam-search top-k oracle — mirrors
+    * GraphAnnOps.beamSearchTopK with the [[GSteps]] supersteps UNROLLED
+    * as plain CTEs (the fixed-step beam rule is monotone, so no
+    * visited-set state is needed and no recursion either): each step
+    * keeps the [[GBeam]] best of beam ∪ out-neighbors, entry = min
+    * vec_id, answer = top-[[K]] of the final beam, self excluded. */
+  private lazy val graphTopkSql: String = {
+    val steps = (1 to GSteps).map { t =>
+      val prev = s"gf${t - 1}"
+      s"""gf$t AS (
+         |  SELECT query_id, node FROM (
+         |    SELECT cand.query_id, cand.node,
+         |    row_number() OVER (PARTITION BY cand.query_id ORDER BY
+         |      ${dotCosine("q.q_emb", "ce.n_emb")} DESC, cand.node ASC)
+         |      AS rn
+         |    FROM (SELECT DISTINCT query_id, node FROM (
+         |          SELECT query_id, node FROM $prev
+         |          UNION ALL
+         |          SELECT f.query_id, e.dst AS node
+         |          FROM $prev f JOIN gedges e ON f.node = e.src)) cand
+         |    JOIN corpus ce ON cand.node = ce.vec_id
+         |    JOIN q ON cand.query_id = q.query_id)
+         |  WHERE rn <= $GBeam)""".stripMargin.replace("\n", " ")
+    }.mkString(", ")
+    s"""WITH $graphWith,
+       |q AS (SELECT vec_id AS query_id, n_emb AS q_emb
+       |  FROM corpus WHERE vec_id IN $idList),
+       |gf0 AS (SELECT query_id,
+       |  (SELECT min(vec_id) FROM corpus) AS node FROM q),
+       |$steps,
+       |gscored AS (
+       |  SELECT f.query_id, f.node AS neighbor_id,
+       |  ${dotCosine("q.q_emb", "ce.n_emb")} AS cosine_sim
+       |  FROM gf$GSteps f
+       |  JOIN corpus ce ON f.node = ce.vec_id
+       |  JOIN q ON f.query_id = q.query_id
+       |  WHERE f.node <> f.query_id),
+       |gfranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC)
+       |  AS rnk
+       |  FROM gscored)
+       |SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rank
+       |FROM gfranked WHERE rnk <= $K""".stripMargin.replace("\n", " ")
+  }
+
   /** Hashed-BOW embedding relation (vec_id, n_emb) over documents —
     * mirrors SimilarityOps.hashEmbed(dim=16): token → bucket
     * h31 % 16, sign from bit 15, signed counts L2-normalized then
@@ -390,6 +480,7 @@ object SimilarityQueries {
     ar.count(); mem.count(); hot.count()
     Staged.pcaModel(s, dir, PcaK, PcaIters)
     jlCands(s, dir).count()
+    annGraph(s, dir).count()
     ()
   }
 
@@ -773,6 +864,67 @@ object SimilarityQueries {
       s"""SELECT b.query_id, CAST(count(i.neighbor_id) AS BIGINT) AS n_matched,
          |round(count(i.neighbor_id) / ${K.toDouble}, 6) AS recall_at_k
          |FROM ($bruteSql) b LEFT JOIN ($ivfSql) i
+         |ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id"""
+        .stripMargin.replace("\n", " ")),
+
+    // Graph-ANN BUILD (the Vamana/NSW family — the missing index next
+    // to IVF/LSH/PQ): a bounded-degree kNN edge table, candidates
+    // IVF-cell-blocked (the DiskANN sharded-build shape — never
+    // all-pairs; per node only its GProbe nearest cells' members are
+    // scored, and probing >1 cell is what connects the graph ACROSS
+    // cells). n·GM rows, equality-joined on src at search time. The
+    // full edge table is the registered output so any drift in the
+    // build — candidate blocking, tie-breaks, degree cut — breaks the
+    // hash, not just a summary statistic.
+    Q("ann_graph_edges",
+      (s, dir) => annGraph(s, dir).orderBy("src", "dst"),
+      s"""WITH $graphWith
+         |SELECT src, dst, sim FROM gedges
+         |ORDER BY src, dst""".stripMargin.replace("\n", " ")),
+
+    // Graph-ANN SEARCH: beam expansion from the pinned entry (min
+    // vec_id; production pins the medoid) — GSteps supersteps, each
+    // keeping the GBeam best of beam ∪ out-neighbors (cosine DESC, id
+    // ASC), answer = top-K of the final beam. The keep rule is
+    // monotone, so fixed-step replay needs no visited set — which is
+    // what lets the oracle UNROLL the supersteps as plain CTEs. Each
+    // superstep costs one equality join (frontier × edges) + one
+    // per-query window over ≤ |q|·GBeam·(GM+1) rows: stream rate,
+    // never corpus rate — the sub-linear serving path the IVF probe
+    // family can't offer at high recall.
+    Q("ann_topk_graph",
+      (s, dir) => graft.ops.GraphAnnOps.beamSearchTopK(
+          Staged.normCorpus(s, dir), annGraph(s, dir), QueryIds,
+          GBeam, GSteps, K)
+        .select(col("query_id"), col("neighbor_id"), col("cosine_sim"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("query_id", "rank"),
+      s"SELECT * FROM ($graphTopkSql) ORDER BY query_id, rank"),
+
+    // Recall@k of the graph search vs the exact baseline — the same
+    // eval contract as ann_recall_ivf/ann_recall_ivf2, so all four
+    // index families are comparable on one fixture.
+    Q("ann_recall_graph",
+      (s, dir) => {
+        val brute = SimilarityOps
+          .bruteForceTopKNorm(Staged.normCorpus(s, dir), QueryIds, K)
+          .select(col("query_id"), col("neighbor_id"))
+        val g = graft.ops.GraphAnnOps.beamSearchTopK(
+            Staged.normCorpus(s, dir), annGraph(s, dir), QueryIds,
+            GBeam, GSteps, K)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        brute.join(g, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_matched"))
+          .select(col("query_id"), col("n_matched"),
+            round(col("n_matched") / lit(K.toDouble), 6).as("recall_at_k"))
+          .orderBy("query_id")
+      },
+      s"""SELECT b.query_id, CAST(count(i.neighbor_id) AS BIGINT)
+         |  AS n_matched,
+         |round(count(i.neighbor_id) / ${K.toDouble}, 6) AS recall_at_k
+         |FROM ($bruteSql) b LEFT JOIN ($graphTopkSql) i
          |ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
          |GROUP BY b.query_id ORDER BY b.query_id"""
         .stripMargin.replace("\n", " ")),

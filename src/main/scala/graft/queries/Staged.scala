@@ -857,6 +857,36 @@ object Staged {
     })
   }
 
+  /** Zipf-regime corpus — the documents table with text REGENERATED
+    * under the integer-exact log-uniform power-law draw, mirroring
+    * [[OracleFrags.zdocsCte]] token for token (same md5Long hash
+    * strings, same octave/rank arithmetic — 2^L is exact in double
+    * for L ≤ 15, so the pow-cast equals the oracle's integer shift).
+    * This is the positive-regime fixture for the retrieval/classifier
+    * evals (the flat fixture's ~85%-shared-jargon law makes them
+    * honest negatives); registered queries over it put the regime
+    * under the driver's correctness gate instead of /tmp fixtures. */
+  def zipfDocs(s: SparkSession, dir: String): DataFrame =
+    retrieval(s, dir, "zipf_docs") {
+      import org.apache.spark.sql.functions._
+      val n = (lit(40) + pmod(col("doc_id"), lit(41L))).cast("int")
+      def h(tag: String, i: org.apache.spark.sql.Column) =
+        graft.functions.Hashing.md5Long(concat(lit(s"$tag:"),
+          col("doc_id").cast("string"), lit(":"), i.cast("string")))
+      def rank(octaves: Int, i: org.apache.spark.sql.Column) = {
+        val p = pow(lit(2.0), (h("z1", i) % octaves).cast("double"))
+          .cast("long")
+        p + (h("z2", i) % p)
+      }
+      val t = array_join(transform(sequence(lit(0), n - lit(1)), i =>
+        when(h("z3", i) % 10 < 7,
+          concat(lit("w"), rank(16, i).cast("string")))
+          .otherwise(concat(col("lang"), lit("w"),
+            rank(11, i).cast("string")))), " ")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), t.as("text"), col("lang"), col("source"))
+    }
+
   private val retrMemo =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, String), DataFrame]

@@ -59,6 +59,10 @@ class PlanQualitySpec extends AnyFunSuite {
     "ann_topk_pruned" ->
       "16-row centroid table + 10-row query set, broadcast (probe step)",
     "ann_recall_ivf2" -> "contains ann_topk_brute (eval baseline) + k1=4 super-centroids",
+    "ann_topk_graph" ->
+      "1-row entry-point scalar (min vec_id) + 10-row query set, broadcast",
+    "ann_recall_graph" ->
+      "contains ann_topk_brute (eval baseline) + the whitelisted graph search",
     "ann_recall_lsh" -> "contains ann_topk_brute (eval baseline)",
     "dedup_embedding_cosine" -> "16-row centroid table, broadcast (cell assignment)",
     "dedup_embedding_recall" -> "16-row centroid table, broadcast (cell assignment)",
@@ -132,6 +136,14 @@ class PlanQualitySpec extends AnyFunSuite {
       "first-char-blocked vocabulary join (all equi); tiny term set broadcast",
     "typo_retrieval_eval" ->
       "contains the whitelisted raw/corrected/colbert arms + stats scalars",
+    "bm25_capped_eval_zipf" ->
+      "zipf twin of bm25_capped_eval: same 1-row doc/posting-count scalars, broadcast",
+    "prf_retrieval_eval_zipf" ->
+      "zipf twin of prf_retrieval_eval: same 1-row eval-count scalars, broadcast",
+    "classifier_duel_zipf" ->
+      "zipf twin of classifier_duel: 5-row NB class-stats + 1-row eval scalars, broadcast",
+    "nb_filter_threshold_curve_zipf" ->
+      "zipf twin of nb_filter_threshold_curve: 5-row NB class-stats, broadcast",
     "bm25_capped_eval" ->
       "1-row doc-count/posting-count scalars, broadcast (knob eval)",
     "q22_dormant_customers" ->
