@@ -59,6 +59,53 @@ object GraphAnnOps {
       .select(col("src"), col("dst"), col("sim"))
   }
 
+  /** Incremental insert: extend a [[knnGraph]] edge table with an
+    * arriving `batch` WITHOUT rescanning the corpus. New arrivals get
+    * edges among the (base ∪ batch) members of their probed cells;
+    * base nodes are recomputed ONLY where an arrival landed in one of
+    * their probed cells (their candidate set changed); every other
+    * node keeps its edges untouched. Because membership is the frozen
+    * quantizer's primary cell and every ranking is deterministic, the
+    * result is IDENTICAL to a full rebuild over base ∪ batch — the
+    * property that makes the nightly-rebuild and continuous-insert
+    * paths interchangeable (GraphAnnSpec pins the equality; the
+    * registered query's oracle IS the full-rebuild replay). Per-batch
+    * cost: scoring is confined to cells that received an arrival —
+    * |touched cells| ≤ |batch|·buildProbe — so the insert scales with
+    * the batch and the touched cells' populations, never the corpus. */
+  def knnGraphAppend(oldEdges: DataFrame, base: DataFrame,
+                     batch: DataFrame, cents: DataFrame, m: Int,
+                     buildProbe: Int): DataFrame = {
+    val baseProbes = SimilarityOps.assignCellsNorm(base, cents, buildProbe)
+    val batchProbes = SimilarityOps.assignCellsNorm(batch, cents, buildProbe)
+    def members(df: DataFrame) =
+      SimilarityOps.assignCellsNorm(df, cents, 1)
+        .select(col("vec_id").as("nbr_id"), col("n_emb").as("nbr_emb"),
+          col("cell"))
+    val allMembers = members(base).unionByName(members(batch))
+    // cells that received an arrival (≤ |batch| rows, broadcast)
+    val touched = members(batch).select(col("cell")).distinct()
+    // base nodes probing a touched cell: their candidate set changed
+    val affectedSrc = baseProbes.join(broadcast(touched), Seq("cell"))
+      .select(col("vec_id")).distinct()
+    val recompProbes = baseProbes
+      .join(broadcast(affectedSrc), Seq("vec_id"))
+      .unionByName(batchProbes)
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst").asc)
+    val recomputed = recompProbes.join(allMembers, Seq("cell"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"),
+        dotCosine(col("n_emb"), col("nbr_emb")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= m)
+      .select(col("src"), col("dst"), col("sim"))
+    val untouched = oldEdges
+      .join(broadcast(affectedSrc.select(col("vec_id").as("src"))),
+        Seq("src"), "left_anti")
+    untouched.unionByName(recomputed)
+  }
+
   /** Beam search over a [[knnGraph]] edge table: `steps` supersteps,
     * each keeping the `beam` best nodes (by cosine to the query, ties
     * id ASC) of the current beam ∪ its out-neighbors; the answer is
@@ -66,10 +113,14 @@ object GraphAnnOps {
     * convention). The beam-keep rule is monotone — a kept node is
     * never worse than a dropped one — so fixed-step replay needs no
     * visited-set state, which is exactly what lets the oracle unroll
-    * the same supersteps as plain CTEs. */
+    * the same supersteps as plain CTEs. With `snapshotEachStep` the
+    * walk additionally emits the top-k AFTER EVERY superstep, labeled
+    * by step — the steps tuning curve's input, at the cost of one walk
+    * (the per-step snapshots share the prefix; rows gain a leading
+    * `steps` column). */
   def beamSearchTopK(corpus: DataFrame, graph: DataFrame,
                      queryIds: Seq[Long], beam: Int, steps: Int,
-                     k: Int): DataFrame = {
+                     k: Int, snapshotEachStep: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val queries = corpus.filter(col("vec_id").isInCollection(queryIds))
@@ -99,25 +150,33 @@ object GraphAnnOps {
         .select(col("query_id"), col("node"),
           dotCosine(col("q_emb"), col("n_emb")).as("sim"))
     }
+    def topkOf(frontier: Seq[(Long, Long)]): DataFrame = {
+      val fDf = frontier.toDF("query_id", "node")
+        .filter(col("node") =!= col("query_id"))
+      nodes
+        .join(broadcast(fDf), Seq("node"))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id"), col("node").as("neighbor_id"),
+          dotCosine(col("q_emb"), col("n_emb")).as("cosine_sim"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)))
+        .filter(col("rank") <= k)
+    }
     val entryId = corpus.agg(min(col("vec_id"))).head().getLong(0)
     var frontier: Seq[(Long, Long)] = queryIds.map(q => (q, entryId))
-    for (_ <- 0 until steps) {
+    val perStep = (1 to steps).map { t =>
       frontier = step(frontier)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= beam)
         .select(col("query_id"), col("node"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      t -> frontier
     }
-    val fDf = frontier.toDF("query_id", "node")
-      .filter(col("node") =!= col("query_id"))
-    nodes
-      .join(broadcast(fDf), Seq("node"))
-      .join(broadcast(queries), Seq("query_id"))
-      .select(col("query_id"), col("node").as("neighbor_id"),
-        dotCosine(col("q_emb"), col("n_emb")).as("cosine_sim"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
+    if (!snapshotEachStep) topkOf(perStep.last._2)
+    else perStep.map { case (t, f) =>
+      topkOf(f).select(lit(t).as("steps"), col("query_id"),
+        col("neighbor_id"), col("cosine_sim"), col("rank"))
+    }.reduce(_ unionByName _)
   }
 }

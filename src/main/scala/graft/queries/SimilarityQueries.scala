@@ -261,10 +261,14 @@ object SimilarityQueries {
     * visited-set state is needed and no recursion either): each step
     * keeps the [[GBeam]] best of beam ∪ out-neighbors, entry = min
     * vec_id, answer = top-[[K]] of the final beam, self excluded. */
-  private lazy val graphTopkSql: String = {
+  /** The unrolled beam CTE chain `gf0..gf{GSteps}` (each step
+    * MATERIALIZED — a step references its predecessor twice, and
+    * DuckDB re-inlines non-materialized CTEs per reference). Needs
+    * `corpus`, `gedges`, `q` in scope. */
+  private lazy val gfStepsSql: String = {
     val steps = (1 to GSteps).map { t =>
       val prev = s"gf${t - 1}"
-      s"""gf$t AS (
+      s"""gf$t AS MATERIALIZED (
          |  SELECT query_id, node FROM (
          |    SELECT cand.query_id, cand.node,
          |    row_number() OVER (PARTITION BY cand.query_id ORDER BY
@@ -279,26 +283,44 @@ object SimilarityQueries {
          |    JOIN q ON cand.query_id = q.query_id)
          |  WHERE rn <= $GBeam)""".stripMargin.replace("\n", " ")
     }.mkString(", ")
-    s"""WITH $graphWith,
-       |q AS (SELECT vec_id AS query_id, n_emb AS q_emb
+    s"""q AS MATERIALIZED (SELECT vec_id AS query_id, n_emb AS q_emb
        |  FROM corpus WHERE vec_id IN $idList),
        |gf0 AS (SELECT query_id,
        |  (SELECT min(vec_id) FROM corpus) AS node FROM q),
-       |$steps,
-       |gscored AS (
-       |  SELECT f.query_id, f.node AS neighbor_id,
-       |  ${dotCosine("q.q_emb", "ce.n_emb")} AS cosine_sim
-       |  FROM gf$GSteps f
-       |  JOIN corpus ce ON f.node = ce.vec_id
-       |  JOIN q ON f.query_id = q.query_id
-       |  WHERE f.node <> f.query_id),
-       |gfranked AS (SELECT *, row_number() OVER
+       |$steps""".stripMargin.replace("\n", " ")
+  }
+
+  /** Top-[[K]] (self excluded) read off the step-`t` beam. */
+  private def gfTopkSql(t: Int): String =
+    s"""SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rank
+       |FROM (SELECT *, row_number() OVER
        |  (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC)
        |  AS rnk
-       |  FROM gscored)
-       |SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rank
-       |FROM gfranked WHERE rnk <= $K""".stripMargin.replace("\n", " ")
-  }
+       |  FROM (
+       |    SELECT f.query_id, f.node AS neighbor_id,
+       |    ${dotCosine("q.q_emb", "ce.n_emb")} AS cosine_sim
+       |    FROM gf$t f
+       |    JOIN corpus ce ON f.node = ce.vec_id
+       |    JOIN q ON f.query_id = q.query_id
+       |    WHERE f.node <> f.query_id))
+       |WHERE rnk <= $K""".stripMargin.replace("\n", " ")
+
+  private lazy val graphTopkSql: String =
+    s"WITH $graphWith, $gfStepsSql ${gfTopkSql(GSteps)}"
+
+  /** Curve-specific fragment variants: DuckDB 1.0 hits an INTERNAL
+    * error ("Recursive CTE scan found without recursive CTE node")
+    * when the steps curve's labeled union references the chained
+    * MATERIALIZED beam CTEs — measured bisect: the query works with
+    * ONLY `gedges` materialized, which is also the only hint that
+    * matters at scale (gedges holds the Σ|cell|² build; everything
+    * else is a cheap scan re-inlined a bounded number of times). */
+  private lazy val graphWithCurve: String = graphWith
+    .replace("corpus AS MATERIALIZED (", "corpus AS (")
+    .replace("cents AS MATERIALIZED (", "cents AS (")
+    .replace("granked AS MATERIALIZED (", "granked AS (")
+  private lazy val gfStepsSqlPlain: String =
+    gfStepsSql.replace(" AS MATERIALIZED (", " AS (")
 
   /** Hashed-BOW embedding relation (vec_id, n_emb) over documents —
     * mirrors SimilarityOps.hashEmbed(dim=16): token → bucket
@@ -481,6 +503,11 @@ object SimilarityQueries {
     Staged.pcaModel(s, dir, PcaK, PcaIters)
     jlCands(s, dir).count()
     annGraph(s, dir).count()
+    Staged.retrieval(s, dir, "ann_graph_base") {
+      graft.ops.GraphAnnOps.knnGraph(
+        Staged.normCorpus(s, dir).filter(col("vec_id") % 5 =!= 0),
+        Staged.ivfCentroids(s, dir, 16), GM, GProbe)
+    }.count()
     ()
   }
 
@@ -928,6 +955,91 @@ object SimilarityQueries {
          |ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
          |GROUP BY b.query_id ORDER BY b.query_id"""
         .stripMargin.replace("\n", " ")),
+
+    // The SUPERSTEPS tuning curve — the graph index's knob shipped
+    // with its curve (the ann_nprobe_curve discipline): recall@10
+    // after each beam superstep, from ONE walk (the per-step snapshots
+    // share the prefix — beamSearchTopK(snapshotEachStep)). The knee
+    // is where serving stops paying for hops; each extra superstep
+    // costs one frontier×edges join at ANY corpus scale, so the curve
+    // prices hops directly against recall.
+    Q("ann_graph_steps_curve",
+      (s, dir) => {
+        import s.implicits._
+        val corpus = Staged.normCorpus(s, dir)
+        val brute = SimilarityOps.bruteForceTopKNorm(corpus, QueryIds, K)
+          .select(col("query_id"), col("neighbor_id"))
+        val snaps = graft.ops.GraphAnnOps.beamSearchTopK(corpus,
+            annGraph(s, dir), QueryIds, GBeam, GSteps, K,
+            snapshotEachStep = true)
+          .select(col("steps"), col("query_id"), col("neighbor_id"),
+            lit(1).as("hit"))
+        brute
+          .crossJoin(broadcast((1 to GSteps).toDF("steps")))
+          .join(snaps, Seq("steps", "query_id", "neighbor_id"), "left")
+          .groupBy(col("steps"))
+          .agg(count(col("hit")).cast("long").as("n_matched"))
+          .select(col("steps").cast("int").as("steps"), col("n_matched"),
+            round(col("n_matched") /
+              lit((QueryIds.size * K).toDouble), 6).as("mean_recall"))
+          .orderBy("steps")
+      },
+      s"""WITH $graphWithCurve, $gfStepsSqlPlain,
+         |allf AS (${(1 to GSteps).map(t =>
+            s"SELECT CAST($t AS INT) AS steps, query_id, node FROM gf$t")
+            .mkString(" UNION ALL ")}),
+         |tk AS (
+         |  SELECT steps, query_id, neighbor_id FROM (
+         |    SELECT a.steps, a.query_id, a.node AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.steps, a.query_id
+         |      ORDER BY ${dotCosine("q.q_emb", "ce.n_emb")} DESC,
+         |        a.node ASC) AS rnk
+         |    FROM allf a
+         |    JOIN corpus ce ON a.node = ce.vec_id
+         |    JOIN q ON a.query_id = q.query_id
+         |    WHERE a.node <> a.query_id)
+         |  WHERE rnk <= $K),
+         |bt AS (SELECT query_id, neighbor_id FROM ($bruteSql))
+         |SELECT st.steps,
+         |CAST(count(i.neighbor_id) AS BIGINT) AS n_matched,
+         |round(count(i.neighbor_id) /
+         |  ${(QueryIds.size * K).toDouble}, 6) AS mean_recall
+         |FROM (SELECT CAST(unnest([${(1 to GSteps).mkString(", ")}])
+         |    AS INT) AS steps) st
+         |CROSS JOIN bt b
+         |LEFT JOIN tk i ON i.steps = st.steps
+         |AND i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         |GROUP BY st.steps
+         |ORDER BY st.steps""".stripMargin.replace("\n", " ")),
+
+    // Incremental graph-index INSERT (the ann_index_append /
+    // bm25_index_append move for the graph family): the standing edge
+    // table is staged; an arriving batch (vec_id ≡ 0 mod 5) gets its
+    // edges among its probed cells' members, and base nodes recompute
+    // ONLY where an arrival landed in a probed cell — everyone else
+    // keeps their edges untouched. Because membership and every
+    // ranking are deterministic under the frozen quantizer, the
+    // incremental result is IDENTICAL to a full rebuild over
+    // base ∪ batch — so the oracle IS the full-rebuild replay (the
+    // ann_graph_edges chain), and the equality is the correctness
+    // statement, not an approximation. Per-batch cost: confined to
+    // the ≤ |batch|·GProbe touched cells.
+    Q("ann_graph_append",
+      (s, dir) => {
+        val corpus = Staged.normCorpus(s, dir)
+        val cents = Staged.ivfCentroids(s, dir, 16)
+        val base = corpus.filter(col("vec_id") % 5 =!= 0)
+        val batch = corpus.filter(col("vec_id") % 5 === 0)
+        val baseEdges = Staged.retrieval(s, dir, "ann_graph_base") {
+          graft.ops.GraphAnnOps.knnGraph(base, cents, GM, GProbe)
+        }
+        graft.ops.GraphAnnOps
+          .knnGraphAppend(baseEdges, base, batch, cents, GM, GProbe)
+          .orderBy("src", "dst")
+      },
+      s"""WITH $graphWith
+         |SELECT src, dst, sim FROM gedges
+         |ORDER BY src, dst""".stripMargin.replace("\n", " ")),
 
     // The nprobe TUNING CURVE: recall@10 against scan cost (candidate
     // count) for nprobe ∈ {1, 2, 4, 8} on the same 16-cell index —

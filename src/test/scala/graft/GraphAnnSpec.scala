@@ -54,6 +54,23 @@ class GraphAnnSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want, s"beam search diverged from brute force:\n$got\nvs\n$want")
   }
 
+  test("incremental append equals the full rebuild exactly") {
+    import org.apache.spark.sql.functions.col
+    // frozen quantizer + deterministic rankings ⇒ appending the
+    // arrivals must reproduce the full-corpus build bit-for-bit
+    val base = corpus.filter(col("vec_id") % 3 =!= 0)
+    val batch = corpus.filter(col("vec_id") % 3 === 0)
+    val baseEdges = GraphAnnOps.knnGraph(base, cents, m = 3, buildProbe = 2)
+    val appended = GraphAnnOps
+      .knnGraphAppend(baseEdges, base, batch, cents, m = 3, buildProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuilt = GraphAnnOps.knnGraph(corpus, cents, m = 3, buildProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(appended == rebuilt,
+      s"append diverged from rebuild:\nonly-append=${appended -- rebuilt}" +
+        s"\nonly-rebuild=${rebuilt -- appended}")
+  }
+
   test("a tighter beam never returns an unreachable or worse-ranked set size") {
     val graph = GraphAnnOps.knnGraph(corpus, cents, m = 3, buildProbe = 2)
     val res = GraphAnnOps

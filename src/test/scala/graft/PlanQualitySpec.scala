@@ -63,6 +63,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "1-row entry-point scalar (min vec_id) + 10-row query set, broadcast",
     "ann_recall_graph" ->
       "contains ann_topk_brute (eval baseline) + the whitelisted graph search",
+    "ann_graph_steps_curve" ->
+      "contains ann_topk_brute (eval baseline) + a 4-row steps-arm table, broadcast",
     "ann_recall_lsh" -> "contains ann_topk_brute (eval baseline)",
     "dedup_embedding_cosine" -> "16-row centroid table, broadcast (cell assignment)",
     "dedup_embedding_recall" -> "16-row centroid table, broadcast (cell assignment)",
