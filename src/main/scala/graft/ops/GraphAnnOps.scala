@@ -43,11 +43,37 @@ object GraphAnnOps {
     * what keeps the graph connected ACROSS cells (within-cell-only
     * edges would strand the beam in the entry point's component). */
   def knnGraph(corpus: DataFrame, cents: DataFrame, m: Int,
-               buildProbe: Int): DataFrame = {
-    val probes = SimilarityOps.assignCellsNorm(corpus, cents, buildProbe)
-    val members = SimilarityOps.assignCellsNorm(corpus, cents, 1)
+               buildProbe: Int,
+               maxCellSize: Long = Long.MaxValue): DataFrame = {
+    val probes0 = SimilarityOps.assignCellsNorm(corpus, cents, buildProbe)
+    val members0 = SimilarityOps.assignCellsNorm(corpus, cents, 1)
       .select(col("vec_id").as("nbr_id"), col("n_emb").as("nbr_emb"),
         col("cell"))
+    // Hot-cell cap — the build's quadratic guard (the dedup screens'
+    // maxCellSize posture, here made CODE for the graph family): a
+    // dense cluster collapsing into one cell makes that cell's scoring
+    // join |cell|·probe·|cell| no matter how nCells scales. Cells
+    // whose MEMBER population exceeds the cap split deterministically
+    // into ⌈|cell|/cap⌉ salt slices keyed by pmod(vec_id, nsplit) on
+    // BOTH sides, bounding per-slice work at cap² — the explicit,
+    // loud trade being that an over-cap cell's candidates shrink to
+    // its same-salt slice (~1/nsplit). No-op at the default cap, so
+    // every registered plan and oracle is byte-identical.
+    val (probes, members) =
+      if (maxCellSize == Long.MaxValue) (probes0, members0)
+      else {
+        val counts = members0.groupBy(col("cell"))
+          .agg(count(lit(1)).as("cell_n"))
+        def salt(df: DataFrame, idCol: String) = df
+          .join(broadcast(counts), Seq("cell"), "left")
+          .withColumn("nsplit", greatest(lit(1L),
+            ceil(coalesce(col("cell_n"), lit(0L)) /
+              maxCellSize.toDouble).cast("long")))
+          .withColumn("cell", struct(col("cell"),
+            pmod(col(idCol), col("nsplit")).as("salt")))
+          .drop("cell_n", "nsplit")
+        (salt(probes0, "vec_id"), salt(members0, "nbr_id"))
+      }
     val w = Window.partitionBy(col("src"))
       .orderBy(col("sim").desc, col("dst").asc)
     probes.join(members, Seq("cell"))

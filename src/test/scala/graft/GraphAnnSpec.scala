@@ -54,6 +54,28 @@ class GraphAnnSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want, s"beam search diverged from brute force:\n$got\nvs\n$want")
   }
 
+  test("hot-cell cap: no-op at the default, bounded slices under a tiny cap") {
+    // default cap is byte-identical to the uncapped build
+    val plain = GraphAnnOps.knnGraph(corpus, cents, m = 3, buildProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val nocap = GraphAnnOps.knnGraph(corpus, cents, m = 3, buildProbe = 2,
+        maxCellSize = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(plain == nocap)
+    // a tiny cap still builds a valid bounded-degree graph with every
+    // node present (same-salt slices are never empty for the src), and
+    // its candidate pairs are a subset slice — so total edges can only
+    // shrink or hold
+    val capped = GraphAnnOps.knnGraph(corpus, cents, m = 3, buildProbe = 2,
+      maxCellSize = 3L).collect()
+    assert(capped.nonEmpty)
+    val deg = capped.groupBy(_.getLong(0)).map(_._2.length)
+    assert(deg.max <= 3, s"degree bound violated under cap: ${deg.max}")
+    assert(capped.length <= plain.size,
+      "capping must not create more edges than the uncapped build")
+    capped.foreach(r => assert(r.getLong(0) != r.getLong(1)))
+  }
+
   test("incremental append equals the full rebuild exactly") {
     import org.apache.spark.sql.functions.col
     // frozen quantizer + deterministic rankings ⇒ appending the
