@@ -860,6 +860,42 @@ object RelationalQueries {
         |FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus"""
         .stripMargin.replace("\n", " ")),
 
+    // The SCHEMA-change side of the optimistic protocol (round 13):
+    // three v0 readers — a data writer lands v1, a schema-ADD writer
+    // (new column o_orderpriority) commutes with the unseen data
+    // commit and lands v2, and a writer carrying the SAME column at a
+    // DIFFERENT type (double vs string) is REJECTED as a schema
+    // conflict, by name (unchecked it would wedge every future
+    // mergeSchema read). Staged.snapshotSchemaConcTable asserts the
+    // versions and the rejection at build time; the audit reads the
+    // final evolved state — the new column present exactly on the
+    // schema writer's keys, null-back-filled elsewhere — and the
+    // oracle replays the closed-form D∪S mutation from orders.
+    Q("snapshot_schema_concurrent_audit",
+      (s, dir) => {
+        import graft.ops.SnapshotOps
+        val path = Staged.snapshotSchemaConcTable(s, dir)
+        val nv = SnapshotOps.versions(path).length.toLong
+        SnapshotOps.readAsOf(s, path, nv - 1L, "o_orderkey")
+          .withColumn("n_versions", lit(nv))
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderpriority"),
+            col("n_versions"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey,
+        |CASE WHEN o_orderkey % 9 = 0 THEN 'D1'
+        |     WHEN o_orderkey % 9 = 3 THEN 'S1'
+        |     ELSE o_orderstatus END AS o_orderstatus,
+        |CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 10.0
+        |     WHEN o_orderkey % 9 = 3 THEN o_totalprice + 20.0
+        |     ELSE o_totalprice END AS o_totalprice,
+        |CASE WHEN o_orderkey % 9 = 3 THEN o_orderpriority
+        |     ELSE NULL END AS o_orderpriority,
+        |CAST(3 AS BIGINT) AS n_versions
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |ORDER BY o_orderkey""".stripMargin.replace("\n", " ")),
+
     // The change feed CONSUMED — CDC-driven incremental aggregate
     // maintenance (the reason a warehouse ships table_changes at all):
     // the per-status order count + revenue total is maintained from the

@@ -77,6 +77,7 @@ object Staged {
     fragMemo.filterInPlace { case (k, _) => k._1 != s }
     snapMemo.filterInPlace { case (k, _) => k._1 != s }
     snapConcMemo.filterInPlace { case (k, _) => k._1 != s }
+    snapSchemaConcMemo.filterInPlace { case (k, _) => k._1 != s }
     snapEvoMemo.filterInPlace { case (k, _) => k._1 != s }
     snapVacMemo.filterInPlace { case (k, _) => k._1 != s }
     snapForgetMemo.filterInPlace { case (k, _) => k._1 != s }
@@ -644,7 +645,7 @@ object Staged {
     annAppendMemo.clear(); layoutMemo.clear(); warehouseMemo.clear()
     fragMemo.clear()
     bpeMemo.clear(); wpMemo.clear(); pcaMemo.clear(); uniMemo.clear()
-    snapMemo.clear(); snapConcMemo.clear()
+    snapMemo.clear(); snapConcMemo.clear(); snapSchemaConcMemo.clear()
     snapEvoMemo.clear(); snapVacMemo.clear(); snapForgetMemo.clear()
     uniTokMemo.values.foreach(safeUnpersist); uniTokMemo.clear()
     bpeTokMemo.values.foreach(safeUnpersist); bpeTokMemo.clear()
@@ -755,6 +756,68 @@ object Staged {
       require(rejected,
         "writer C's conflicting commit was NOT rejected — optimistic " +
           "validation failed to see writer A's overlapping keys")
+      path
+    })
+  }
+
+  private val snapSchemaConcMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Schema-change optimistic-concurrency snapshot table (round 13):
+    * three writers ALL read version 0 —
+    *   writer D (data: keys %9==0 → 'D1', +10.0) lands v1;
+    *   writer S (SCHEMA-ADD: keys %9==3 → 'S1', +20.0, carrying the
+    *     NEW column o_orderpriority) revalidates against the unseen
+    *     v1 — key-disjoint AND column-compatible, schema ∥ data
+    *     commute — lands v2;
+    *   writer X (keys %9==6, carrying o_orderpriority at a DIFFERENT
+    *     type, double) → REJECTED with ConcurrentCommitException
+    *     naming the schema conflict (left alone it would wedge every
+    *     future mergeSchema read), contributing nothing.
+    * The builder asserts the versions and the rejection, so the audit
+    * query reads the protocol's specified outcome; the final state is
+    * a closed-form function of `orders`. */
+  def snapshotSchemaConcTable(s: SparkSession, dir: String): String = {
+    registerCleanup(s)
+    snapSchemaConcMemo.getOrElseUpdate((s, dir), {
+      import org.apache.spark.sql.functions.{col, lit}
+      import graft.ops.SnapshotOps
+      val path = graft.util.Fs.workDir("graft_snap_schconc", dir).toString
+      graft.util.Fs.deleteRec(path)
+      val o = Tables.orders(s, dir).filter(col("o_orderkey") % 3 === 0)
+      val v0 = o.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      SnapshotOps.initTable(v0, path, "o_orderkey")
+      val vD = SnapshotOps.commitUpsertOptimistic(s, path,
+        v0.filter(col("o_orderkey") % 9 === 0)
+          .select(col("o_orderkey"), lit("D1").as("o_orderstatus"),
+            (col("o_totalprice") + 10.0).as("o_totalprice")),
+        "o_orderkey", readVersion = 0L)
+      require(vD == 1L, s"writer D expected to land v1, got v$vD")
+      val vS = SnapshotOps.commitUpsertOptimistic(s, path,
+        o.filter(col("o_orderkey") % 9 === 3)
+          .select(col("o_orderkey"), lit("S1").as("o_orderstatus"),
+            (col("o_totalprice") + 20.0).as("o_totalprice"),
+            col("o_orderpriority")),
+        "o_orderkey", readVersion = 0L)
+      require(vS == 2L, s"schema-add writer S expected to land v2, got v$vS")
+      val rejected =
+        try {
+          SnapshotOps.commitUpsertOptimistic(s, path,
+            v0.filter(col("o_orderkey") % 9 === 6)
+              .select(col("o_orderkey"), lit("X1").as("o_orderstatus"),
+                (col("o_totalprice") + 30.0).as("o_totalprice"),
+                lit(1.5).as("o_orderpriority")),
+            "o_orderkey", readVersion = 0L)
+          false
+        } catch {
+          case e: SnapshotOps.ConcurrentCommitException =>
+            require(e.getMessage.contains("schema conflict"),
+              s"expected a schema-conflict rejection, got: ${e.getMessage}")
+            true
+        }
+      require(rejected,
+        "writer X's incompatible-type schema change was NOT rejected")
       path
     })
   }
