@@ -32,6 +32,14 @@ class LivePlanSpec extends AnyFunSuite with SparkTestBase {
     // clearCache leaves the memos returning now-uncached frames and
     // every later suite silently recomputes staged builds per action.
     graft.queries.Staged.clearSession(spark)
+    // ...and the catalog cache too: the MV family caches its hourly
+    // bars OUTSIDE the Staged memos, and a prior suite in this JVM
+    // (QueriesSmokeSpec runs the whole registry) leaves that
+    // InMemoryRelation to substitute into the plan under test, whose
+    // printed AQE initial+final sections double-count the exchange.
+    // Order matters: memos are dropped FIRST, so nothing keeps
+    // returning silently-uncached frames afterwards.
+    spark.catalog.clearCache()
     val bars = TickOps.ohlcBars(
       TickOps.normalizeEvents(Tables.events(spark, sf)), "1 hour")
     val plan = executedPlan(bars)
