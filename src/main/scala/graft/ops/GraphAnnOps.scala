@@ -102,15 +102,27 @@ object GraphAnnOps {
   def knnGraphAppend(oldEdges: DataFrame, base: DataFrame,
                      batch: DataFrame, cents: DataFrame, m: Int,
                      buildProbe: Int): DataFrame = {
+    // At-least-once delivery guard: a batch vec_id already in `base`
+    // (a re-delivered or replayed arrival) would otherwise appear in
+    // BOTH probe sets, duplicating its candidate rows so row_number
+    // can keep duplicate (src, dst) edges and break the
+    // append-equals-rebuild contract. The anti-join makes re-delivery
+    // a no-op — idempotent insert, the property every other
+    // incremental path here (HLL register MAX, dedup first-writer)
+    // provides — at the cost of one equality join on the batch side
+    // (batch-sized left, corpus-keyed right; scales with the batch).
+    val freshBatch = batch.join(
+      base.select(col("vec_id")), Seq("vec_id"), "left_anti")
     val baseProbes = SimilarityOps.assignCellsNorm(base, cents, buildProbe)
-    val batchProbes = SimilarityOps.assignCellsNorm(batch, cents, buildProbe)
+    val batchProbes =
+      SimilarityOps.assignCellsNorm(freshBatch, cents, buildProbe)
     def members(df: DataFrame) =
       SimilarityOps.assignCellsNorm(df, cents, 1)
         .select(col("vec_id").as("nbr_id"), col("n_emb").as("nbr_emb"),
           col("cell"))
-    val allMembers = members(base).unionByName(members(batch))
+    val allMembers = members(base).unionByName(members(freshBatch))
     // cells that received an arrival (≤ |batch| rows, broadcast)
-    val touched = members(batch).select(col("cell")).distinct()
+    val touched = members(freshBatch).select(col("cell")).distinct()
     // base nodes probing a touched cell: their candidate set changed
     val affectedSrc = baseProbes.join(broadcast(touched), Seq("cell"))
       .select(col("vec_id")).distinct()
@@ -147,6 +159,9 @@ object GraphAnnOps {
   def beamSearchTopK(corpus: DataFrame, graph: DataFrame,
                      queryIds: Seq[Long], beam: Int, steps: Int,
                      k: Int, snapshotEachStep: Boolean = false): DataFrame = {
+    require(steps >= 1 && beam >= 1 && k >= 1,
+      s"beamSearchTopK needs steps/beam/k >= 1 (got steps=$steps, " +
+        s"beam=$beam, k=$k) — a 0-step walk has no final beam to rank")
     val spark = corpus.sparkSession
     import spark.implicits._
     val queries = corpus.filter(col("vec_id").isInCollection(queryIds))

@@ -731,21 +731,32 @@ object AnalyticsQueries {
         // bucket) — each appears ONCE in the plan — and all four inner
         // products fall out of one groupBy(row_i). 5 scans/5 shuffles
         // where the per-pair form paid 8/8, same bit-exact estimates.
+        // The counter tables are STAGED per (session, dir): each is
+        // (d·w)-bounded — ≤ 262144 rows at d=4, w=65536, independent of
+        // table size — which is exactly the persisted-sketch shape a
+        // cost-based planner maintains (ANALYZE writes the sketch once;
+        // every plan consults it). Staging moves the one n-sized pass
+        // per table out of the per-estimate path, the same split every
+        // other sketch family here already makes (HLL register logs,
+        // staged postings).
         import graft.ops.SketchOps.cmsMultiKeyCounters
         val pairs = Seq(
           ("lineitem_orders", "l_orderkey", "o_orderkey"),
           ("lineitem_part", "l_partkey", "p_partkey"),
           ("lineitem_supplier", "l_suppkey", "s_suppkey"),
           ("orders_customer", "o_custkey", "c_custkey"))
-        def cnt(df: org.apache.spark.sql.DataFrame, ks: String*) =
-          cmsMultiKeyCounters(df, ks.map(k => k -> col(k)), JsD, JsW)
+        def cnt(table: String, df: => org.apache.spark.sql.DataFrame,
+                ks: String*) =
+          Staged.retrieval(s, dir, s"join_cms_$table") {
+            cmsMultiKeyCounters(df, ks.map(k => k -> col(k)), JsD, JsW)
+          }
         val wide = Seq(
-          cnt(Tables.orders(s, dir), "o_orderkey", "o_custkey"),
-          cnt(Tables.part(s, dir), "p_partkey"),
-          cnt(Tables.supplier(s, dir), "s_suppkey"),
-          cnt(Tables.customer(s, dir), "c_custkey"))
+          cnt("orders", Tables.orders(s, dir), "o_orderkey", "o_custkey"),
+          cnt("part", Tables.part(s, dir), "p_partkey"),
+          cnt("supplier", Tables.supplier(s, dir), "s_suppkey"),
+          cnt("customer", Tables.customer(s, dir), "c_custkey"))
           .foldLeft(
-            cnt(Tables.lineitem(s, dir),
+            cnt("lineitem", Tables.lineitem(s, dir),
               "l_orderkey", "l_partkey", "l_suppkey")) {
             (acc, t) => acc.join(t, Seq("row_i", "bucket"), "full_outer")
           }
@@ -902,7 +913,15 @@ object AnalyticsQueries {
 
   /** Oracle for [[join_size_est]] — rebuilds both sides' CMS counters
     * with the shared affine family and replays the min-of-inner-products
-    * estimate plus the exact join count, per pair. */
+    * estimate plus the exact join count, per pair. The per-row inner
+    * product is ZERO-FILLED over all d hash rows (`range(0, d)` LEFT
+    * JOIN), matching the engine's full-outer counter join exactly: a
+    * hash row where the two sides share no occupied bucket has inner
+    * product 0 — the mathematically honest AMS estimate for that row
+    * (the true join size is a lower bound of EVERY row's product, so a
+    * zero row certifies an empty join) — where an inner join would
+    * silently drop the row and report the min of the surviving ones.
+    * One semantics on both sides; on disjoint key sets both now say 0. */
   private lazy val joinSizeOracle: String = {
     def counters(rel: String, key: String): String = {
       val h = graft.functions.Hashing.sqlH31(s"CAST($key AS VARCHAR)")
@@ -917,12 +936,14 @@ object AnalyticsQueries {
       s"""SELECT '$name' AS join_pair,
          |(SELECT CAST(count(*) AS BIGINT) FROM $aRel JOIN $bRel
          |  ON $aKey = $bKey) AS exact_rows,
-         |(SELECT CAST(coalesce(min(ip), 0) AS BIGINT) FROM (
+         |(SELECT CAST(min(coalesce(t.ip, 0)) AS BIGINT)
+         |  FROM range(0, $JsD) r LEFT JOIN (
          |  SELECT a.row_i, SUM(a.c * b.c) AS ip
          |  FROM (${counters(aRel, aKey)}) a
          |  JOIN (${counters(bRel, bKey)}) b
          |  ON a.row_i = b.row_i AND a.bucket = b.bucket
-         |  GROUP BY a.row_i)) AS est_rows""".stripMargin.replace("\n", " ")
+         |  GROUP BY a.row_i) t ON r.range = t.row_i) AS est_rows"""
+        .stripMargin.replace("\n", " ")
     val pairs = Seq(
       pairSql("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
       pairSql("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),

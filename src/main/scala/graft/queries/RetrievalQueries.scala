@@ -564,12 +564,24 @@ object RetrievalQueries {
   /** Rebind an oracle statement's corpus to the zipf-regime CTE: every
     * corpus reference in this family's SQL is literally
     * `FROM documents` (scan relations and id-filtered query relations
-    * alike), so the rewrite is a plain token swap plus the
-    * MATERIALIZED zdocs definition up front. */
+    * alike), so the rewrite is a word-bounded token swap plus the
+    * MATERIALIZED zdocs definition up front. The swap's blast radius
+    * is pinned by construction: the match is `FROM documents\b` (a
+    * `documents_x` relation can never be rewritten) and the guards
+    * below fail LOUDLY — at object init, since the oracles are lazy
+    * vals forced by registration — if a future oracle fragment stops
+    * matching the contract, instead of silently rebinding the wrong
+    * relation. */
   private def zipfOracle(orig: String): String = {
     require(orig.startsWith("WITH "), "oracle must be a WITH statement")
+    val token = "FROM documents\\b".r
+    require(token.findFirstIn(orig).isDefined,
+      "zipfOracle: no 'FROM documents' corpus reference to rebind")
+    require(!orig.contains("documents_"),
+      "zipfOracle: a documents_-prefixed relation is present — the " +
+        "token swap contract no longer holds for this fragment")
     s"WITH ${OracleFrags.zdocsCte}, " +
-      orig.stripPrefix("WITH ").replace("FROM documents", "FROM zdocs")
+      token.replaceAllIn(orig.stripPrefix("WITH "), "FROM zdocs")
   }
 
   /** Capped-index eval oracle (flat corpus; [[zipfOracle]] rebinds). */

@@ -17,7 +17,21 @@ private[graft] object StreamingConf {
   val StateParts = 8
 
   /** Run `body` (start + await a streaming query) with the shuffle
-    * partition count temporarily sized for state, restoring after. */
+    * partition count temporarily sized for state, restoring after.
+    *
+    * CONTRACT — not concurrency-safe on a shared session: the conf is
+    * session-global, so any query PLANNED on `spark` while `body` runs
+    * would also plan at `n` shuffle partitions. Spark offers no
+    * per-query override (the state-store count is captured from the
+    * session conf at the first checkpoint), so per-query isolation
+    * means a per-query session: a caller that must plan batch work
+    * concurrently with a streaming run should hand the streaming
+    * module `spark.newSession()` (shares the context and the
+    * warehouse, owns its SQLConf) and build the stream on THAT — the
+    * production shape, one session per streaming job. The engine's
+    * own query registry executes one query at a time per session
+    * (Verify/Bench are sequential), so the in-place toggle is safe
+    * everywhere it is used here. */
   def withStatePartitions[T](spark: SparkSession, n: Int = StateParts)(body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
