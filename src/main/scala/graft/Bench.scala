@@ -97,7 +97,14 @@ object Bench {
       System.err.println(s"[bench] prewarm failed: ${e.getMessage}") }
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Optional local-profiling filter (comma-separated names). The
+    // driver never sets it — default behavior (every query) unchanged.
+    // Exists so a subset can be timed with the SAME methodology
+    // (prewarm + reps + median) instead of ad-hoc single shots.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // (name, medianSec, spreadSec) for successes; (name, err) for failures
     val ok = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
     val errs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]

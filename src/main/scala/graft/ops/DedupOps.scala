@@ -319,91 +319,111 @@ object DedupOps {
     * @return (doc_id, cluster_id = min doc_id of the component) for every
     *         doc appearing in a pair */
   def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // lineage truncation BEFORE the loop, not just per round: a cached
-    // frame still CARRIES its full logical plan (the banded candidate
-    // join, the phash pipeline, ...), and every round's planning
-    // re-analyzes that whole tree — measured 0.5 s of driver planning
-    // per round against ~0.17 s of actual work at sf0.1. Behind a
-    // LogicalRDD the per-round plan is three tiny operators.
-    val edges0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
-    val edges = pairs.sparkSession
-      .createDataFrame(edges0.rdd, edges0.schema).cache()
-    // labels sum (decimal — no ANSI long overflow at any scale) doubles
-    // as the convergence signal: min-label propagation only ever
-    // DECREASES labels, so an unchanged sum ⟺ a fixed point. Summing
-    // rides the same action that materializes each round's cache — one
-    // job per round, no extra comparison join.
-    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
-      Option(df.agg(sum(col("cluster_id")
-        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).first()
-        .getDecimal(0))
-    var cached = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id")).cache()
-    var labels = cached
+    // The loop runs on PAIR RDDs, not DataFrames. Each DataFrame round
+    // costs ~0.2 s of driver work — a fresh Catalyst analyze/optimize/
+    // codegen pass over the same three-operator shape — against ~0.13 s
+    // of actual distributed work at sf0.1's phash graph (12 rounds =
+    // 60% of the loop's wall time spent replanning an identical plan;
+    // r14 probe). RDD rounds assemble a DAG directly: zero per-round
+    // planning, and the label/edge joins stay CO-PARTITIONED under one
+    // HashPartitioner so each round's propagation join is narrow — at
+    // 100 TB the round cost is the reduceByKey shuffle plus the label
+    // re-key, exactly the Pregel superstep every cluster framework
+    // runs. Semantics are unchanged: min-label propagation with
+    // pointer-doubling path compression (min over neighbors ∪ self ∪
+    // label(label)), converging in O(log diameter) rounds to the
+    // component-minimum fixed point.
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
+    val pr = pairs.selectExpr("CAST(doc_a AS LONG) AS doc_a",
+        "CAST(doc_b AS LONG) AS doc_b")
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    // undirected evidence, deduped; keyed by dst so the propagation
+    // join feeds each node's label to its neighbors
+    val raw = pr.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .distinct(math.max(1, sc.defaultParallelism))
+      .map { case (src, dst) => (dst, src) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // SCALE-ADAPTIVE loop width (guide §2): the rounds' cost on a small
+    // graph is pure task scheduling (32 partitions × 4 stages × 12
+    // rounds of near-empty tasks), so size the loop's partitioner from
+    // the MEASURED edge count — ~1M edge rows (~16 MB of long pairs)
+    // per partition, widening with the data and capped at 4× the
+    // cluster's parallelism. The count rides the materialization the
+    // loop needs anyway (the pair screen runs exactly once either way).
+    val nEdges = raw.count()
+    val nParts = math.max(1L, math.min(nEdges / (1L << 20) + 1,
+      math.max(1, sc.defaultParallelism) * 4L)).toInt
+    val part = new org.apache.spark.HashPartitioner(nParts)
+    val edges = raw.partitionBy(part).cache()
+    edges.foreachPartition(_ => ()) // materialize before freeing raw
+    raw.unpersist(blocking = false)
+    var labels = edges.mapValues(_ => ()).reduceByKey(part, (a, _) => a)
+      .mapPartitions(_.map { case (id, _) => (id, id) },
+        preservesPartitioning = true)
+      .cache()
+    // labels sum (BigInt — exact at any scale) doubles as the
+    // convergence signal: labels only ever DECREASE, so an unchanged
+    // sum ⟺ a fixed point. The sum rides the same action that
+    // materializes each round's cache — one job per round. Per-partition
+    // partial sums return one BigInt each (driver state bounded by the
+    // partition count).
+    def labelSum(l: org.apache.spark.rdd.RDD[(Long, Long)]): BigInt =
+      l.mapPartitions { it =>
+        var acc = BigInt(0); it.foreach(acc += _._2); Iterator(acc)
+      }.fold(BigInt(0))(_ + _)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
+    // one round: neighbor labels (co-partitioned join — narrow), self
+    // labels, and label(label) (one re-key shuffle), min-reduced per
+    // node (one shuffle with map-side combine).
+    def round(l: org.apache.spark.rdd.RDD[(Long, Long)])
+        : org.apache.spark.rdd.RDD[(Long, Long)] = {
+      val viaNeighbor = edges.join(l).values // (src, neighborLabel)
+      val viaLabel = l.map { case (id, cid) => (cid, id) }
+        .join(l).values.map { case (id, cid2) => (id, cid2) }
+      sc.union(viaNeighbor, l, viaLabel)
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+    }
+    // Two rounds per materialization/convergence action: an RDD round
+    // ends at a reduceByKey shuffle, so the intermediate round's map
+    // output is computed ONCE and re-read by the fused round's three
+    // consumers (shuffle reuse inside one job) — fusing halves the
+    // job-launch + sum-action overhead without duplicating work. A flat
+    // sum across a fused step still certifies a fixed point (labels
+    // only decrease, so zero total change means NO inner round changed
+    // anything); the cost is at most one wasted (cheap, no-change)
+    // inner round after convergence. cache() on the materialized step
+    // gives deterministic freeing (unpersist below) and keeps lineage
+    // recomputable on executor loss; for adversarially long chains,
+    // periodic RELIABLE checkpointing remains the cluster-safe lineage
+    // truncation.
+    val Stride = 2
     while (!converged && iter < maxIters) {
-      // one round = one equality join + one min-aggregate (2 shuffles):
-      // every neighbor label flows to its target, unioned with the
-      // node's own label, min-reduced per node. cache() gives
-      // deterministic per-round freeing (unpersist below) and keeps
-      // lineage recomputable on executor loss. Dedup graphs converge in
-      // a handful of rounds; for adversarially long chains, periodic
-      // RELIABLE checkpointing is the cluster-safe lineage truncation
-      // (localCheckpoint would make lost executors fatal and its blocks
-      // aren't freeable via Dataset.unpersist).
-      // PATH COMPRESSION (pointer doubling): alongside each neighbor's
-      // label, every node also adopts its label's OWN label —
-      // min(neighbors, self, label(label)), cutting convergence from
-      // O(diameter) toward O(log diameter) rounds. Labels still only
-      // DECREASE, so the sum convergence signal and the
-      // component-minimum fixed point are unchanged. Measured at
-      // sf0.1's phash graph: 12 rounds / 7.0 s warm with compression
-      // vs ~16 rounds / 8.2 s without — the win grows with chain
-      // length (a 100-long chain is ~7 rounds instead of 100, the
-      // 100 TB case this guards).
-      val viaLabel = labels
-        .join(labels.select(col("id").as("lid"),
-            col("cluster_id").as("lcluster")),
-          col("cluster_id") === col("lid"))
-        .select(col("id"), col("lcluster").as("cluster_id"))
-      val stepped = edges
-        .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
-        .select(col("src").as("id"), col("cluster_id"))
-        .unionByName(labels)
-        .unionByName(viaLabel)
-        .groupBy(col("id"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
-      // lineage truncation (the pagerank discipline, GraphOps:
-      // constant-size plan per round): `labels` appears TWICE per round
-      // (join + union), so without the LogicalRDD boundary the logical
-      // plan DOUBLES every round — 2^k growth that at sf0.1's deeper
-      // cluster graph produced a 2 GB plan string and OOM'd the driver
-      // in AQE's explainString before any data moved
-      val next = edges.sparkSession
-        .createDataFrame(stepped.rdd, stepped.schema).cache()
+      val k = math.min(Stride, maxIters - iter)
+      val next = (0 until k).foldLeft(labels)((l, _) => round(l)).cache()
       val s = labelSum(next)
-      converged = (s, prevSum) match {
-        case (Some(a), Some(b)) => a.compareTo(b) == 0
-        case (None, None)       => true
-        case _                  => false
-      }
+      converged = s == prevSum
       prevSum = s
-      cached.unpersist()
-      cached = next
+      labels.unpersist(blocking = false)
       labels = next
-      iter += 1
+      iter += k
     }
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"dupClusters: min-label propagation did NOT converge after " +
           s"$maxIters rounds — labels may span an unfinished component " +
           s"(graph diameter > $maxIters); raise maxIters")
-    edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("cluster_id"))
+    edges.unpersist(blocking = false)
+    val out = labels.map { case (id, cid) =>
+      org.apache.spark.sql.Row(id, cid) }
+    spark.createDataFrame(out,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** SimHash (nBits ≤ 32): per-token 31-bit hashes vote per bit position;

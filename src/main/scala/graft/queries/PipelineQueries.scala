@@ -160,6 +160,51 @@ object PipelineQueries {
     p.toString
   }
 
+  // ── session-staged perceptual-hash artifacts ──────────────────────
+  // One getter per staged tag (the codec round-trips are the expensive
+  // once-per-session builds; every pair/cluster screen consumes them),
+  // shared by the registered queries AND the prewarm hook so the bench
+  // never bills a staging build to the alphabetically first consumer
+  // (guide §1: measure the query, not session setup — image_dup_clusters
+  // paid the PNG encode+decode in rep 1, a 14 s spread at sf0.1).
+
+  private def imagePhash(s: org.apache.spark.sql.SparkSession,
+                         dir: String) =
+    Staged.retrieval(s, dir, "image_phash") {
+      MultimodalOps.perceptualHash(
+        MultimodalOps.encodeNearDupPngMedia(Tables.documents(s, dir)))
+        .toDF()
+    }
+
+  private def videoPhash(s: org.apache.spark.sql.SparkSession,
+                         dir: String, r2: Boolean = false) =
+    Staged.retrieval(s, dir, if (r2) "video_phash_r2" else "video_phash") {
+      MultimodalOps.perFrameDHash(
+        MultimodalOps.encodeNearDupGifMedia(Tables.documents(s, dir),
+          r2 = r2))
+        .toDF()
+    }
+
+  private def audioFp(s: org.apache.spark.sql.SparkSession,
+                      dir: String, r1: Boolean = false) =
+    Staged.retrieval(s, dir, if (r1) "audio_fp_r1" else "audio_fp") {
+      MultimodalOps.audioFingerprint(
+        MultimodalOps.encodeNearDupWavMedia(Tables.documents(s, dir),
+          r1 = r1))
+        .toDF()
+    }
+
+  /** Force this family's staged artifacts (Staged.prewarm hook). */
+  private[queries] def prewarm(s: org.apache.spark.sql.SparkSession,
+                               dir: String): Unit = {
+    imagePhash(s, dir).count()
+    videoPhash(s, dir).count()
+    videoPhash(s, dir, r2 = true).count()
+    audioFp(s, dir).count()
+    audioFp(s, dir, r1 = true).count()
+    ()
+  }
+
   val all: Seq[Q] = Seq(
 
     // Multimodal decode — a REAL codec round-trip: deterministic
@@ -193,11 +238,7 @@ object PipelineQueries {
     // oracle replays decode → downscale → hash arithmetically from the
     // closed-form law, so a stride/axis/threshold bug shifts the hash.
     Q("image_phash",
-      (s, dir) => Staged.retrieval(s, dir, "image_phash") {
-          MultimodalOps.perceptualHash(
-            MultimodalOps.encodeNearDupPngMedia(Tables.documents(s, dir)))
-            .toDF()
-        }.orderBy("media_id"),
+      (s, dir) => imagePhash(s, dir).orderBy("media_id"),
       s"""$phashOracleCte
          |SELECT dh.doc_id AS media_id, dhash, ahash
          |FROM dh JOIN ah ON dh.doc_id = ah.doc_id
@@ -215,11 +256,7 @@ object PipelineQueries {
     // LivePlanSpec pins no-cartesian).
     Q("image_phash_dedup",
       (s, dir) => {
-        val h = Staged.retrieval(s, dir, "image_phash") {
-          MultimodalOps.perceptualHash(
-            MultimodalOps.encodeNearDupPngMedia(Tables.documents(s, dir)))
-            .toDF()
-        }
+        val h = imagePhash(s, dir)
         graft.ops.DedupOps.simhashHammingPairsFromSigs(
             h.select(col("media_id").as("doc_id"),
               col("dhash").as("simhash")),
@@ -246,11 +283,7 @@ object PipelineQueries {
     // closure over the replayed hash law.
     Q("image_dup_clusters",
       (s, dir) => {
-        val h = Staged.retrieval(s, dir, "image_phash") {
-          MultimodalOps.perceptualHash(
-            MultimodalOps.encodeNearDupPngMedia(Tables.documents(s, dir)))
-            .toDF()
-        }
+        val h = imagePhash(s, dir)
         graft.ops.DedupOps.dupClusters(
             graft.ops.DedupOps.simhashHammingPairsFromSigs(
               h.select(col("media_id").as("doc_id"),
@@ -285,11 +318,7 @@ object PipelineQueries {
     // frame reduces to a 56-bit dHash. The oracle replays
     // decode→downscale→hash arithmetically from the closed-form law.
     Q("video_phash",
-      (s, dir) => Staged.retrieval(s, dir, "video_phash") {
-          MultimodalOps.perFrameDHash(
-            MultimodalOps.encodeNearDupGifMedia(Tables.documents(s, dir)))
-            .toDF()
-        }.orderBy("media_id", "frame_idx"),
+      (s, dir) => videoPhash(s, dir).orderBy("media_id", "frame_idx"),
       s"""$videoDhashOracleCte
          |SELECT doc_id AS media_id, CAST(nf AS INT) AS n_frames,
          |f AS frame_idx, dhash FROM vdh
@@ -311,11 +340,7 @@ object PipelineQueries {
     // pins no-cartesian).
     Q("video_dup_pairs",
       (s, dir) => {
-        val h = Staged.retrieval(s, dir, "video_phash") {
-          MultimodalOps.perFrameDHash(
-            MultimodalOps.encodeNearDupGifMedia(Tables.documents(s, dir)))
-            .toDF()
-        }
+        val h = videoPhash(s, dir)
         graft.ops.DedupOps.hammingSeqPairs(
             h.select(col("media_id"), col("n_frames"), col("frame_idx"),
               col("dhash").as("sig")),
@@ -333,11 +358,7 @@ object PipelineQueries {
     // replayed law.
     Q("video_dup_clusters",
       (s, dir) => {
-        val h = Staged.retrieval(s, dir, "video_phash") {
-          MultimodalOps.perFrameDHash(
-            MultimodalOps.encodeNearDupGifMedia(Tables.documents(s, dir)))
-            .toDF()
-        }
+        val h = videoPhash(s, dir)
         graft.ops.DedupOps.dupClusters(
             graft.ops.DedupOps.hammingSeqPairs(
               h.select(col("media_id"), col("n_frames"), col("frame_idx"),
@@ -373,12 +394,7 @@ object PipelineQueries {
     // (video_dup_pairs above).
     Q("video_dup_pairs_r2",
       (s, dir) => {
-        val h = Staged.retrieval(s, dir, "video_phash_r2") {
-          MultimodalOps.perFrameDHash(
-            MultimodalOps.encodeNearDupGifMedia(Tables.documents(s, dir),
-              r2 = true))
-            .toDF()
-        }
+        val h = videoPhash(s, dir, r2 = true)
         graft.ops.DedupOps.hammingSeqPairs(
             h.select(col("media_id"), col("n_frames"), col("frame_idx"),
               col("dhash").as("sig")),
@@ -405,11 +421,7 @@ object PipelineQueries {
     // arithmetically from the closed-form law, so an endianness, frame
     // split, or comparison bug shifts the fingerprint.
     Q("audio_fingerprint",
-      (s, dir) => Staged.retrieval(s, dir, "audio_fp") {
-          MultimodalOps.audioFingerprint(
-            MultimodalOps.encodeNearDupWavMedia(Tables.documents(s, dir)))
-            .toDF()
-        }.orderBy("media_id"),
+      (s, dir) => audioFp(s, dir).orderBy("media_id"),
       s"""$audioFpOracleCte
          |SELECT doc_id AS media_id, fp FROM afp
          |ORDER BY media_id""".stripMargin.replace("\n", " ")),
@@ -427,11 +439,7 @@ object PipelineQueries {
     // scale; the Spark side must stay banded).
     Q("audio_dup_pairs",
       (s, dir) => {
-        val h = Staged.retrieval(s, dir, "audio_fp") {
-          MultimodalOps.audioFingerprint(
-            MultimodalOps.encodeNearDupWavMedia(Tables.documents(s, dir)))
-            .toDF()
-        }
+        val h = audioFp(s, dir)
         graft.ops.DedupOps.simhashHammingPairsFromSigs(
             h.select(col("media_id").as("doc_id"), col("fp").as("simhash")),
             nBits = 56, nBands = 4, maxHamming = 3)
@@ -453,11 +461,7 @@ object PipelineQueries {
     // replayed fingerprint law.
     Q("audio_dup_clusters",
       (s, dir) => {
-        val h = Staged.retrieval(s, dir, "audio_fp") {
-          MultimodalOps.audioFingerprint(
-            MultimodalOps.encodeNearDupWavMedia(Tables.documents(s, dir)))
-            .toDF()
-        }
+        val h = audioFp(s, dir)
         graft.ops.DedupOps.dupClusters(
             graft.ops.DedupOps.simhashHammingPairsFromSigs(
               h.select(col("media_id").as("doc_id"), col("fp").as("simhash")),
@@ -493,12 +497,7 @@ object PipelineQueries {
     // turns when its perturbation model is tighter.
     Q("audio_dup_pairs_r1",
       (s, dir) => {
-        val h = Staged.retrieval(s, dir, "audio_fp_r1") {
-          MultimodalOps.audioFingerprint(
-            MultimodalOps.encodeNearDupWavMedia(Tables.documents(s, dir),
-              r1 = true))
-            .toDF()
-        }
+        val h = audioFp(s, dir, r1 = true)
         graft.ops.DedupOps.simhashHammingPairsFromSigs(
             h.select(col("media_id").as("doc_id"), col("fp").as("simhash")),
             nBits = 56, nBands = 2, maxHamming = 1)

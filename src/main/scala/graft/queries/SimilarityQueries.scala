@@ -481,6 +481,23 @@ object SimilarityQueries {
                            dir: String): (Int, Int) =
     ivf2Params(Staged.corpusCount(s, dir) * 4 / 5)
 
+  /** Session-staged exact ground truth for the recall evals —
+    * bruteForceTopKNorm over the staged corpus at the family's shared
+    * (QueryIds, K), |QueryIds|·K rows. Every `ann_recall_*` /
+    * `*_curve` eval compares an index against this one table; staging
+    * it is the production eval split (ground truth computed once,
+    * consulted per index arm) and stops the nprobe/steps curves from
+    * recomputing the same exact scan once per arm inside one plan
+    * (4 copies at sf0.1 — guide §2.3, don't compute what you throw
+    * away). `ann_topk_brute` — the query whose OUTPUT is this ranking —
+    * still computes it inline; only consumers read the staged table. */
+  private def bruteTopK(s: org.apache.spark.sql.SparkSession,
+                        dir: String) =
+    Staged.retrieval(s, dir, "ann_brute_topk") {
+      SimilarityOps.bruteForceTopKNorm(Staged.normCorpus(s, dir),
+        QueryIds, K)
+    }
+
   /** Force this family's staged artifacts (Staged.prewarm hook):
     * normalized corpus + count, flat and two-level centroids, the
     * cell-partitioned layout, the PQ codebook/codes, and the frozen
@@ -490,6 +507,7 @@ object SimilarityQueries {
   private[queries] def prewarm(
       s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val n = Staged.corpusCount(s, dir) // forces normCorpus
+    bruteTopK(s, dir).count()
     Staged.ivfCentroids(s, dir, 16).count()
     Staged.ivfCentroids(s, dir, ivf2Params(n)._1).count()
     Staged.ivfLayout(s, dir, 16)
@@ -844,8 +862,7 @@ object SimilarityQueries {
     // quantizers are comparable at identical effective cell counts.
     Q("ann_recall_ivf2",
       (s, dir) => {
-        val brute = SimilarityOps
-          .bruteForceTopKNorm(Staged.normCorpus(s, dir), QueryIds, K)
+        val brute = bruteTopK(s, dir)
           .select(col("query_id"), col("neighbor_id"))
         val (k1, k2) = ivf2Params(Staged.corpusCount(s, dir))
         val ivf2 = SimilarityOps.ivf2TopKNormWith(Staged.normCorpus(s, dir),
@@ -874,8 +891,7 @@ object SimilarityQueries {
     // ~|queries|·k rows.
     Q("ann_recall_ivf",
       (s, dir) => {
-        val brute = SimilarityOps
-          .bruteForceTopKNorm(Staged.normCorpus(s, dir), QueryIds, K)
+        val brute = bruteTopK(s, dir)
           .select(col("query_id"), col("neighbor_id"))
         val ivf = SimilarityOps.ivfTopKNormWith(Staged.normCorpus(s, dir),
             Staged.ivfCentroids(s, dir, 16), QueryIds, K, 4)
@@ -934,8 +950,7 @@ object SimilarityQueries {
     // index families are comparable on one fixture.
     Q("ann_recall_graph",
       (s, dir) => {
-        val brute = SimilarityOps
-          .bruteForceTopKNorm(Staged.normCorpus(s, dir), QueryIds, K)
+        val brute = bruteTopK(s, dir)
           .select(col("query_id"), col("neighbor_id"))
         val g = graft.ops.GraphAnnOps.beamSearchTopK(
             Staged.normCorpus(s, dir), annGraph(s, dir), QueryIds,
@@ -967,7 +982,7 @@ object SimilarityQueries {
       (s, dir) => {
         import s.implicits._
         val corpus = Staged.normCorpus(s, dir)
-        val brute = SimilarityOps.bruteForceTopKNorm(corpus, QueryIds, K)
+        val brute = bruteTopK(s, dir)
           .select(col("query_id"), col("neighbor_id"))
         val snaps = graft.ops.GraphAnnOps.beamSearchTopK(corpus,
             annGraph(s, dir), QueryIds, GBeam, GSteps, K,
@@ -1058,7 +1073,7 @@ object SimilarityQueries {
       (s, dir) => {
         val corpus = Staged.normCorpus(s, dir)
         val cents = Staged.ivfCentroids(s, dir, 16)
-        val brute = SimilarityOps.bruteForceTopKNorm(corpus, QueryIds, K)
+        val brute = bruteTopK(s, dir)
           .select(col("query_id"), col("neighbor_id"))
         NprobeArms.map { p =>
           val cand = SimilarityOps
@@ -1095,8 +1110,7 @@ object SimilarityQueries {
     // tunable against each other on the same scale.
     Q("ann_recall_lsh",
       (s, dir) => {
-        val brute = SimilarityOps
-          .bruteForceTopKNorm(Staged.normCorpus(s, dir), QueryIds, K)
+        val brute = bruteTopK(s, dir)
           .select(col("query_id"), col("neighbor_id"))
         val lsh = SimilarityOps
           .lshTopKNorm(Staged.normCorpus(s, dir), QueryIds, K, 16, 4)
@@ -1269,8 +1283,7 @@ object SimilarityQueries {
     // code-compression recall (pq) measured on the same scale.
     Q("ann_recall_pq",
       (s, dir) => {
-        val brute = SimilarityOps
-          .bruteForceTopKNorm(Staged.normCorpus(s, dir), QueryIds, K)
+        val brute = bruteTopK(s, dir)
           .select(col("query_id"), col("neighbor_id"))
         val (cb, codes) = Staged.pqIndex(s, dir, PqM, PqKsub)
         val pq = SimilarityOps.pqAdcTopKCodes(codes,
@@ -1502,8 +1515,7 @@ object SimilarityQueries {
     // index misses is ann_recall_hybrid_rerank (0.97).
     Q("ann_recall_rrf",
       (s, dir) => {
-        val brute = SimilarityOps
-          .bruteForceTopKNorm(Staged.normCorpus(s, dir), QueryIds, K)
+        val brute = bruteTopK(s, dir)
           .select(col("query_id"), col("neighbor_id"))
         val fused = rrfTopK(s, dir)
           .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
@@ -1546,8 +1558,7 @@ object SimilarityQueries {
     // measured gap is +0.10 over IVF at sf0.01).
     Q("ann_recall_hybrid_rerank",
       (s, dir) => {
-        val brute = SimilarityOps
-          .bruteForceTopKNorm(Staged.normCorpus(s, dir), QueryIds, K)
+        val brute = bruteTopK(s, dir)
           .select(col("query_id"), col("neighbor_id"))
         val fused = SimilarityOps.rerankExactTopKNorm(
             Staged.normCorpus(s, dir), hybridCandidates(s, dir), QueryIds, K)
@@ -1692,8 +1703,7 @@ object SimilarityQueries {
     // doing its job; see ann_topk_pca's verdict note.
     Q("ann_recall_pca",
       (s, dir) => {
-        val brute = SimilarityOps
-          .bruteForceTopKNorm(Staged.normCorpus(s, dir), QueryIds, K)
+        val brute = bruteTopK(s, dir)
           .select(col("query_id"), col("neighbor_id"))
         val model = Staged.pcaModel(s, dir, PcaK, PcaIters)
         val cands = SimilarityOps.pcaCandidates(
@@ -1758,8 +1768,7 @@ object SimilarityQueries {
     // (which prunes rather than projects) is the better index.
     Q("ann_recall_jl",
       (s, dir) => {
-        val brute = SimilarityOps
-          .bruteForceTopKNorm(Staged.normCorpus(s, dir), QueryIds, K)
+        val brute = bruteTopK(s, dir)
           .select(col("query_id"), col("neighbor_id"))
         val jl = SimilarityOps.rerankExactTopKNorm(
             Staged.normCorpus(s, dir), jlCands(s, dir), QueryIds, K)

@@ -621,6 +621,8 @@ object Staged {
     RetrievalQueries.prewarm(s, dir)
     ClassifierQueries.prewarm(s, dir)
     GraphQueries.prewarm(s, dir)
+    PipelineQueries.prewarm(s, dir)
+    AnalyticsQueries.prewarm(s, dir)
     warehouseTables(s, dir)
   }
 

@@ -42,24 +42,26 @@ object StreamingCdf {
     // tailer delivers (a base/checkpoint version emits no changes).
     // The WHOLE feed is one window pass — tableChanges(min, max) lags
     // per key across every version, so its per-v slices ARE the
-    // per-commit feeds (pre/post images telescope exactly); computing
-    // it once and filter-writing per version replaces one window pass
-    // PER COMMIT with one total (measured 5.6 s → ~2 s warm at sf0.1).
-    // coalesce(1): one file per version, so maxFilesPerTrigger=1
-    // slices at commit granularity instead of ~32 shuffle files each.
+    // per-commit feeds (pre/post images telescope exactly). ONE
+    // partitioned write spools every version in a single job:
+    // repartition(v) lands each commit's rows in one task, so each
+    // v=N directory holds exactly one file and maxFilesPerTrigger=1
+    // still slices at commit granularity — where the per-version
+    // filter + coalesce(1) loop paid one write job (and one pass over
+    // the cached feed) PER COMMIT (guide §2.4/§6: one exchange keyed
+    // by the layout you need, files sized by the writer's partition).
     val feed = SnapshotOps
-      .tableChanges(spark, path, vs.min, vs.max, key).cache()
-    vs.filter(_ > vs.min).foreach { v =>
-      feed.filter(col("v") === v)
-        .coalesce(1).write.mode("append").parquet(spool)
-    }
-    // base-only log: nothing to spool, so the directory would not
-    // exist and the reads below would throw PATH_NOT_FOUND instead of
-    // returning the base aggregate — seed one empty file with the feed
-    // schema so the stream starts (and contributes zero deltas).
+      .tableChanges(spark, path, vs.min, vs.max, key)
     if (vs.size == 1)
+      // base-only log: nothing to spool, so the directory would not
+      // exist and the reads below would throw PATH_NOT_FOUND instead
+      // of returning the base aggregate — seed one empty file with the
+      // feed schema so the stream starts (and contributes zero deltas).
       feed.limit(0).coalesce(1).write.mode("append").parquet(spool)
-    feed.unpersist()
+    else
+      feed.filter(col("v") > vs.min)
+        .repartition(col("v"))
+        .write.partitionBy("v").mode("append").parquet(spool)
     def dec(c: Column) = c.cast("decimal(30,6)")
     def partial(b: DataFrame): DataFrame =
       b.select(col(groupCol),

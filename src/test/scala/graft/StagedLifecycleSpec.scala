@@ -60,7 +60,12 @@ class StagedLifecycleSpec extends AnyFunSuite with SparkTestBase {
     Staged.prewarm(spark, sf)
     val warmed = Staged.retrievalKeys(spark, sf)
     assert(warmed.nonEmpty, "prewarm should stage retrieval artifacts")
-    graft.queries.RetrievalQueries.all.foreach { q =>
+    // every family that stages retrieval-keyed artifacts (round 14
+    // added the multimodal phash and join-size-CMS families)
+    (graft.queries.RetrievalQueries.all ++
+      graft.queries.PipelineQueries.all ++
+      graft.queries.AnalyticsQueries.all ++
+      graft.queries.SimilarityQueries.all).foreach { q =>
       q.fn(spark, sf).write.format("noop").mode("overwrite").save()
       val now = Staged.retrievalKeys(spark, sf)
       assert((now -- warmed).isEmpty,
